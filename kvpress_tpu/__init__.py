@@ -1,0 +1,37 @@
+"""kvpress_tpu — a TPU-native long-context KV-cache compression framework.
+
+Brand-new JAX/XLA/Pallas implementation of the capability surface of
+NVIDIA/kvpress (see SURVEY.md): presses are pure score/compress functions over
+explicit sharded cache pytrees, threaded through jitted prefill/decode loops.
+"""
+
+from .cache import KVCache, init_cache, shrink, valid_mask
+from .config import ModelConfig, tiny_config
+from .models.llama import Runner, init_params
+from .presses import (
+    BasePress,
+    KnormPress,
+    LayerCtx,
+    RandomPress,
+    ScorerPress,
+    StreamingLLMPress,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "KVCache",
+    "init_cache",
+    "shrink",
+    "valid_mask",
+    "ModelConfig",
+    "tiny_config",
+    "Runner",
+    "init_params",
+    "BasePress",
+    "ScorerPress",
+    "LayerCtx",
+    "KnormPress",
+    "RandomPress",
+    "StreamingLLMPress",
+]

@@ -1,0 +1,164 @@
+"""KV cache as an explicit pytree value.
+
+The reference mutates HF ``DynamicCache`` objects in place from forward hooks
+(``kvpress/presses/base_press.py:139-161``) and fakes head-wise eviction by
+overwriting masked keys with an adversarial vector
+(``kvpress/attention_patch.py:43-87``). On TPU/XLA neither is possible nor
+desirable: shapes must be static and arrays immutable. Instead:
+
+- keys/values are stacked over layers: ``(L, B, H_kv, S_max, D)`` with a
+  per-layer valid ``length (L,)`` — eviction = gather-into-front + length drop.
+- head-wise eviction is a boolean keep-``mask (L, B, H_kv, S_max)`` consumed by
+  the attention kernel as ``-inf`` bias (strictly better than the reference's
+  fake-key trick, which "does not reduce peak memory", attention_patch.py:47).
+- an optional int8 per-token quantization codec stores keys/values packed with
+  scales; dequantization fuses into attention (reference: optimum-quanto
+  QuantizedCache, SURVEY §2 item 2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import ModelConfig
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class KVCache:
+    keys: jax.Array                       # (L, B, H_kv, S_max, D) or int8 payload
+    values: jax.Array                     # same shape as keys
+    length: jax.Array                     # (L,) int32: valid entries per layer
+    offset: jax.Array                     # () int32: logical (uncompressed) seq len
+    # True = attendable. Starts all-True up to length; head-wise presses clear bits.
+    mask: Optional[jax.Array] = None      # (L, B, H_kv, S_max) bool
+    key_scales: Optional[jax.Array] = None    # (L, B, H_kv, S_max, 1) f32 if quantized
+    value_scales: Optional[jax.Array] = None
+
+    @property
+    def is_quantized(self) -> bool:
+        return self.key_scales is not None
+
+    @property
+    def max_size(self) -> int:
+        return self.keys.shape[3]
+
+    @property
+    def num_layers(self) -> int:
+        return self.keys.shape[0]
+
+    def layer_kv(self, layer_keys, layer_values, layer_key_scales=None,
+                 layer_value_scales=None, dtype=jnp.bfloat16):
+        """Dequantize one layer's (B, H_kv, S, D) K/V if needed."""
+        if self.is_quantized:
+            k = layer_keys.astype(jnp.float32) * layer_key_scales
+            v = layer_values.astype(jnp.float32) * layer_value_scales
+            return k.astype(dtype), v.astype(dtype)
+        return layer_keys, layer_values
+
+
+def init_cache(
+    cfg: ModelConfig,
+    batch: int,
+    max_size: int,
+    dtype=jnp.bfloat16,
+    quantized: bool = False,
+) -> KVCache:
+    L, H, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+    shape = (L, batch, H, max_size, D)
+    if quantized:
+        keys = jnp.zeros(shape, jnp.int8)
+        values = jnp.zeros(shape, jnp.int8)
+        ks = jnp.ones((L, batch, H, max_size, 1), jnp.float32)
+        vs = jnp.ones((L, batch, H, max_size, 1), jnp.float32)
+    else:
+        keys = jnp.zeros(shape, dtype)
+        values = jnp.zeros(shape, dtype)
+        ks = vs = None
+    return KVCache(
+        keys=keys,
+        values=values,
+        length=jnp.zeros((L,), jnp.int32),
+        offset=jnp.zeros((), jnp.int32),
+        mask=None,
+        key_scales=ks,
+        value_scales=vs,
+    )
+
+
+def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-(token, head) symmetric int8 quantization along the head_dim axis."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def valid_mask(cache: KVCache) -> jax.Array:
+    """(L, B, H_kv, S_max) bool — attendable slots (length- and head-mask-aware)."""
+    L, B, H, S, _ = cache.keys.shape
+    pos = jnp.arange(S, dtype=jnp.int32)
+    m = pos[None, :] < cache.length[:, None]          # (L, S)
+    m = jnp.broadcast_to(m[:, None, None, :], (L, B, H, S))
+    if cache.mask is not None:
+        m = m & cache.mask
+    return m
+
+
+def shrink(cache: KVCache, new_size: int) -> KVCache:
+    """Host-level re-bucketing: slice buffers down to ``new_size`` slots.
+
+    Valid entries are always front-compacted, so a plain slice preserves them.
+    Call outside jit after compression to realize the memory saving before the
+    decode loop (static-shape equivalent of the reference's in-place shrink).
+    """
+    def cut(x):
+        return None if x is None else x[:, :, :, :new_size]
+    return dataclasses.replace(
+        cache,
+        keys=cut(cache.keys),
+        values=cut(cache.values),
+        mask=cut(cache.mask),
+        key_scales=cut(cache.key_scales),
+        value_scales=cut(cache.value_scales),
+    )
+
+
+def grow(cache: KVCache, extra: int) -> KVCache:
+    """Pad the sequence axis with ``extra`` empty slots (for decode appends)."""
+    def pad(x, fill):
+        if x is None:
+            return None
+        pads = [(0, 0)] * x.ndim
+        pads[3] = (0, extra)
+        return jnp.pad(x, pads, constant_values=fill)
+    return dataclasses.replace(
+        cache,
+        keys=pad(cache.keys, 0),
+        values=pad(cache.values, 0),
+        mask=pad(cache.mask, True),
+        key_scales=pad(cache.key_scales, 1.0),
+        value_scales=pad(cache.value_scales, 1.0),
+    )
+
+
+def append_layer_kv(
+    cache_layer_keys: jax.Array,
+    cache_layer_values: jax.Array,
+    length: jax.Array,
+    new_keys: jax.Array,
+    new_values: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Write (B, H, T, D) new K/V at slot ``length`` of one layer's buffers."""
+    T = new_keys.shape[2]
+    keys = jax.lax.dynamic_update_slice_in_dim(
+        cache_layer_keys, new_keys.astype(cache_layer_keys.dtype), length, axis=2
+    )
+    values = jax.lax.dynamic_update_slice_in_dim(
+        cache_layer_values, new_values.astype(cache_layer_values.dtype), length, axis=2
+    )
+    return keys, values, length + T

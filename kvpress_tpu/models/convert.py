@@ -1,0 +1,165 @@
+"""HF checkpoint → stacked JAX params.
+
+Handles the architecture surface the reference special-cases in
+``kvpress/utils.py:12-95``: plain q/k/v/o (Llama/Mistral/Qwen2), fused qkv and
+gate_up (Phi3 — split at conversion time so the runtime has one layout),
+q/k-norm (Qwen3/Gemma3). Input is any mapping name→numpy array (from
+``safetensors`` shards or a torch ``state_dict``).
+"""
+
+from __future__ import annotations
+
+import os
+import json
+from typing import Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+
+
+def _np(t):
+    if hasattr(t, "detach"):
+        t = t.detach().to("cpu")
+        import torch
+        if t.dtype == torch.bfloat16:
+            t = t.float()
+        return t.numpy()
+    return np.asarray(t)
+
+
+def convert_state_dict(
+    sd: Mapping[str, "np.ndarray"], cfg: ModelConfig, dtype=jnp.bfloat16
+) -> dict:
+    """Map an HF-style state dict to our stacked layout ((L, in, out) linears)."""
+    get = lambda name: _np(sd[name])
+    has = lambda name: name in sd
+    L = cfg.num_layers
+    Hq, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    def stack(maker):
+        return jnp.asarray(np.stack([maker(i) for i in range(L)]), dtype)
+
+    def linear(i, name):
+        return get(f"model.layers.{i}.{name}.weight").T  # (in, out)
+
+    pfx = "model.layers.0.self_attn."
+    fused_qkv = has(pfx + "qkv_proj.weight")
+    fused_gu = has("model.layers.0.mlp.gate_up_proj.weight")
+
+    def q_of(i):
+        if fused_qkv:
+            w = get(f"model.layers.{i}.self_attn.qkv_proj.weight").T
+            return w[:, : Hq * D]
+        return linear(i, "self_attn.q_proj")
+
+    def k_of(i):
+        if fused_qkv:
+            w = get(f"model.layers.{i}.self_attn.qkv_proj.weight").T
+            return w[:, Hq * D : (Hq + Hkv) * D]
+        return linear(i, "self_attn.k_proj")
+
+    def v_of(i):
+        if fused_qkv:
+            w = get(f"model.layers.{i}.self_attn.qkv_proj.weight").T
+            return w[:, (Hq + Hkv) * D :]
+        return linear(i, "self_attn.v_proj")
+
+    def gate_of(i):
+        if fused_gu:
+            w = get(f"model.layers.{i}.mlp.gate_up_proj.weight").T
+            return w[:, : cfg.intermediate_size]
+        return linear(i, "mlp.gate_proj")
+
+    def up_of(i):
+        if fused_gu:
+            w = get(f"model.layers.{i}.mlp.gate_up_proj.weight").T
+            return w[:, cfg.intermediate_size :]
+        return linear(i, "mlp.up_proj")
+
+    layers = {
+        "wq": stack(q_of),
+        "wk": stack(k_of),
+        "wv": stack(v_of),
+        "wo": stack(lambda i: linear(i, "self_attn.o_proj")),
+        "wg": stack(gate_of),
+        "wu": stack(up_of),
+        "wd": stack(lambda i: linear(i, "mlp.down_proj")),
+        "ln1": stack(lambda i: get(f"model.layers.{i}.input_layernorm.weight")),
+        "ln2": stack(
+            lambda i: get(f"model.layers.{i}.post_attention_layernorm.weight")
+            if has(f"model.layers.{i}.post_attention_layernorm.weight")
+            else get(f"model.layers.{i}.pre_feedforward_layernorm.weight")
+        ),
+    }
+    if cfg.post_norms:
+        layers["ln1_post"] = stack(
+            lambda i: get(f"model.layers.{i}.post_attention_layernorm.weight")
+        )
+        layers["ln2_post"] = stack(
+            lambda i: get(f"model.layers.{i}.post_feedforward_layernorm.weight")
+        )
+        layers["ln2"] = stack(
+            lambda i: get(f"model.layers.{i}.pre_feedforward_layernorm.weight")
+        )
+    if cfg.attention_bias and has(pfx + "q_proj.bias"):
+        layers["bq"] = stack(lambda i: get(f"model.layers.{i}.self_attn.q_proj.bias"))
+        layers["bk"] = stack(lambda i: get(f"model.layers.{i}.self_attn.k_proj.bias"))
+        layers["bv"] = stack(lambda i: get(f"model.layers.{i}.self_attn.v_proj.bias"))
+    if cfg.qk_norm:
+        layers["q_norm"] = stack(
+            lambda i: get(f"model.layers.{i}.self_attn.q_norm.weight")
+        )
+        layers["k_norm"] = stack(
+            lambda i: get(f"model.layers.{i}.self_attn.k_norm.weight")
+        )
+
+    params = {
+        "embed": jnp.asarray(get("model.embed_tokens.weight"), dtype),
+        "ln_f": jnp.asarray(get("model.norm.weight"), dtype),
+        "layers": layers,
+    }
+    if not cfg.tie_word_embeddings and has("lm_head.weight"):
+        params["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype)
+    return params
+
+
+def from_torch_model(model, dtype=jnp.float32) -> tuple[dict, ModelConfig]:
+    """Convert a live ``transformers`` CausalLM (used by the parity tests)."""
+    cfg = ModelConfig.from_hf_config(model.config)
+    params = convert_state_dict(dict(model.state_dict()), cfg, dtype)
+    return params, cfg
+
+
+def load_pretrained(path_or_repo: str, dtype=jnp.bfloat16) -> tuple[dict, ModelConfig]:
+    """Load from a local HF checkpoint directory of safetensors shards."""
+    from safetensors import safe_open
+    from transformers import AutoConfig
+
+    hf_cfg = AutoConfig.from_pretrained(path_or_repo)
+    if hasattr(hf_cfg, "text_config"):
+        hf_cfg = hf_cfg.text_config
+    cfg = ModelConfig.from_hf_config(hf_cfg)
+
+    if os.path.isdir(path_or_repo):
+        directory = path_or_repo
+    else:
+        from huggingface_hub import snapshot_download
+        directory = snapshot_download(path_or_repo, allow_patterns=["*.safetensors*", "*.json"])
+
+    idx = os.path.join(directory, "model.safetensors.index.json")
+    shards = {}
+    if os.path.exists(idx):
+        with open(idx) as f:
+            weight_map = json.load(f)["weight_map"]
+        files = sorted(set(weight_map.values()))
+    else:
+        files = ["model.safetensors"]
+    sd = {}
+    for fname in files:
+        # torch framework: numpy can't represent bf16; _np() upcasts on read.
+        with safe_open(os.path.join(directory, fname), framework="pt") as f:
+            for k in f.keys():
+                sd[k] = f.get_tensor(k)
+    return convert_state_dict(sd, cfg, dtype), cfg

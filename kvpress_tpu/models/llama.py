@@ -1,0 +1,303 @@
+"""Functional Llama-family decoder (Llama/Mistral/Qwen2/Qwen3/Phi3/Gemma-ish).
+
+One scan over stacked layer weights replaces the reference's reliance on HF
+module forward hooks: the press is invoked *inside* the layer body during
+prefill, with full access to hidden states, pre/post-RoPE Q/K and (optionally)
+attention probabilities — everything the reference reconstructs per-press via
+``kvpress/utils.py:12-95`` re-projections.
+
+Weights are stored stacked over layers: (L, …) leading axis, so the whole
+model is a single `lax.scan` — compile-friendly and trivially shardable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..cache import KVCache, append_layer_kv, init_cache
+from ..config import ModelConfig
+from ..ops.attention import attention_bias, gqa_attention
+from ..presses.base import BasePress, LayerCtx
+from ..rope import apply_rope, compute_inv_freq, rope_cos_sin
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float, one_offset: bool = False):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    weight = (1.0 + w.astype(jnp.float32)) if one_offset else w.astype(jnp.float32)
+    return (normed * weight).astype(x.dtype)
+
+
+def _act(x: jax.Array, kind: str) -> jax.Array:
+    if kind == "silu":
+        return jax.nn.silu(x)
+    if kind == "gelu_tanh":
+        return jax.nn.gelu(x, approximate=True)
+    raise ValueError(kind)
+
+
+def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.float32) -> dict:
+    """Random init (for the tiny-model unit-test substrate, SURVEY §4)."""
+    E, F, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    Hq, Hkv, D, V = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, cfg.vocab_size
+    ks = jax.random.split(key, 16)
+    init = lambda k, shape, scale=0.02: (
+        jax.random.normal(k, shape, jnp.float32) * scale
+    ).astype(dtype)
+    layers = {
+        "wq": init(ks[0], (L, E, Hq * D)),
+        "wk": init(ks[1], (L, E, Hkv * D)),
+        "wv": init(ks[2], (L, E, Hkv * D)),
+        "wo": init(ks[3], (L, Hq * D, E)),
+        "wg": init(ks[4], (L, E, F)),
+        "wu": init(ks[5], (L, E, F)),
+        "wd": init(ks[6], (L, F, E)),
+        "ln1": jnp.ones((L, E), dtype),
+        "ln2": jnp.ones((L, E), dtype),
+    }
+    if cfg.attention_bias:
+        layers["bq"] = jnp.zeros((L, Hq * D), dtype)
+        layers["bk"] = jnp.zeros((L, Hkv * D), dtype)
+        layers["bv"] = jnp.zeros((L, Hkv * D), dtype)
+    if cfg.qk_norm:
+        layers["q_norm"] = jnp.ones((L, D), dtype)
+        layers["k_norm"] = jnp.ones((L, D), dtype)
+    if cfg.post_norms:
+        layers["ln1_post"] = jnp.ones((L, E), dtype)
+        layers["ln2_post"] = jnp.ones((L, E), dtype)
+    params = {
+        "embed": init(ks[7], (V, E)),
+        "ln_f": jnp.ones((E,), dtype),
+        "layers": layers,
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = init(ks[8], (E, V))
+    return params
+
+
+def _project_qkv(layer: dict, cfg: ModelConfig, h: jax.Array):
+    """h (B,S,E) → q (B,Hq,S,D), k/v (B,Hkv,S,D); pre-RoPE, post qk-norm."""
+    B, S, _ = h.shape
+    Hq, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    q = h @ layer["wq"]
+    k = h @ layer["wk"]
+    v = h @ layer["wv"]
+    if cfg.attention_bias:
+        q = q + layer["bq"]
+        k = k + layer["bk"]
+        v = v + layer["bv"]
+    q = q.reshape(B, S, Hq, D).transpose(0, 2, 1, 3)
+    k = k.reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
+    v = v.reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
+    if cfg.qk_norm:
+        q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, cfg.rms_one_offset)
+        k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps, cfg.rms_one_offset)
+    return q, k, v
+
+
+@dataclasses.dataclass(frozen=True)
+class Runner:
+    """Jit-static bundle: config + host RoPE constants."""
+    cfg: ModelConfig
+    attention_scaling: float
+
+    @staticmethod
+    def create(cfg: ModelConfig) -> "Runner":
+        _, scaling = compute_inv_freq(cfg)
+        return Runner(cfg=cfg, attention_scaling=scaling)
+
+    def inv_freq(self) -> jax.Array:
+        inv, _ = compute_inv_freq(self.cfg)
+        return jnp.asarray(inv)
+
+    # ------------------------------------------------------------------ #
+
+    def _layer_step(
+        self,
+        x: jax.Array,                  # (B, T, E)
+        layer: dict,
+        cache_layer: dict,             # keys/values/length/mask for this layer
+        positions: jax.Array,          # (B, T)
+        inv_freq: jax.Array,
+        layer_idx: jax.Array,
+        sliding_flag: jax.Array,       # () bool
+        press: Optional[BasePress],
+        press_state,
+        apply_press: bool,
+    ):
+        cfg = self.cfg
+        B, T, E = x.shape
+        h = rms_norm(x, layer["ln1"], cfg.rms_norm_eps, cfg.rms_one_offset)
+        q_pre, k_pre, v = _project_qkv(layer, cfg, h)
+        cos, sin = rope_cos_sin(inv_freq, positions, self.attention_scaling)
+        cos, sin = cos[:, None], sin[:, None]          # (B, 1, T, D)
+        q = apply_rope(q_pre, cos, sin)
+        k = apply_rope(k_pre, cos, sin)
+
+        prior_len = cache_layer["length"]
+        keys, values, new_len = append_layer_kv(
+            cache_layer["keys"], cache_layer["values"], prior_len, k, v
+        )
+        mask = cache_layer["mask"]                     # (B, Hkv, S_buf)
+
+        scale = cfg.head_dim ** -0.5
+        window = cfg.sliding_window if cfg.sliding_window is not None else None
+        use_sliding = window is not None
+        return_probs = press is not None and press.needs_attn_probs and apply_press
+
+        bias = attention_bias(
+            prior_len,
+            T,
+            keys.shape[2],
+            sliding_window=None,
+            head_mask=mask,
+        )
+        if use_sliding:
+            sl_bias = attention_bias(
+                prior_len, T, keys.shape[2], sliding_window=window, head_mask=mask
+            )
+            bias = jnp.where(sliding_flag, sl_bias, bias)
+        attn_out, probs = gqa_attention(
+            q, keys, values, bias, scale,
+            softcap=cfg.logit_softcap, return_probs=return_probs,
+        )
+
+        new_mask = mask
+        new_state = press_state
+        if press is not None and apply_press:
+            ctx = LayerCtx(
+                layer_idx=layer_idx,
+                hidden=h,
+                queries=q,
+                queries_prerope=q_pre,
+                keys_prerope=k_pre,
+                positions=positions,
+                attn_probs=probs,
+                layer_params=layer,
+                inv_freq=inv_freq,
+                cfg=cfg,
+                attention_scaling=self.attention_scaling,
+            )
+            # Prefill into an empty cache: compress over the first T slots.
+            ck, cv = keys[:, :, :T], values[:, :, :T]
+            cm = mask[:, :, :T]
+            nk, nv, nlen, nmask, new_state = press.layer_compress(
+                ctx, ck, cv, new_len, cm, press_state
+            )
+            keys = jax.lax.dynamic_update_slice_in_dim(keys, nk, 0, axis=2)
+            values = jax.lax.dynamic_update_slice_in_dim(values, nv, 0, axis=2)
+            new_mask = jax.lax.dynamic_update_slice_in_dim(mask, nmask, 0, axis=2)
+            # Sliding-window (local) layers are never compressed
+            # (reference base_press.py:195-200 skips them).
+            if cfg.sliding_window is not None:
+                nlen = jnp.where(sliding_flag, new_len, nlen)
+                new_mask = jnp.where(sliding_flag, mask, new_mask)
+            new_len = nlen
+
+        o = attn_out.transpose(0, 2, 1, 3).reshape(B, T, -1) @ layer["wo"]
+        if cfg.post_norms:
+            o = rms_norm(o, layer["ln1_post"], cfg.rms_norm_eps, cfg.rms_one_offset)
+        x = x + o
+
+        h2 = rms_norm(x, layer["ln2"], cfg.rms_norm_eps, cfg.rms_one_offset)
+        mlp = _act(h2 @ layer["wg"], cfg.act) * (h2 @ layer["wu"])
+        mlp = mlp @ layer["wd"]
+        if cfg.post_norms:
+            mlp = rms_norm(mlp, layer["ln2_post"], cfg.rms_norm_eps, cfg.rms_one_offset)
+        x = x + mlp
+
+        new_cache_layer = dict(keys=keys, values=values, length=new_len, mask=new_mask)
+        return x, new_cache_layer, new_state
+
+    # ------------------------------------------------------------------ #
+
+    def forward(
+        self,
+        params: dict,
+        ids: jax.Array,                 # (B, T)
+        cache: KVCache,
+        press: Optional[BasePress] = None,
+        press_state=None,
+        apply_press: bool = False,
+        compute_logits: bool = True,
+        logits_last_only: bool = False,
+    ):
+        """Run T tokens through all layers against (and appending to) cache.
+
+        Returns (logits|None, cache', press_state'). The press (if any and
+        apply_press) compresses each layer's cache in the layer body — the
+        functional analogue of the reference's prefill forward hook
+        (base_press.py:101-162).
+        """
+        cfg = self.cfg
+        B, T = ids.shape
+        x = params["embed"][ids]
+        if cfg.scale_embeddings:
+            x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
+        positions = cache.offset + jnp.arange(T, dtype=jnp.int32)
+        positions = jnp.broadcast_to(positions[None], (B, T))
+        inv_freq = self.inv_freq()
+
+        L = cfg.num_layers
+        S_buf = cache.max_size
+        mask = cache.mask
+        if mask is None:
+            mask = jnp.ones((L, B, cfg.num_kv_heads, S_buf), bool)
+        sliding = jnp.asarray(cfg.sliding_flags())
+        layer_ids = jnp.arange(L, dtype=jnp.int32)
+
+        def body(carry, xs):
+            xh = carry
+            layer, ck, cv, clen, cmask, lid, sflag, pstate = xs
+            cache_layer = dict(keys=ck, values=cv, length=clen, mask=cmask)
+            xh, ncl, nstate = self._layer_step(
+                xh, layer, cache_layer, positions, inv_freq, lid, sflag,
+                press, pstate, apply_press,
+            )
+            return xh, (ncl["keys"], ncl["values"], ncl["length"], ncl["mask"], nstate)
+
+        xs = (
+            params["layers"], cache.keys, cache.values, cache.length, mask,
+            layer_ids, sliding, press_state,
+        )
+        x, (nkeys, nvalues, nlens, nmasks, nstate) = jax.lax.scan(body, x, xs)
+
+        new_cache = dataclasses.replace(
+            cache,
+            keys=nkeys, values=nvalues, length=nlens, mask=nmasks,
+            offset=cache.offset + T,
+        )
+
+        logits = None
+        if compute_logits:
+            x = rms_norm(x, params["ln_f"], cfg.rms_norm_eps, cfg.rms_one_offset)
+            if logits_last_only:
+                x = x[:, -1:]
+            head = params.get("lm_head")
+            if head is None:
+                head = params["embed"].T
+            logits = (x @ head).astype(jnp.float32)
+            if cfg.logit_softcap:
+                logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
+        return logits, new_cache, nstate
+
+    # ------------------------------------------------------------------ #
+
+    def prefill(self, params, ids, press=None, max_size=None, dtype=jnp.bfloat16,
+                compute_logits=False, quantized=False):
+        """Compress-on-prefill entry: build a fresh cache for ids (B, S)."""
+        B, S = ids.shape
+        max_size = max_size or S
+        cache = init_cache(self.cfg, B, max_size, dtype=dtype, quantized=quantized)
+        state = press.init_state(self.cfg, B, S) if press is not None else None
+        return self.forward(
+            params, ids, cache, press=press, press_state=state,
+            apply_press=press is not None, compute_logits=compute_logits,
+            logits_last_only=True,
+        )

@@ -1,0 +1,101 @@
+"""Reference (pure-XLA) attention with slot-index causal masking.
+
+Causality is enforced in *slot space*: a query that is the ``i``-th new token
+of this call may attend cache slot ``s`` iff ``s < prior_length + i + 1``.
+Because compression always front-compacts the cache (evicted slots never stay
+interleaved), slot order is chronological, so this is exactly causal — and it
+makes compressed caches (where original token positions are no longer stored)
+attend correctly without any position bookkeeping. Head-wise eviction arrives
+as a boolean keep-mask folded into the same additive bias, replacing the
+reference's fake-key monkey-patch (``kvpress/attention_patch.py:43-87``).
+
+This path is the semantic reference; the Pallas flash kernel (ops/flash.py)
+implements the same contract for long contexts on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -2.0e38  # -0.7 * f32 max, avoids exp(-inf - -inf) NaNs
+
+
+def attention_bias(
+    prior_length: jax.Array,
+    num_new: int,
+    buf_size: int,
+    sliding_window: Optional[int] = None,
+    head_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Additive bias (…, num_new, buf_size) in f32.
+
+    prior_length: () int32 — valid slots before this call's tokens were added.
+    head_mask: optional (B, H_kv, buf_size) bool keep-mask.
+    """
+    q_slot = prior_length + jnp.arange(num_new, dtype=jnp.int32)[:, None]
+    k_slot = jnp.arange(buf_size, dtype=jnp.int32)[None, :]
+    allowed = k_slot <= q_slot
+    if sliding_window is not None:
+        allowed &= k_slot > q_slot - sliding_window
+    bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)
+    if head_mask is not None:
+        bias = bias[None, None] + jnp.where(head_mask, 0.0, NEG_INF)[:, :, None, :]
+    return bias
+
+
+def gqa_attention(
+    q: jax.Array,                # (B, Hq, T, D)
+    k: jax.Array,                # (B, Hkv, S, D)
+    v: jax.Array,                # (B, Hkv, S, D)
+    bias: jax.Array,             # (T, S) or (B, Hkv, T, S)
+    scale: float,
+    softcap: Optional[float] = None,
+    return_probs: bool = False,
+):
+    """Grouped-query attention, fp32 softmax. Returns (out (B,Hq,T,D), probs?)."""
+    B, Hq, T, D = q.shape
+    Hkv = k.shape[1]
+    G = Hq // Hkv
+    qg = q.reshape(B, Hkv, G, T, D)
+    logits = jnp.einsum(
+        "bhgtd,bhsd->bhgts", qg, k, preferred_element_type=jnp.float32
+    ) * scale
+    if softcap is not None:
+        logits = jnp.tanh(logits / softcap) * softcap
+    if bias.ndim == 2:
+        logits = logits + bias[None, None, None]
+    else:
+        logits = logits + bias[:, :, None]
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhgts,bhsd->bhgtd", probs.astype(v.dtype), v)
+    out = out.reshape(B, Hq, T, D)
+    if return_probs:
+        return out, probs.reshape(B, Hq, T, -1)
+    return out, None
+
+
+def window_attention_probs(
+    q_window: jax.Array,         # (B, Hq, W, D) — last-W queries (post-RoPE)
+    k: jax.Array,                # (B, Hkv, S, D)
+    scale: float,
+    prior_length: jax.Array,     # causal offset of the first window query
+) -> jax.Array:
+    """Softmax probs of the last W queries over all S keys: (B, Hq, W, S).
+
+    Used by observation-window presses (SnapKV ``compute_window_attention``,
+    reference snapkv_press.py:41-69; TOVA, Finch) to rebuild attention without
+    the O(S²) full matrix.
+    """
+    B, Hq, W, D = q_window.shape
+    S = k.shape[2]
+    bias = attention_bias(prior_length, W, S)
+    Hkv = k.shape[1]
+    qg = q_window.reshape(B, Hkv, Hq // Hkv, W, D)
+    logits = jnp.einsum(
+        "bhgtd,bhsd->bhgts", qg, k, preferred_element_type=jnp.float32
+    ) * scale
+    logits = logits + bias[None, None, None]
+    return jax.nn.softmax(logits, axis=-1).reshape(B, Hq, W, S)

@@ -1,0 +1,160 @@
+"""Press API — pure functions over cache values, the TPU-native inversion of the
+reference's forward-hook design (``kvpress/presses/base_press.py:44-207``).
+
+A press is a frozen dataclass (hashable, static under jit). The model runner
+calls ``press.layer_compress`` once per layer *inside* the jitted prefill, with
+a ``LayerCtx`` carrying everything any press might need; XLA dead-code-
+eliminates whatever a given press does not touch, so providing the full context
+costs nothing. Compression never reshapes: kept entries are gathered to the
+front of the (static-shape) buffer and ``length`` drops; head-wise eviction
+flips bits in a keep-mask consumed by the attention kernel.
+
+Correspondence:
+  reference BasePress.compress(module, hidden_states, keys, values, attentions,
+  kwargs) -> (keys, values)            (base_press.py:61-99)
+  here      press.layer_compress(ctx, keys, values, length, mask)
+            -> (keys, values, length, mask)
+  reference ScorerPress.score -> topk+gather (scorer_press.py:76-102)
+  here      ScorerPress.score(ctx, keys, values) -> (B, H_kv, S) then
+            static-k top_k + take_along_axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LayerCtx:
+    """Everything a press may need, computed in the layer body.
+
+    Static fields are carried via dataclasses.field(metadata) registration:
+    cfg / seq_len are Python-static; the rest are traced arrays.
+    """
+    layer_idx: jax.Array                 # () int32
+    hidden: jax.Array                    # (B, S, E) post-input-layernorm
+    queries: jax.Array                   # (B, Hq, S, D) post-RoPE
+    queries_prerope: jax.Array           # (B, Hq, S, D) pre-RoPE (post qk-norm)
+    keys_prerope: jax.Array              # (B, Hkv, S, D)
+    positions: jax.Array                 # (B, S) int32
+    attn_probs: Optional[jax.Array]      # (B, Hq, S, S) if press.needs_attn_probs
+    layer_params: Any                    # this layer's weight dict (wq, wo, …)
+    inv_freq: jax.Array                  # (D/2,) f32
+    cfg: ModelConfig = dataclasses.field(metadata=dict(static=True), default=None)
+    attention_scaling: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+    window_size: Optional[jax.Array] = None  # dynamic observation window (Finch)
+
+    @property
+    def seq_len(self) -> int:
+        return self.hidden.shape[1]
+
+    @property
+    def scale(self) -> float:
+        return self.cfg.head_dim ** -0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class BasePress:
+    """No-op base. Frozen → hashable → safe as a static jit argument."""
+
+    # Static trace-time signals for the runner:
+    needs_attn_probs: bool = dataclasses.field(default=False, init=False, repr=False)
+
+    def init_state(self, cfg: ModelConfig, batch: int, seq_len: int):
+        """Per-layer press state pytree, stacked over layers (leading dim L),
+        threaded through the layer scan. None if stateless."""
+        return None
+
+    def max_kept(self, seq_len: int, cfg: ModelConfig) -> int:
+        """Static upper bound on kept entries per layer after compression —
+        sizing for post-compression cache shrink."""
+        return seq_len
+
+    def layer_compress(
+        self,
+        ctx: LayerCtx,
+        keys: jax.Array,              # (B, Hkv, S, D) post-RoPE
+        values: jax.Array,
+        length: jax.Array,            # () int32 valid length (== S in prefill)
+        mask: jax.Array,              # (B, Hkv, S) bool keep-mask
+        state=None,
+    ):
+        return keys, values, length, mask, state
+
+    # Convenience mirror of the reference's observable (scorer_press.py:32).
+    @property
+    def compression_ratio_obs(self) -> Optional[float]:
+        return getattr(self, "compression_ratio", None)
+
+
+def topk_keep(
+    scores: jax.Array,            # (B, H, S) — higher = keep
+    keys: jax.Array,              # (B, H, S, D)
+    values: jax.Array,
+    n_kept: int,
+    sort_by_position: bool = False,
+):
+    """Keep the top-``n_kept`` scored entries per (batch, kv-head), gathered to
+    the buffer front. Returns (keys, values) with the tail positions unchanged
+    (callers must mask/shrink via the returned length).
+
+    Matches reference scorer_press.py:76-102 (topk + gather along seq).
+    """
+    B, H, S, D = keys.shape
+    _, idx = jax.lax.top_k(scores, n_kept)                  # (B, H, n_kept)
+    if sort_by_position:
+        idx = jnp.sort(idx, axis=-1)
+    kept_k = jnp.take_along_axis(keys, idx[..., None], axis=2)
+    kept_v = jnp.take_along_axis(values, idx[..., None], axis=2)
+    new_keys = jax.lax.dynamic_update_slice_in_dim(keys, kept_k, 0, axis=2)
+    new_values = jax.lax.dynamic_update_slice_in_dim(values, kept_v, 0, axis=2)
+    return new_keys, new_values, idx
+
+
+@dataclasses.dataclass(frozen=True)
+class ScorerPress(BasePress):
+    """Score-then-keep-top-k (reference scorer_press.py:17-102).
+
+    ``compression_ratio`` is a Python float → static; ``n_kept`` uses the same
+    int() floor as the reference so kept lengths match exactly.
+    """
+    compression_ratio: float = 0.0
+
+    def __post_init__(self):
+        assert 0.0 <= self.compression_ratio < 1.0, self.compression_ratio
+
+    def score(self, ctx: LayerCtx, keys, values) -> jax.Array:
+        raise NotImplementedError
+
+    def n_kept(self, seq_len: int) -> int:
+        return max(1, int(seq_len * (1 - self.compression_ratio)))
+
+    def max_kept(self, seq_len: int, cfg: ModelConfig) -> int:
+        return self.n_kept(seq_len)
+
+    def budget(self, ctx: LayerCtx) -> jax.Array:
+        """Per-layer kept count (traced). Default: the static n_kept.
+        Budget-shaping presses (PyramidKV) override."""
+        return jnp.asarray(self.n_kept(ctx.seq_len), jnp.int32)
+
+    def layer_compress(self, ctx, keys, values, length, mask, state=None):
+        if self.compression_ratio == 0.0:
+            return keys, values, length, mask, state
+        S = ctx.seq_len
+        n_top = self.max_kept(S, ctx.cfg)
+        scores = self.score(ctx, keys, values).astype(jnp.float32)
+        keys, values, idx = topk_keep(scores, keys, values, n_top)
+        budget = self.budget(ctx)
+        new_length = jnp.minimum(budget, n_top).astype(jnp.int32)
+        # Per-layer budgets below n_top are realized through length; the mask
+        # stays all-True over the valid prefix.
+        B, H, _, _ = keys.shape
+        new_mask = jnp.ones((B, H, keys.shape[2]), bool)
+        return keys, values, new_length, new_mask, state

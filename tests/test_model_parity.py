@@ -1,0 +1,96 @@
+"""Logit parity vs HuggingFace transformers on tiny random checkpoints —
+the TPU equivalent of the reference's llama2-0b unit-test substrate
+(reference tests/fixtures.py:10-48)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from kvpress_tpu import Runner, init_cache
+from kvpress_tpu.models.convert import from_torch_model
+
+
+def _hf_tiny(model_type="llama", **kw):
+    import torch
+    from transformers import (
+        AutoModelForCausalLM,
+        LlamaConfig,
+        MistralConfig,
+        Qwen2Config,
+        Qwen3Config,
+    )
+
+    common = dict(
+        vocab_size=256,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=512,
+        tie_word_embeddings=False,
+    )
+    common.update(kw)
+    cfg_cls = {
+        "llama": LlamaConfig,
+        "mistral": MistralConfig,
+        "qwen2": Qwen2Config,
+        "qwen3": Qwen3Config,
+    }[model_type]
+    if model_type == "qwen3":
+        common["head_dim"] = common["hidden_size"] // common["num_attention_heads"]
+    torch.manual_seed(0)
+    model = AutoModelForCausalLM.from_config(cfg_cls(**common))
+    model.eval()
+    return model
+
+
+@pytest.mark.parametrize("model_type", ["llama", "mistral", "qwen2", "qwen3"])
+def test_logits_match_hf(model_type):
+    import torch
+
+    model = _hf_tiny(model_type)
+    params, cfg = from_torch_model(model, dtype=jnp.float32)
+    runner = Runner.create(cfg)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.vocab_size, size=(2, 17))
+
+    with torch.no_grad():
+        ref = model(torch.tensor(ids)).logits.float().numpy()
+
+    cache = init_cache(cfg, 2, 17, dtype=jnp.float32)
+    logits, cache2, _ = runner.forward(params, jnp.asarray(ids), cache)
+    got = np.asarray(logits)
+
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
+    assert int(cache2.length[0]) == 17
+    assert int(cache2.offset) == 17
+
+
+def test_incremental_decode_matches_full_forward():
+    """Prefill + per-token decode must equal a single full forward (cache
+    correctness), mirroring reference tests/test_generate.py:9-26 semantics."""
+    import torch
+
+    model = _hf_tiny("llama")
+    params, cfg = from_torch_model(model, dtype=jnp.float32)
+    runner = Runner.create(cfg)
+
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(1, 12)))
+
+    cache_full = init_cache(cfg, 1, 12, dtype=jnp.float32)
+    full_logits, _, _ = runner.forward(params, ids, cache_full)
+
+    cache = init_cache(cfg, 1, 12, dtype=jnp.float32)
+    _, cache, _ = runner.forward(params, ids[:, :8], cache, compute_logits=False)
+    step_logits = []
+    for t in range(8, 12):
+        lg, cache, _ = runner.forward(
+            params, ids[:, t : t + 1], cache, logits_last_only=True
+        )
+        step_logits.append(np.asarray(lg)[:, 0])
+    got = np.stack(step_logits, axis=1)
+    np.testing.assert_allclose(got, np.asarray(full_logits)[:, 8:], atol=2e-3, rtol=2e-3)
