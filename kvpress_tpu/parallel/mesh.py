@@ -1,0 +1,101 @@
+"""Device mesh + sharding rules.
+
+The reference has no parallelism of its own (SURVEY §2.8 — it delegates to HF
+accelerate's layer placement). Here sharding is first-class: a ("data",
+"model") mesh; attention/kv heads and MLP hidden shard over "model", batch
+over "data"; KV-cache shards over heads so press scoring and compaction are
+entirely shard-local (scores are per-kv-head). GSPMD inserts the two
+all-reduces per layer (post-attention, post-MLP) over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..cache import KVCache
+from ..config import ModelConfig
+
+
+def make_mesh(
+    data: int = 1, model: int = 1, devices: Optional[list] = None
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= data * model, (
+        f"need {data * model} devices, have {len(devices)}"
+    )
+    arr = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def param_shardings(mesh: Mesh, params: dict) -> dict:
+    """NamedSharding pytree matching the stacked param layout."""
+    def ns(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    layer_rules = {
+        "wq": ns(None, None, "model"),
+        "wk": ns(None, None, "model"),
+        "wv": ns(None, None, "model"),
+        "wo": ns(None, "model", None),
+        "bq": ns(None, "model"),
+        "bk": ns(None, "model"),
+        "bv": ns(None, "model"),
+        "wg": ns(None, None, "model"),
+        "wu": ns(None, None, "model"),
+        "wd": ns(None, "model", None),
+        "ln1": ns(None, None),
+        "ln2": ns(None, None),
+        "ln1_post": ns(None, None),
+        "ln2_post": ns(None, None),
+        "q_norm": ns(None, None),
+        "k_norm": ns(None, None),
+    }
+    out = {
+        "embed": ns(None, "model"),
+        "ln_f": ns(None),
+        "layers": {k: layer_rules[k] for k in params["layers"]},
+    }
+    if "lm_head" in params:
+        out["lm_head"] = ns(None, "model")
+    return out
+
+
+def cache_shardings(mesh: Mesh, cache: KVCache) -> KVCache:
+    """Shardings pytree for a KVCache: batch on "data", kv heads on "model"."""
+    def ns(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    kv = ns(None, "data", "model", None, None)
+    return KVCache(
+        keys=kv,
+        values=kv,
+        length=ns(None),
+        offset=ns(),
+        mask=None if cache.mask is None else ns(None, "data", "model", None),
+        key_scales=None if cache.key_scales is None else kv,
+        value_scales=None if cache.value_scales is None else kv,
+    )
+
+
+def shard_params(params: dict, mesh: Mesh) -> dict:
+    return jax.device_put(params, param_shardings(mesh, params))
+
+
+def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
+    return jax.device_put(cache, cache_shardings(mesh, cache))
+
+
+def data_sharding(mesh: Mesh):
+    return NamedSharding(mesh, P("data", None))
+
+
+def validate_tp(cfg: ModelConfig, model_parallel: int) -> None:
+    assert cfg.num_kv_heads % model_parallel == 0, (
+        f"num_kv_heads={cfg.num_kv_heads} must divide by model={model_parallel} "
+        "(replicate KV or lower TP degree otherwise)"
+    )
+    assert cfg.intermediate_size % model_parallel == 0

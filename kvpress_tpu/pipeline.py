@@ -1,0 +1,211 @@
+"""Text-generation pipeline: compress a long context once, answer many
+questions against the compressed cache.
+
+Mirrors the reference ``KVPressTextGenerationPipeline`` UX
+(kvpress/pipeline.py:25-331): chat-template separator split, prefill without
+the LM head, per-question greedy decode with position_ids continuing from the
+*uncompressed* context length, and answer rollback between questions. The
+rollback, which the reference implements by physically slicing cache tensors
+(pipeline.py:252-265), is free here: a cache is a value, so "rollback" is
+restoring the pre-question ``length``/``offset`` scalars.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cache import KVCache, shrink
+from .models.llama import Runner
+from .presses.base import BasePress
+
+logger = logging.getLogger(__name__)
+
+
+@partial(jax.jit, static_argnames=("runner", "max_new_tokens", "eos_ids"))
+def _generate_answer(
+    params,
+    question_ids: jax.Array,          # (1, Tq); Tq may be 0
+    cache: KVCache,
+    prefill_logits,
+    *,
+    runner: Runner,
+    max_new_tokens: int,
+    eos_ids: tuple[int, ...],
+):
+    """Question forward + greedy while_loop decode. Returns (tokens (max_new,),
+    n_generated, final cache). An empty question (shape (1, 0)) starts greedy
+    decoding straight from the prefill's last-position logits."""
+    if question_ids.shape[1] > 0:
+        logits, cache, _ = runner.forward(
+            params, question_ids, cache, logits_last_only=True
+        )
+    else:
+        logits = prefill_logits
+    first = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+    eos = jnp.asarray(eos_ids, jnp.int32)
+    out = jnp.zeros((max_new_tokens,), jnp.int32).at[0].set(first)
+
+    def cond(state):
+        i, tok, _, _ = state
+        return (i < max_new_tokens) & ~jnp.isin(tok, eos)
+
+    def body(state):
+        i, tok, cache, out = state
+        logits, cache, _ = runner.forward(
+            params, tok[None, None], cache, logits_last_only=True
+        )
+        nxt = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+        out = out.at[i].set(nxt)
+        return i + 1, nxt, cache, out
+
+    n, _, cache, out = jax.lax.while_loop(cond, body, (1, first, cache, out))
+    return out, n, cache
+
+
+@partial(jax.jit, static_argnames=("runner", "press"))
+def _prefill(params, context_ids, *, runner: Runner, press):
+    # Exact-length prefill; press is static (part of the trace). Last-position
+    # logits are kept so empty-question generation can continue the context.
+    return runner.prefill(
+        params, context_ids, press=press, compute_logits=True,
+        dtype=params["embed"].dtype,
+    )
+
+
+@dataclasses.dataclass
+class KVPressPipeline:
+    """Callable: pipe(context, question=…, press=…) → {"answer": str}.
+
+    tokenizer: a HF ``AutoTokenizer`` (used host-side only).
+    """
+
+    runner: Runner
+    params: dict
+    tokenizer: object
+    eos_token_ids: Optional[tuple[int, ...]] = None
+
+    @staticmethod
+    def from_pretrained(path_or_repo: str, dtype=jnp.bfloat16) -> "KVPressPipeline":
+        from transformers import AutoTokenizer
+        from .models.convert import load_pretrained
+
+        params, cfg = load_pretrained(path_or_repo, dtype=dtype)
+        tok = AutoTokenizer.from_pretrained(path_or_repo)
+        return KVPressPipeline(Runner.create(cfg), params, tok)
+
+    def _eos(self) -> tuple[int, ...]:
+        if self.eos_token_ids is not None:
+            return tuple(self.eos_token_ids)
+        eos = self.tokenizer.eos_token_id
+        if eos is None:
+            return (-1,)
+        return tuple(eos) if isinstance(eos, (list, tuple)) else (int(eos),)
+
+    def preprocess(
+        self,
+        context: str,
+        questions: list[str],
+        answer_prefix: str = "",
+        max_context_length: Optional[int] = None,
+        enable_thinking: bool = False,
+    ):
+        tok = self.tokenizer
+        if tok.chat_template is None:
+            bos = getattr(tok, "bos_token", "") or ""
+            context = bos + context
+            question_suffix = "\n"
+        else:
+            separator = "#" * (len(context) + 10)
+            templated = tok.apply_chat_template(
+                [{"role": "user", "content": context + separator}],
+                add_generation_prompt=True,
+                tokenize=False,
+                enable_thinking=enable_thinking,
+            )
+            context, question_suffix = templated.split(separator)
+        questions = [q + question_suffix + answer_prefix for q in questions]
+        context_ids = tok.encode(context, add_special_tokens=False)
+        if max_context_length is not None and len(context_ids) > max_context_length:
+            logger.warning(
+                "Context length has been truncated from %d to %d tokens.",
+                len(context_ids), max_context_length,
+            )
+            context_ids = context_ids[:max_context_length]
+        question_ids = [tok.encode(q, add_special_tokens=False) for q in questions]
+        return context_ids, question_ids
+
+    def __call__(
+        self,
+        context: str,
+        question: Optional[str] = None,
+        questions: Optional[list[str]] = None,
+        press: Optional[BasePress] = None,
+        max_new_tokens: int = 50,
+        answer_prefix: str = "",
+        max_context_length: Optional[int] = None,
+        enable_thinking: bool = False,
+    ) -> dict:
+        assert question is None or questions is None, (
+            "Either question or questions should be provided, not both."
+        )
+        single = questions is None
+        questions = questions or ([question] if question else [""])
+
+        context_ids, question_ids = self.preprocess(
+            context, questions, answer_prefix, max_context_length, enable_thinking
+        )
+        context_length = len(context_ids)
+        ids = jnp.asarray(np.asarray(context_ids, np.int32))[None]
+
+        prefill_logits, cache, _ = _prefill(
+            self.params, ids, runner=self.runner, press=press
+        )
+        logger.debug("Context Length: %d", context_length)
+        logger.debug("Compressed Context Length: %d", int(jnp.max(cache.length)))
+
+        # Key-rerotation presses renumber kept keys to contiguous positions, so
+        # subsequent tokens continue from the *compressed* length (reference
+        # pipeline.py:239-241).
+        if press is not None and getattr(press, "rerotates", False):
+            cache = dataclasses.replace(cache, offset=jnp.max(cache.length))
+
+        # Re-bucket the cache to realize compression memory savings, with room
+        # for the longest question + generation.
+        kept = (
+            press.max_kept(context_length, self.runner.cfg)
+            if press is not None else context_length
+        )
+        max_q = max((len(q) for q in question_ids), default=0)
+        cache = shrink(cache, kept + max_q + max_new_tokens + 1)
+
+        base_length = cache.length
+        base_offset = cache.offset
+        answers = []
+        for q_ids in question_ids:
+            q = jnp.asarray(np.asarray(q_ids, np.int32))[None]
+            tokens, n, _ = _generate_answer(
+                self.params, q, cache, prefill_logits,
+                runner=self.runner, max_new_tokens=max_new_tokens,
+                eos_ids=self._eos(),
+            )
+            tokens = np.asarray(tokens)[: int(n)]
+            # Strip eos for decoding (skip_special_tokens equivalent).
+            answers.append(
+                self.tokenizer.decode(tokens.tolist(), skip_special_tokens=True)
+            )
+            # Rollback: restore pre-question lengths; stale slots are garbage
+            # beyond `length` and will be overwritten by the next append.
+            cache = dataclasses.replace(
+                cache, length=base_length, offset=base_offset
+            )
+
+        if single:
+            return {"answer": answers[0]}
+        return {"answers": answers}

@@ -1,14 +1,57 @@
 from .base import BasePress, LayerCtx, ScorerPress, topk_keep
+from .cur import CURPress
+from .expected_attention import ExpectedAttentionPress
+from .keydiff import KeyDiffPress
 from .knorm import KnormPress
+from .lagkv import LagKVPress
+from .qfilter import QFilterPress, load_q_filters
 from .random_press import RandomPress
+from .snapkv import (
+    ObservedAttentionPress,
+    PyramidKVPress,
+    SnapKVPress,
+    TOVAPress,
+)
 from .streaming_llm import StreamingLLMPress
+from .wrappers import (
+    AdaKVPress,
+    BlockPress,
+    ChunkKVPress,
+    ChunkPress,
+    ComposedPress,
+    CriticalAdaKVPress,
+    CriticalKVPress,
+    KeyRerotationPress,
+    PerLayerCompressionPress,
+    ThinKPress,
+)
 
 __all__ = [
+    "AdaKVPress",
+    "BlockPress",
+    "ChunkKVPress",
+    "ChunkPress",
+    "ComposedPress",
+    "CriticalAdaKVPress",
+    "CriticalKVPress",
+    "KeyRerotationPress",
+    "PerLayerCompressionPress",
+    "ThinKPress",
     "BasePress",
     "LayerCtx",
     "ScorerPress",
     "topk_keep",
+    "CURPress",
+    "ExpectedAttentionPress",
+    "KeyDiffPress",
     "KnormPress",
+    "LagKVPress",
+    "QFilterPress",
+    "load_q_filters",
     "RandomPress",
+    "ObservedAttentionPress",
+    "PyramidKVPress",
+    "SnapKVPress",
+    "TOVAPress",
     "StreamingLLMPress",
 ]

@@ -139,19 +139,24 @@ class ScorerPress(BasePress):
     def max_kept(self, seq_len: int, cfg: ModelConfig) -> int:
         return self.n_kept(seq_len)
 
-    def budget(self, ctx: LayerCtx) -> jax.Array:
+    def exact_kept(self, seq_len: int) -> Optional[int]:
+        """Statically-known kept length, or None if budget is layer/data
+        dependent. Used by ComposedPress for static shape chaining."""
+        return self.n_kept(seq_len)
+
+    def budget(self, ctx: LayerCtx, seq_len: int) -> jax.Array:
         """Per-layer kept count (traced). Default: the static n_kept.
         Budget-shaping presses (PyramidKV) override."""
-        return jnp.asarray(self.n_kept(ctx.seq_len), jnp.int32)
+        return jnp.asarray(self.n_kept(seq_len), jnp.int32)
 
     def layer_compress(self, ctx, keys, values, length, mask, state=None):
         if self.compression_ratio == 0.0:
             return keys, values, length, mask, state
-        S = ctx.seq_len
+        S = keys.shape[2]
         n_top = self.max_kept(S, ctx.cfg)
         scores = self.score(ctx, keys, values).astype(jnp.float32)
         keys, values, idx = topk_keep(scores, keys, values, n_top)
-        budget = self.budget(ctx)
+        budget = self.budget(ctx, S)
         new_length = jnp.minimum(budget, n_top).astype(jnp.int32)
         # Per-layer budgets below n_top are realized through length; the mask
         # stays all-True over the valid prefix.

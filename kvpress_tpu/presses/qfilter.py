@@ -1,0 +1,52 @@
+"""QFilterPress: learned per-(layer, kv-head) filter vectors
+(reference qfilter_press.py:53-82). Score = -<q_filter, k>.
+
+Filters are a plain (L, H_kv, D) array attribute loaded from a local
+safetensors/npz artifact (the reference downloads ``nthngdy/<model>_qfilt``
+from the hub; artifact loading is a host-side concern kept out of the jitted
+path)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import LayerCtx, ScorerPress
+
+
+def load_q_filters(path: str) -> np.ndarray:
+    """Load a (num_layers, num_kv_heads, head_dim) filter bank from a local
+    .npz / .npy / .safetensors file."""
+    if path.endswith(".npz"):
+        data = np.load(path)
+        return data[list(data.keys())[0]]
+    if path.endswith(".npy"):
+        return np.load(path)
+    from safetensors import safe_open
+
+    with safe_open(path, framework="np") as f:
+        return f.get_tensor("q_filters")
+
+
+@dataclasses.dataclass(frozen=True)
+class QFilterPress(ScorerPress):
+    q_filters: Optional[jax.Array] = None     # (L, H_kv, D)
+
+    def __hash__(self):  # array field → hash by identity like the reference object
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+    def score(self, ctx: LayerCtx, keys, values):
+        assert self.q_filters is not None, (
+            "Q-filters not loaded; pass q_filters=load_q_filters(path)"
+        )
+        filt = jnp.asarray(self.q_filters)[ctx.layer_idx]      # (H_kv, D)
+        return -jnp.einsum(
+            "bhsd,hd->bhs", keys.astype(jnp.float32), filt.astype(jnp.float32)
+        )

@@ -1,0 +1,142 @@
+"""Observation-window presses: SnapKV, TOVA, ObservedAttention, PyramidKV.
+
+Reference semantics: kvpress/presses/snapkv_press.py, tova_press.py,
+observed_attention_press.py, pyramidkv_press.py. Instead of re-projecting
+hidden states through module weights (reference ``compute_window_attention``,
+snapkv_press.py:41-69), the runner hands post-RoPE queries straight to the
+press via LayerCtx, and window attention is a small masked matmul.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import window_attention_probs
+from .base import LayerCtx, ScorerPress
+
+
+def avg_pool_1d(x: jax.Array, kernel: int) -> jax.Array:
+    """torch.F.avg_pool1d(stride=1, padding=k//2, count_include_pad=True)."""
+    assert kernel % 2 == 1, "kernel_size must be odd"
+    pad = kernel // 2
+    pads = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
+    xp = jnp.pad(x, pads)
+    window = (1,) * (x.ndim - 1) + (kernel,)
+    summed = jax.lax.reduce_window(
+        xp, 0.0, jax.lax.add, window, (1,) * x.ndim, "VALID"
+    )
+    return summed / kernel
+
+
+def group_mean(scores: jax.Array, num_kv_heads: int) -> jax.Array:
+    """(B, Hq, S) → per-GQA-group mean (B, Hkv, S)."""
+    B, Hq, S = scores.shape
+    return scores.reshape(B, num_kv_heads, Hq // num_kv_heads, S).mean(axis=2)
+
+
+@dataclasses.dataclass(frozen=True)
+class SnapKVPress(ScorerPress):
+    """Mean attention of the last ``window_size`` queries onto earlier keys,
+    avg-pooled, group-averaged; window force-kept via max-pad."""
+
+    window_size: int = 64
+    kernel_size: int = 5
+
+    def window_scores(self, ctx: LayerCtx, keys, window_size: int) -> jax.Array:
+        """(B, Hq, window, S) probs of the last-``window_size`` queries."""
+        S = keys.shape[2]
+        q_win = ctx.queries[:, :, S - window_size :]
+        prior = jnp.asarray(S - window_size, jnp.int32)
+        return window_attention_probs(q_win, keys, ctx.scale, prior)
+
+    def score(self, ctx: LayerCtx, keys, values):
+        B, Hkv, S, _ = keys.shape
+        W = self.window_size
+        assert S > W, f"Query length {S} should be greater than the window size {W}"
+        if ctx.attn_probs is not None:
+            attn = ctx.attn_probs[..., S - W :, : S - W].astype(jnp.float32)
+        else:
+            attn = self.window_scores(ctx, keys, W)[..., : S - W]
+        scores = attn.mean(axis=-2)                       # (B, Hq, S-W)
+        scores = avg_pool_1d(scores, self.kernel_size)
+        scores = group_mean(scores, Hkv)                  # (B, Hkv, S-W)
+        maxv = jnp.max(scores) + 1.0
+        scores = jnp.pad(scores, ((0, 0), (0, 0), (0, W)), constant_values=0.0)
+        window_region = jnp.arange(S)[None, None] >= S - W
+        return jnp.where(window_region, maxv, scores)
+
+
+@dataclasses.dataclass(frozen=True)
+class TOVAPress(ScorerPress):
+    """Attention of the last token, mean over *all* query heads, shared across
+    kv heads (reference tova_press.py:44-60)."""
+
+    def score(self, ctx: LayerCtx, keys, values):
+        B, Hkv, S, _ = keys.shape
+        if ctx.attn_probs is not None:
+            attn = ctx.attn_probs[..., -1:, :-1].astype(jnp.float32)
+        else:
+            q_win = ctx.queries[:, :, -1:]
+            prior = jnp.asarray(S - 1, jnp.int32)
+            attn = window_attention_probs(q_win, keys, ctx.scale, prior)[..., :-1]
+        scores = attn.mean(axis=1)[:, 0]                  # (B, S-1)
+        scores = jnp.broadcast_to(scores[:, None], (B, Hkv, S - 1))
+        maxv = jnp.max(scores) + 1.0
+        scores = jnp.pad(scores, ((0, 0), (0, 0), (0, 1)))
+        last = jnp.arange(S)[None, None] == S - 1
+        return jnp.where(last, maxv, scores)
+
+
+@dataclasses.dataclass(frozen=True)
+class ObservedAttentionPress(ScorerPress):
+    """Column mean of the actual prefill attention matrix, normalized by the
+    number of queries that could see each key (observed_attention_press.py:34-49).
+    Requires the probs-returning (eager-equivalent) attention path."""
+
+    needs_attn_probs: bool = dataclasses.field(default=True, init=False, repr=False)
+
+    def score(self, ctx: LayerCtx, keys, values):
+        assert ctx.attn_probs is not None, "runner must supply attention probs"
+        B, Hkv, S, _ = keys.shape
+        attn = ctx.attn_probs.astype(jnp.float32)          # (B, Hq, S, S)
+        scores = attn.sum(axis=2)                          # (B, Hq, S)
+        n_in_sum = jnp.arange(S, 0, -1, dtype=jnp.float32)
+        scores = scores / n_in_sum[None, None]
+        return group_mean(scores, Hkv)
+
+
+@dataclasses.dataclass(frozen=True)
+class PyramidKVPress(SnapKVPress):
+    """SnapKV scoring + per-layer budget pyramid (pyramidkv_press.py:47-112)."""
+
+    beta: int = 20
+
+    def _budgets(self, q_len: int, num_layers: int) -> list[int]:
+        assert self.beta >= 1, "Beta should >= 1"
+        max_capacity = self.window_size + q_len * (1 - self.compression_ratio)
+        min_num = (max_capacity - self.window_size) / self.beta
+        max_num = (max_capacity - self.window_size) * 2 - min_num
+        if max_num >= q_len - self.window_size:
+            max_num = q_len - self.window_size
+            min_num = (max_capacity - self.window_size) * 2 - max_num
+        if not (q_len >= max_num >= min_num >= self.window_size):
+            fallback = round(q_len * (1 - self.compression_ratio))
+            return [fallback] * num_layers
+        steps = (max_num - min_num) / (num_layers - 1) if num_layers > 1 else 0.0
+        return [round(max_num - i * steps) for i in range(num_layers)]
+
+    def max_kept(self, seq_len: int, cfg) -> int:
+        return max(self._budgets(seq_len, cfg.num_layers))
+
+    def exact_kept(self, seq_len: int):
+        return None  # layer-dependent budget
+
+    def budget(self, ctx: LayerCtx, seq_len: int) -> jax.Array:
+        budgets = jnp.asarray(
+            np.asarray(self._budgets(seq_len, ctx.cfg.num_layers), np.int32)
+        )
+        return budgets[ctx.layer_idx]

@@ -1,0 +1,561 @@
+"""Wrapper presses: AdaKV, CriticalKV/CriticalAdaKV, KeyRerotation, Chunk,
+ChunkKV, Block, Composed, PerLayerCompression, ThinK.
+
+Reference: kvpress/presses/{adakv,criticalkv,key_rerotation,chunk,chunkkv,
+block,composed,per_layer_compression,think}_press.py. Head-wise eviction
+(AdaKV family) flips bits in the cache keep-mask consumed by the attention
+kernel as additive -inf bias — replacing the reference's fake-key
+monkey-patch (attention_patch.py:43-87) with something strictly cheaper.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..rope import rotate_half
+from .base import BasePress, LayerCtx, ScorerPress, topk_keep
+
+BIG = jnp.finfo(jnp.float32).max
+
+
+def _slice_seq(ctx: LayerCtx, start: int, size: int) -> LayerCtx:
+    """Ctx with hidden/queries/positions sliced to [start, start+size)."""
+    return dataclasses.replace(
+        ctx,
+        hidden=ctx.hidden[:, start : start + size],
+        queries=ctx.queries[:, :, start : start + size],
+        queries_prerope=ctx.queries_prerope[:, :, start : start + size],
+        keys_prerope=ctx.keys_prerope[:, :, start : start + size],
+        positions=ctx.positions[:, start : start + size],
+        attn_probs=None,
+    )
+
+
+def compact_by_mask(keys, values, keep: jax.Array):
+    """Move kept (True) entries to the buffer front via stable argsort.
+
+    keep: (B, H, S) bool. Returns (keys, values, length ()) where length is
+    the minimum kept count across heads (uniform for the supported callers).
+    """
+    order = jnp.argsort(jnp.where(keep, 0, 1), axis=-1, stable=True)
+    k2 = jnp.take_along_axis(keys, order[..., None], axis=2)
+    v2 = jnp.take_along_axis(values, order[..., None], axis=2)
+    length = jnp.min(jnp.sum(keep, axis=-1)).astype(jnp.int32)
+    return k2, v2, length
+
+
+@dataclasses.dataclass(frozen=True)
+class AdaKVPress(BasePress):
+    """Head-wise budget allocation (reference adakv_press.py:53-78): per-head
+    safeguard top-`alpha*n_kept` pinned, then global bottom-k across
+    heads×seq flattened scores — pruned slots become mask=False."""
+
+    press: ScorerPress = None
+    alpha_safeguard: float = 0.20
+
+    def __post_init__(self):
+        assert isinstance(self.press, ScorerPress), "AdaKVPress requires a ScorerPress"
+        assert 0 <= self.alpha_safeguard <= 1
+
+    @property
+    def compression_ratio(self):
+        return self.press.compression_ratio
+
+    def masked_scores(self, ctx, keys, values) -> jax.Array:
+        """Scores after the per-head safeguard pinning."""
+        scores = self.press.score(ctx, keys, values).astype(jnp.float32)
+        S = keys.shape[2]
+        n_kept = int(S * (1 - self.compression_ratio))
+        n_safe = int(n_kept * self.alpha_safeguard)
+        if n_safe > 0:
+            _, safe_idx = jax.lax.top_k(scores, n_safe)
+            scores = jnp.put_along_axis(
+                scores, safe_idx, BIG, axis=-1, inplace=False
+            )
+        return scores
+
+    def layer_compress(self, ctx, keys, values, length, mask, state=None):
+        if self.compression_ratio == 0.0:
+            return keys, values, length, mask, state
+        B, H, S, _ = keys.shape
+        scores = self.masked_scores(ctx, keys, values)
+        n_kept = int(S * (1 - self.compression_ratio))
+        n_pruned = H * (S - n_kept)
+        flat = scores.reshape(B, H * S)
+        _, pruned_idx = jax.lax.top_k(-flat, n_pruned)
+        keep_flat = jnp.ones((B, H * S), bool)
+        keep_flat = jnp.put_along_axis(
+            keep_flat, pruned_idx, False, axis=-1, inplace=False
+        )
+        new_mask = mask & keep_flat.reshape(B, H, S)
+        return keys, values, length, new_mask, state
+
+
+class WrappedScorerMixin:
+    """ScorerPress behavior with compression_ratio delegated to the wrapped
+    press (reference wrappers expose the same property passthrough)."""
+
+    @property
+    def compression_ratio(self):
+        return self.press.compression_ratio
+
+    def n_kept(self, seq_len: int) -> int:
+        return max(1, int(seq_len * (1 - self.compression_ratio)))
+
+    def max_kept(self, seq_len: int, cfg) -> int:
+        return self.n_kept(seq_len)
+
+    def exact_kept(self, seq_len: int):
+        return self.n_kept(seq_len)
+
+    def budget(self, ctx, seq_len: int):
+        return jnp.asarray(self.n_kept(seq_len), jnp.int32)
+
+    layer_compress = ScorerPress.layer_compress
+
+
+@dataclasses.dataclass(frozen=True)
+class CriticalKVPress(WrappedScorerMixin, BasePress):
+    """Two-stage rescale by ||Wo·v||_1 (reference criticalkv_press.py:17-94)."""
+
+    press: ScorerPress = None
+    epsilon: float = 1e-4
+    first_stage_ratio: float = 0.5
+
+    def __post_init__(self):
+        assert isinstance(self.press, ScorerPress), "CriticalKVPress requires a ScorerPress"
+
+    @staticmethod
+    def vwl1norm(ctx: LayerCtx, values: jax.Array) -> jax.Array:
+        """(B, Hkv, S): group-mean of ||Wo_head · v||_1 (criticalkv:57-76)."""
+        B, Hkv, S, D = values.shape
+        cfg = ctx.cfg
+        Hq = cfg.num_heads
+        G = Hq // Hkv
+        Wo = ctx.layer_params["wo"].reshape(Hq, D, cfg.hidden_size)
+        v = jnp.broadcast_to(values[:, :, None], (B, Hkv, G, S, D)).reshape(B, Hq, S, D)
+        wov = jnp.einsum(
+            "bhsd,hde->bhse", v.astype(jnp.float32), Wo.astype(jnp.float32)
+        )
+        norm = jnp.sum(jnp.abs(wov), axis=-1)            # (B, Hq, S)
+        return norm.reshape(B, Hkv, G, S).mean(axis=2)
+
+    def score(self, ctx, keys, values):
+        scores = self.press.score(ctx, keys, values).astype(jnp.float32)
+        S = keys.shape[2]
+        budget = int((1 - self.compression_ratio) * S * self.first_stage_ratio)
+        if budget > 0:
+            _, top_idx = jax.lax.top_k(scores, budget)
+        projected = self.vwl1norm(ctx, values)
+        scores = (scores + self.epsilon) * projected
+        if budget > 0:
+            scores = jnp.put_along_axis(scores, top_idx, BIG, axis=-1, inplace=False)
+        return scores
+
+
+@dataclasses.dataclass(frozen=True)
+class CriticalAdaKVPress(BasePress):
+    """CriticalKV rescoring + AdaKV head-wise budgets
+    (reference criticalkv_press.py:137-194)."""
+
+    press: ScorerPress = None
+    alpha_safeguard: float = 0.20
+    epsilon: float = 1e-4
+    first_stage_ratio: float = 0.5
+
+    def __post_init__(self):
+        assert isinstance(self.press, ScorerPress)
+        assert 0 <= self.alpha_safeguard <= 1
+
+    @property
+    def compression_ratio(self):
+        return self.press.compression_ratio
+
+    def layer_compress(self, ctx, keys, values, length, mask, state=None):
+        if self.compression_ratio == 0.0:
+            return keys, values, length, mask, state
+        B, H, S, _ = keys.shape
+        scores = self.press.score(ctx, keys, values).astype(jnp.float32)
+        n_kept = int(S * (1 - self.compression_ratio))
+        n_safe = int(n_kept * self.alpha_safeguard)
+        if n_safe > 0:
+            _, safe_idx = jax.lax.top_k(scores, n_safe)
+            scores = jnp.put_along_axis(scores, safe_idx, BIG, axis=-1, inplace=False)
+
+        # Head budgets: count of each head's slots in the global top n_kept*H.
+        flat = scores.reshape(B, H * S)
+        _, top_idx = jax.lax.top_k(flat, n_kept * H)
+        top_mask = jnp.zeros((B, H * S), bool)
+        top_mask = jnp.put_along_axis(top_mask, top_idx, True, axis=-1, inplace=False)
+        head_budgets = jnp.sum(top_mask.reshape(B, H, S), axis=(0, 2))   # (H,)
+
+        # Stage 1: pin per-head top int(budget * first_stage_ratio) by rank.
+        desc = jnp.argsort(-scores, axis=-1)
+        rank = jnp.argsort(desc, axis=-1)                                # (B,H,S)
+        stage1 = (head_budgets.astype(jnp.float32) * self.first_stage_ratio).astype(jnp.int32)
+        scores = jnp.where(rank < stage1[None, :, None], BIG, scores)
+
+        # Stage 2: rescale by ||Wo·v||_1, pin per-head top head_budget.
+        projected = CriticalKVPress.vwl1norm(ctx, values)
+        scores = (scores + self.epsilon) * projected
+        desc = jnp.argsort(-scores, axis=-1)
+        rank = jnp.argsort(desc, axis=-1)
+        scores = jnp.where(rank < head_budgets[None, :, None], BIG, scores)
+
+        # Global bottom-k prune → keep-mask.
+        n_pruned = H * (S - n_kept)
+        flat = scores.reshape(B, H * S)
+        _, pruned_idx = jax.lax.top_k(-flat, n_pruned)
+        keep_flat = jnp.ones((B, H * S), bool)
+        keep_flat = jnp.put_along_axis(keep_flat, pruned_idx, False, axis=-1, inplace=False)
+        new_mask = mask & keep_flat.reshape(B, H, S)
+        return keys, values, length, new_mask, state
+
+
+@dataclasses.dataclass(frozen=True)
+class KeyRerotationPress(BasePress):
+    """Re-rotate kept keys to contiguous RoPE positions
+    (reference key_rerotation_press.py:50-152)."""
+
+    press: ScorerPress = None
+    rerotates: bool = dataclasses.field(default=True, init=False, repr=False)
+
+    def __post_init__(self):
+        assert isinstance(self.press, ScorerPress)
+
+    @property
+    def compression_ratio(self):
+        return self.press.compression_ratio
+
+    def max_kept(self, seq_len: int, cfg) -> int:
+        return self.press.max_kept(seq_len, cfg)
+
+    def exact_kept(self, seq_len: int):
+        return self.press.exact_kept(seq_len)
+
+    @staticmethod
+    def rerotate(keys_kept: jax.Array, idx: jax.Array, inv_freq: jax.Array):
+        """keys_kept: (B,H,n,D) gathered at sorted idx (B,H,n). Rotate by
+        delta = new_pos - old_pos in fp32 (reference :50-98)."""
+        n = idx.shape[-1]
+        new_pos = jnp.arange(n, dtype=jnp.float32)[None, None]
+        delta = new_pos - idx.astype(jnp.float32)           # (B,H,n)
+        freqs = delta[..., None] * inv_freq[None, None, None, :]
+        emb = jnp.concatenate([freqs, freqs], axis=-1)      # (B,H,n,D)
+        cos, sin = jnp.cos(emb), jnp.sin(emb)
+        kf = keys_kept.astype(jnp.float32)
+        return (kf * cos + rotate_half(kf) * sin).astype(keys_kept.dtype)
+
+    def layer_compress(self, ctx, keys, values, length, mask, state=None):
+        if self.compression_ratio == 0.0:
+            return keys, values, length, mask, state
+        S = keys.shape[2]
+        n_kept = self.press.n_kept(S)
+        scores = self.press.score(ctx, keys, values).astype(jnp.float32)
+        _, idx = jax.lax.top_k(scores, n_kept)
+        idx = jnp.sort(idx, axis=-1)
+        kept_k = jnp.take_along_axis(keys, idx[..., None], axis=2)
+        kept_v = jnp.take_along_axis(values, idx[..., None], axis=2)
+        kept_k = self.rerotate(kept_k, idx, ctx.inv_freq)
+        keys = jax.lax.dynamic_update_slice_in_dim(keys, kept_k, 0, axis=2)
+        values = jax.lax.dynamic_update_slice_in_dim(values, kept_v, 0, axis=2)
+        B, H = keys.shape[:2]
+        new_mask = jnp.ones((B, H, S), bool)
+        return keys, values, jnp.asarray(n_kept, jnp.int32), new_mask, state
+
+
+@dataclasses.dataclass(frozen=True)
+class ChunkPress(BasePress):
+    """Score+top-k independently per chunk (reference chunk_press.py:50-87)."""
+
+    press: ScorerPress = None
+    chunk_length: int = 1024
+
+    def __post_init__(self):
+        assert isinstance(self.press, ScorerPress)
+
+    @property
+    def compression_ratio(self):
+        return self.press.compression_ratio
+
+    def _kept_per_chunk(self, S: int) -> list[tuple[int, int, int]]:
+        out = []
+        for start in range(0, S, self.chunk_length):
+            size = min(self.chunk_length, S - start)
+            out.append((start, size, max(1, int(size * (1 - self.compression_ratio)))))
+        return out
+
+    def max_kept(self, seq_len: int, cfg) -> int:
+        return sum(n for _, _, n in self._kept_per_chunk(seq_len))
+
+    def exact_kept(self, seq_len: int):
+        return self.max_kept(seq_len, None)
+
+    def layer_compress(self, ctx, keys, values, length, mask, state=None):
+        if self.compression_ratio == 0.0:
+            return keys, values, length, mask, state
+        S = keys.shape[2]
+        all_idx = []
+        for start, size, n_keep in self._kept_per_chunk(S):
+            sub_ctx = _slice_seq(ctx, start, size)
+            sub_scores = self.press.score(
+                sub_ctx,
+                keys[:, :, start : start + size],
+                values[:, :, start : start + size],
+            ).astype(jnp.float32)
+            _, idx = jax.lax.top_k(sub_scores, n_keep)
+            all_idx.append(start + idx)
+        idx = jnp.concatenate(all_idx, axis=-1)
+        kept_k = jnp.take_along_axis(keys, idx[..., None], axis=2)
+        kept_v = jnp.take_along_axis(values, idx[..., None], axis=2)
+        n = idx.shape[-1]
+        keys = jax.lax.dynamic_update_slice_in_dim(keys, kept_k, 0, axis=2)
+        values = jax.lax.dynamic_update_slice_in_dim(values, kept_v, 0, axis=2)
+        B, H = keys.shape[:2]
+        return (
+            keys, values, jnp.asarray(n, jnp.int32),
+            jnp.ones((B, H, S), bool), state,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class ChunkKVPress(BasePress):
+    """Keep whole top-scoring chunks (reference chunkkv_press.py:51-125).
+    Chunk scores are head-summed global scores averaged within chunks."""
+
+    press: ScorerPress = None
+    chunk_length: int = 20
+
+    def __post_init__(self):
+        assert isinstance(self.press, ScorerPress)
+
+    @property
+    def compression_ratio(self):
+        return self.press.compression_ratio
+
+    def max_kept(self, seq_len: int, cfg) -> int:
+        n_complete = seq_len // self.chunk_length
+        rem = seq_len % self.chunk_length
+        if n_complete == 0:
+            return self.press.max_kept(seq_len, cfg)
+        n_chunks = max(1, int((n_complete + (rem > 0)) * (1 - self.compression_ratio)))
+        return min(seq_len, n_chunks * self.chunk_length)
+
+    def exact_kept(self, seq_len: int):
+        return None  # depends on whether the partial tail chunk is selected
+
+    def layer_compress(self, ctx, keys, values, length, mask, state=None):
+        if self.compression_ratio == 0.0:
+            return keys, values, length, mask, state
+        S = keys.shape[2]
+        cl = self.chunk_length
+        n_complete = S // cl
+        rem = S % cl
+        if n_complete == 0:
+            return self.press.layer_compress(ctx, keys, values, length, mask, state)
+        B, H = keys.shape[:2]
+        global_scores = self.press.score(ctx, keys, values).astype(jnp.float32)
+        main = global_scores[..., : n_complete * cl].sum(axis=1)
+        chunk_scores = main.reshape(B, n_complete, cl).mean(axis=-1)     # (B, nc)
+        if rem > 0:
+            tail = global_scores[..., -rem:].sum(axis=1).mean(axis=-1, keepdims=True)
+            chunk_scores = jnp.concatenate([chunk_scores, tail], axis=-1)
+        n_chunks_total = n_complete + (1 if rem > 0 else 0)
+        n_chunks_kept = max(1, int(n_chunks_total * (1 - self.compression_ratio)))
+        _, top_chunks = jax.lax.top_k(chunk_scores, n_chunks_kept)       # (B, nk)
+
+        # Token keep-mask: chunk membership of each position.
+        pos_chunk = jnp.minimum(jnp.arange(S) // cl, n_chunks_total - 1)  # (S,)
+        keep_b = (pos_chunk[None, :, None] == top_chunks[:, None, :]).any(-1)  # (B,S)
+        keep = jnp.broadcast_to(keep_b[:, None], (B, H, S))
+        k2, v2, n = compact_by_mask(keys, values, keep)
+        return (
+            k2, v2, n, jnp.ones((B, H, S), bool), state,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockPress(BasePress):
+    """Iterative streaming top-k over blocks (reference block_press.py:49-98)."""
+
+    press: ScorerPress = None
+    block_size: int = 128
+
+    def __post_init__(self):
+        assert isinstance(self.press, ScorerPress)
+
+    @property
+    def compression_ratio(self):
+        return self.press.compression_ratio
+
+    def max_kept(self, seq_len: int, cfg) -> int:
+        return self.press.n_kept(seq_len)
+
+    def exact_kept(self, seq_len: int):
+        return self.press.n_kept(seq_len)
+
+    def layer_compress(self, ctx, keys, values, length, mask, state=None):
+        if self.compression_ratio == 0.0:
+            return keys, values, length, mask, state
+        B, H, S, D = keys.shape
+        E = ctx.hidden.shape[-1]
+        block = min(self.block_size, S)
+        n_kept = int(S * (1 - self.compression_ratio))
+        kept_idx = jnp.broadcast_to(jnp.arange(n_kept)[None, None], (B, H, n_kept))
+        # Per-kv-head hidden split, as the reference does (block_press.py:74).
+        states = ctx.hidden.reshape(B, S, H, E // H).transpose(0, 2, 1, 3)
+        for i in range(n_kept, S, block):
+            end = min(i + block, S)
+            cur = jnp.broadcast_to(jnp.arange(i, end)[None, None], (B, H, end - i))
+            cand = jnp.concatenate([kept_idx, cur], axis=-1)            # (B,H,n+b)
+            cand_states = jnp.take_along_axis(states, cand[..., None], axis=2)
+            cand_hidden = cand_states.transpose(0, 2, 1, 3).reshape(B, -1, E)
+            sub_ctx = dataclasses.replace(ctx, hidden=cand_hidden, attn_probs=None)
+            sub_scores = self.press.score(
+                sub_ctx,
+                jnp.take_along_axis(keys, cand[..., None], axis=2),
+                jnp.take_along_axis(values, cand[..., None], axis=2),
+            ).astype(jnp.float32)
+            _, topk_idx = jax.lax.top_k(sub_scores, n_kept)
+            kept_idx = jnp.take_along_axis(cand, topk_idx, axis=-1)
+        kept_k = jnp.take_along_axis(keys, kept_idx[..., None], axis=2)
+        kept_v = jnp.take_along_axis(values, kept_idx[..., None], axis=2)
+        keys = jax.lax.dynamic_update_slice_in_dim(keys, kept_k, 0, axis=2)
+        values = jax.lax.dynamic_update_slice_in_dim(values, kept_v, 0, axis=2)
+        return (
+            keys, values, jnp.asarray(n_kept, jnp.int32),
+            jnp.ones((B, H, S), bool), state,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class ThinKPress(BasePress):
+    """Prune key *channels*, zeroed in place (reference think_press.py:74-98)."""
+
+    key_channel_compression_ratio: float = 0.0
+    window_size: int = 32
+
+    @property
+    def compression_ratio(self):
+        return self.key_channel_compression_ratio / 2
+
+    def exact_kept(self, seq_len: int):
+        return seq_len
+
+    def layer_compress(self, ctx, keys, values, length, mask, state=None):
+        if self.key_channel_compression_ratio == 0.0:
+            return keys, values, length, mask, state
+        B, H, S, D = keys.shape
+        W = min(self.window_size, ctx.queries.shape[2])
+        q_win = ctx.queries[:, :, -W:].astype(jnp.float32)   # post-RoPE, as ref
+        q_norm = jnp.mean(q_win**2, axis=2)                  # (B,Hq,D)
+        G = q_norm.shape[1] // H
+        q_norm = q_norm.reshape(B, H, G, D).mean(axis=2)
+        k_norm = jnp.mean(keys.astype(jnp.float32) ** 2, axis=2)
+        channel_scores = q_norm * k_norm                     # (B,H,D)
+        n_pruned = int(D * self.key_channel_compression_ratio)
+        if n_pruned == 0:
+            return keys, values, length, mask, state
+        _, pruned = jax.lax.top_k(-channel_scores, n_pruned)
+        ch_keep = jnp.ones((B, H, D), bool)
+        ch_keep = jnp.put_along_axis(ch_keep, pruned, False, axis=-1, inplace=False)
+        keys = jnp.where(ch_keep[:, :, None, :], keys, 0)
+        return keys, values, length, mask, state
+
+
+@dataclasses.dataclass(frozen=True)
+class ComposedPress(BasePress):
+    """Chain presses sequentially (reference composed_press.py:56-62).
+    Requires statically-known kept lengths at each stage (all plain
+    ScorerPresses + ThinK qualify; AdaKV/KVzip excluded, as in the
+    reference)."""
+
+    presses: tuple[BasePress, ...] = ()
+
+    def __post_init__(self):
+        assert not any(isinstance(p, (AdaKVPress, CriticalAdaKVPress)) for p in self.presses)
+
+    @property
+    def compression_ratio(self):
+        retained = 1.0
+        for p in self.presses:
+            retained *= 1 - p.compression_ratio
+        return 1 - retained
+
+    def max_kept(self, seq_len: int, cfg) -> int:
+        size = seq_len
+        for p in self.presses:
+            kept = p.exact_kept(size)
+            assert kept is not None, f"{type(p).__name__} not composable"
+            size = kept
+        return size
+
+    def exact_kept(self, seq_len: int):
+        return self.max_kept(seq_len, None)
+
+    def layer_compress(self, ctx, keys, values, length, mask, state=None):
+        S = keys.shape[2]
+        size = S
+        cur_k, cur_v = keys[:, :, :S], values[:, :, :S]
+        B, H = keys.shape[:2]
+        cur_mask = jnp.ones((B, H, size), bool)
+        cur_len = length
+        for p in self.presses:
+            kept = p.exact_kept(size)
+            assert kept is not None, f"{type(p).__name__} not composable"
+            cur_k, cur_v, cur_len, cur_mask, state = p.layer_compress(
+                ctx, cur_k[:, :, :size], cur_v[:, :, :size],
+                cur_len, cur_mask[:, :, :size], state,
+            )
+            size = kept
+            cur_len = jnp.asarray(size, jnp.int32)
+        keys = jax.lax.dynamic_update_slice_in_dim(keys, cur_k[:, :, :size], 0, axis=2)
+        values = jax.lax.dynamic_update_slice_in_dim(values, cur_v[:, :, :size], 0, axis=2)
+        return (
+            keys, values, jnp.asarray(size, jnp.int32),
+            jnp.ones((B, H, S), bool), state,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class PerLayerCompressionPress(BasePress):
+    """Layer-specific compression ratios (reference
+    per_layer_compression_press.py:56-61), realized through the budget
+    mechanism: one top-k to the max budget, per-layer valid length."""
+
+    press: ScorerPress = None
+    compression_ratios: tuple[float, ...] = ()
+
+    def __post_init__(self):
+        assert isinstance(self.press, ScorerPress)
+
+    @property
+    def compression_ratio(self):
+        return sum(self.compression_ratios) / len(self.compression_ratios)
+
+    def _budgets(self, S: int) -> list[int]:
+        return [max(1, int(S * (1 - r))) for r in self.compression_ratios]
+
+    def max_kept(self, seq_len: int, cfg) -> int:
+        return max(self._budgets(seq_len))
+
+    def exact_kept(self, seq_len: int):
+        return None
+
+    def layer_compress(self, ctx, keys, values, length, mask, state=None):
+        S = keys.shape[2]
+        n_top = self.max_kept(S, ctx.cfg)
+        scores = self.press.score(ctx, keys, values).astype(jnp.float32)
+        keys, values, _ = topk_keep(scores, keys, values, n_top)
+        budgets = jnp.asarray(np.asarray(self._budgets(S), np.int32))
+        new_length = budgets[ctx.layer_idx]
+        B, H = keys.shape[:2]
+        return (
+            keys, values, new_length, jnp.ones((B, H, S), bool), state,
+        )

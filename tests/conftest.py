@@ -11,6 +11,9 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# A site config pre-sets jax_platforms to "axon,cpu" (tunneled TPU), which
+# overrides the env var — force CPU explicitly for the test suite.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compile cache: press×shape matrix tests recompile heavily otherwise.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
