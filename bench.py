@@ -2,12 +2,15 @@
 
 Protocol mirrors the reference's speed/memory notebook methodology
 (notebooks/speed_and_memory.ipynb: prefill time, decode time, cache bytes,
-KnormPress across ratios) on a Llama-3.2-1B-class model.
+KnormPress at ratio 0.5) on a Llama-3.2-1B-class model, sized so the KV cache
+dominates HBM traffic (batch 4 × 32K context).
 
-Prints ONE JSON line: decode tok/s with a ratio-0.5-compressed cache, and
-vs_baseline = speedup over the uncompressed-cache decode (reference north
-star: >=1.9x at ratio 0.5, BASELINE.md)."""
+Decode is timed as chained single-token steps (sequential dependency forces
+real execution on the async backend). Prints ONE JSON line; vs_baseline is
+the decode-throughput speedup over the uncompressed cache (reference north
+star: >=1.9x at ratio 0.5 when KV-bound, BASELINE.md)."""
 
+import functools
 import json
 import time
 
@@ -19,8 +22,9 @@ from kvpress_tpu.cache import shrink
 
 from __graft_entry__ import flagship_config
 
-CTX = 8192
-DECODE_STEPS = 64
+BATCH = 4
+CTX = 32768
+DECODE_STEPS = 32
 RATIO = 0.5
 
 
@@ -28,9 +32,9 @@ def main():
     cfg = flagship_config(num_layers=16)
     runner = Runner.create(cfg)
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    ids = jax.random.randint(jax.random.PRNGKey(1), (1, CTX), 0, cfg.vocab_size)
-
-    import functools
+    ids = jax.random.randint(
+        jax.random.PRNGKey(1), (BATCH, CTX), 0, cfg.vocab_size
+    )
 
     @functools.partial(jax.jit, static_argnames=("press",))
     def prefill(params, ids, press=None):
@@ -38,34 +42,29 @@ def main():
         return cache
 
     @jax.jit
-    def decode_n(params, tok, cache):
-        def body(carry, _):
-            tok, cache = carry
-            logits, cache, _ = runner.forward(
-                params, tok, cache, logits_last_only=True
-            )
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return (nxt, cache), nxt[0, 0]
-
-        (tok, cache), toks = jax.lax.scan(body, (tok, cache), None, length=DECODE_STEPS)
-        return toks
+    def step(params, tok, cache):
+        logits, cache, _ = runner.forward(params, tok, cache, logits_last_only=True)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
     def run(press, keep):
         cache = prefill(params, ids, press=press)
         cache = shrink(cache, keep + DECODE_STEPS + 8)
         tok = ids[:, -1:]
-        decode_n(params, tok, cache).block_until_ready()  # compile
+        tok, cache = step(params, tok, cache)          # compile + warm
+        jax.device_get(tok)
         t0 = time.perf_counter()
-        decode_n(params, tok, cache).block_until_ready()
+        for _ in range(DECODE_STEPS):
+            tok, cache = step(params, tok, cache)
+        jax.device_get(tok)                             # chain forces execution
         dt = time.perf_counter() - t0
-        return DECODE_STEPS / dt
+        return BATCH * DECODE_STEPS / dt
 
     press = KnormPress(compression_ratio=RATIO)
     tps_base = run(None, CTX)
     tps_comp = run(press, press.n_kept(CTX))
 
     print(json.dumps({
-        "metric": f"decode_tok_s_1B_{CTX//1024}k_ratio{RATIO}",
+        "metric": f"decode_tok_s_1B_b{BATCH}_{CTX//1024}k_ratio{RATIO}",
         "value": round(tps_comp, 2),
         "unit": "tok/s",
         "vs_baseline": round(tps_comp / tps_base, 3),

@@ -109,6 +109,19 @@ def valid_mask(cache: KVCache) -> jax.Array:
     return m
 
 
+def masked_fraction(cache: KVCache) -> jax.Array:
+    """Fraction of valid slots masked out head-wise — the measured compression
+    ratio of mask-based presses (AdaKV/DMS; reference dms_press.py:122-127)."""
+    L, B, H, S, _ = cache.keys.shape
+    pos = jnp.arange(S, dtype=jnp.int32)
+    valid = pos[None, :] < cache.length[:, None]              # (L, S)
+    valid = jnp.broadcast_to(valid[:, None, None, :], (L, B, H, S))
+    if cache.mask is None:
+        return jnp.asarray(0.0)
+    masked = valid & ~cache.mask
+    return jnp.sum(masked) / jnp.maximum(jnp.sum(valid), 1)
+
+
 def shrink(cache: KVCache, new_size: int) -> KVCache:
     """Host-level re-bucketing: slice buffers down to ``new_size`` slots.
 

@@ -103,14 +103,18 @@ def _project_qkv(layer: dict, cfg: ModelConfig, h: jax.Array):
 
 @dataclasses.dataclass(frozen=True)
 class Runner:
-    """Jit-static bundle: config + host RoPE constants."""
+    """Jit-static bundle: config + host RoPE constants + attention impl."""
     cfg: ModelConfig
     attention_scaling: float
+    # "flash": Pallas kernel for multi-token calls (TPU); "xla": jnp reference.
+    attn_impl: str = "xla"
 
     @staticmethod
-    def create(cfg: ModelConfig) -> "Runner":
+    def create(cfg: ModelConfig, attn_impl: str = "auto") -> "Runner":
         _, scaling = compute_inv_freq(cfg)
-        return Runner(cfg=cfg, attention_scaling=scaling)
+        if attn_impl == "auto":
+            attn_impl = "flash" if jax.default_backend() not in ("cpu",) else "xla"
+        return Runner(cfg=cfg, attention_scaling=scaling, attn_impl=attn_impl)
 
     def inv_freq(self) -> jax.Array:
         inv, _ = compute_inv_freq(self.cfg)
@@ -129,9 +133,13 @@ class Runner:
         sliding_flag: jax.Array,       # () bool
         press: Optional[BasePress],
         press_state,
-        apply_press: bool,
+        phase: str,
     ):
         cfg = self.cfg
+        apply_press = press is not None and (
+            (phase == "prefill" and press.compresses_prefill)
+            or (phase == "decode" and press.compresses_decode)
+        )
         B, T, E = x.shape
         h = rms_norm(x, layer["ln1"], cfg.rms_norm_eps, cfg.rms_one_offset)
         q_pre, k_pre, v = _project_qkv(layer, cfg, h)
@@ -151,26 +159,46 @@ class Runner:
         use_sliding = window is not None
         return_probs = press is not None and press.needs_attn_probs and apply_press
 
-        bias = attention_bias(
-            prior_len,
-            T,
-            keys.shape[2],
-            sliding_window=None,
-            head_mask=mask,
-        )
-        if use_sliding:
-            sl_bias = attention_bias(
-                prior_len, T, keys.shape[2], sliding_window=window, head_mask=mask
+        use_flash = self.attn_impl == "flash" and not return_probs and T > 1
+        if use_flash:
+            from ..ops.flash import flash_attention
+
+            def _flash(win):
+                return flash_attention(
+                    q, keys, values, prior_len, mask,
+                    sm_scale=scale, softcap=cfg.logit_softcap, window=win,
+                )
+
+            if use_sliding:
+                attn_out = jax.lax.cond(
+                    sliding_flag,
+                    lambda: _flash(window),
+                    lambda: _flash(None),
+                )
+            else:
+                attn_out = _flash(None)
+            probs = None
+        else:
+            bias = attention_bias(
+                prior_len,
+                T,
+                keys.shape[2],
+                sliding_window=None,
+                head_mask=mask,
             )
-            bias = jnp.where(sliding_flag, sl_bias, bias)
-        attn_out, probs = gqa_attention(
-            q, keys, values, bias, scale,
-            softcap=cfg.logit_softcap, return_probs=return_probs,
-        )
+            if use_sliding:
+                sl_bias = attention_bias(
+                    prior_len, T, keys.shape[2], sliding_window=window, head_mask=mask
+                )
+                bias = jnp.where(sliding_flag, sl_bias, bias)
+            attn_out, probs = gqa_attention(
+                q, keys, values, bias, scale,
+                softcap=cfg.logit_softcap, return_probs=return_probs,
+            )
 
         new_mask = mask
         new_state = press_state
-        if press is not None and apply_press:
+        if apply_press:
             ctx = LayerCtx(
                 layer_idx=layer_idx,
                 hidden=h,
@@ -184,15 +212,22 @@ class Runner:
                 cfg=cfg,
                 attention_scaling=self.attention_scaling,
             )
-            # Prefill into an empty cache: compress over the first T slots.
-            ck, cv = keys[:, :, :T], values[:, :, :T]
-            cm = mask[:, :, :T]
-            nk, nv, nlen, nmask, new_state = press.layer_compress(
-                ctx, ck, cv, new_len, cm, press_state
-            )
-            keys = jax.lax.dynamic_update_slice_in_dim(keys, nk, 0, axis=2)
-            values = jax.lax.dynamic_update_slice_in_dim(values, nv, 0, axis=2)
-            new_mask = jax.lax.dynamic_update_slice_in_dim(mask, nmask, 0, axis=2)
+            if phase == "prefill":
+                # Prefill into an empty cache: compress over the first T slots.
+                ck, cv = keys[:, :, :T], values[:, :, :T]
+                cm = mask[:, :, :T]
+                nk, nv, nlen, nmask, new_state = press.layer_compress(
+                    ctx, ck, cv, new_len, cm, press_state
+                )
+                keys = jax.lax.dynamic_update_slice_in_dim(keys, nk, 0, axis=2)
+                values = jax.lax.dynamic_update_slice_in_dim(values, nv, 0, axis=2)
+                new_mask = jax.lax.dynamic_update_slice_in_dim(mask, nmask, 0, axis=2)
+            else:
+                # Decode-time: press sees the full padded buffers + traced
+                # length (reference DecodingPress hook, decoding_press.py:113-179).
+                keys, values, nlen, new_mask, new_state = press.decode_compress(
+                    ctx, keys, values, new_len, mask, press_state
+                )
             # Sliding-window (local) layers are never compressed
             # (reference base_press.py:195-200 skips them).
             if cfg.sliding_window is not None:
@@ -224,7 +259,7 @@ class Runner:
         cache: KVCache,
         press: Optional[BasePress] = None,
         press_state=None,
-        apply_press: bool = False,
+        phase: str = "none",
         compute_logits: bool = True,
         logits_last_only: bool = False,
     ):
@@ -258,7 +293,7 @@ class Runner:
             cache_layer = dict(keys=ck, values=cv, length=clen, mask=cmask)
             xh, ncl, nstate = self._layer_step(
                 xh, layer, cache_layer, positions, inv_freq, lid, sflag,
-                press, pstate, apply_press,
+                press, pstate, phase,
             )
             return xh, (ncl["keys"], ncl["values"], ncl["length"], ncl["mask"], nstate)
 
@@ -295,9 +330,12 @@ class Runner:
         B, S = ids.shape
         max_size = max_size or S
         cache = init_cache(self.cfg, B, max_size, dtype=dtype, quantized=quantized)
-        state = press.init_state(self.cfg, B, S) if press is not None else None
+        state = (
+            press.init_state(self.cfg, B, S, dtype=dtype)
+            if press is not None else None
+        )
         return self.forward(
             params, ids, cache, press=press, press_state=state,
-            apply_press=press is not None, compute_logits=compute_logits,
+            phase="prefill", compute_logits=compute_logits,
             logits_last_only=True,
         )

@@ -32,7 +32,7 @@ def _kernel(
     q_ref,                     # (1, 1, bq, D)
     k_ref,                     # (1, 1, bk, D)
     v_ref,                     # (1, 1, bk, D)
-    mask_ref,                  # (1, 1, bk) bool or None
+    mask_ref,                  # (1, 1, 1, bk) bool
     o_ref,                     # (1, 1, bq, D)
     m_scr,                     # (bq, LANES) f32
     l_scr,                     # (bq, LANES) f32
@@ -85,7 +85,7 @@ def _kernel(
         if window is not None:
             allowed = jnp.logical_and(allowed, k_slot > q_slot - window)
         if has_mask:
-            allowed = jnp.logical_and(allowed, mask_ref[0, 0][None, :])
+            allowed = jnp.logical_and(allowed, mask_ref[0, 0, 0][None, :])
         s = jnp.where(allowed, s, NEG_INF)
 
         m_prev = m_scr[...]                                   # (bq, LANES)
@@ -152,7 +152,7 @@ def flash_attention(
         head_mask = jnp.ones((B, Hkv, S), bool)
     maskp = jnp.pad(
         head_mask, ((0, 0), (0, 0), (0, Sp - S)), constant_values=True
-    )
+    )[:, :, None, :]                      # (B, Hkv, 1, Sp): legal (1, bk) tiles
 
     grid = (B, Hq, Tp // bq, n_k)
 
@@ -163,7 +163,7 @@ def flash_attention(
         return (b, h // G, ki, 0)
 
     def mask_map(b, h, qi, ki, prior):
-        return (b, h // G, ki)
+        return (b, h // G, 0, ki)
 
     kernel = functools.partial(
         _kernel,
@@ -184,7 +184,7 @@ def flash_attention(
                 pl.BlockSpec((1, 1, bq, Dp), q_map),
                 pl.BlockSpec((1, 1, bk, Dp), kv_map),
                 pl.BlockSpec((1, 1, bk, Dp), kv_map),
-                pl.BlockSpec((1, 1, bk), mask_map),
+                pl.BlockSpec((1, 1, 1, bk), mask_map),
             ],
             out_specs=pl.BlockSpec((1, 1, bq, Dp), q_map),
             scratch_shapes=[

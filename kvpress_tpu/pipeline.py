@@ -28,23 +28,28 @@ from .presses.base import BasePress
 logger = logging.getLogger(__name__)
 
 
-@partial(jax.jit, static_argnames=("runner", "max_new_tokens", "eos_ids"))
+@partial(jax.jit, static_argnames=("runner", "max_new_tokens", "eos_ids", "press"))
 def _generate_answer(
     params,
     question_ids: jax.Array,          # (1, Tq); Tq may be 0
     cache: KVCache,
     prefill_logits,
+    press_state=None,
     *,
     runner: Runner,
     max_new_tokens: int,
     eos_ids: tuple[int, ...],
+    press=None,
 ):
-    """Question forward + greedy while_loop decode. Returns (tokens (max_new,),
-    n_generated, final cache). An empty question (shape (1, 0)) starts greedy
-    decoding straight from the prefill's last-position logits."""
+    """Question forward + greedy while_loop decode, with optional decode-time
+    compression (press.compresses_decode) threaded through the loop. Returns
+    (tokens (max_new,), n_generated, final cache). An empty question (shape
+    (1, 0)) starts greedy decoding straight from the prefill's logits."""
+    decode_press = press if (press is not None and press.compresses_decode) else None
     if question_ids.shape[1] > 0:
-        logits, cache, _ = runner.forward(
-            params, question_ids, cache, logits_last_only=True
+        logits, cache, press_state = runner.forward(
+            params, question_ids, cache, logits_last_only=True,
+            press=decode_press, press_state=press_state, phase="decode",
         )
     else:
         logits = prefill_logits
@@ -53,19 +58,22 @@ def _generate_answer(
     out = jnp.zeros((max_new_tokens,), jnp.int32).at[0].set(first)
 
     def cond(state):
-        i, tok, _, _ = state
+        i, tok, _, _, _ = state
         return (i < max_new_tokens) & ~jnp.isin(tok, eos)
 
     def body(state):
-        i, tok, cache, out = state
-        logits, cache, _ = runner.forward(
-            params, tok[None, None], cache, logits_last_only=True
+        i, tok, cache, out, pstate = state
+        logits, cache, pstate = runner.forward(
+            params, tok[None, None], cache, logits_last_only=True,
+            press=decode_press, press_state=pstate, phase="decode",
         )
         nxt = jnp.argmax(logits[0, -1]).astype(jnp.int32)
         out = out.at[i].set(nxt)
-        return i + 1, nxt, cache, out
+        return i + 1, nxt, cache, out, pstate
 
-    n, _, cache, out = jax.lax.while_loop(cond, body, (1, first, cache, out))
+    n, _, cache, out, _ = jax.lax.while_loop(
+        cond, body, (1, first, cache, out, press_state)
+    )
     return out, n, cache
 
 
@@ -157,14 +165,38 @@ class KVPressPipeline:
         )
         single = questions is None
         questions = questions or ([question] if question else [""])
+        if press is not None and press.compresses_decode and len(questions) > 1:
+            raise ValueError(
+                "DecodingPress is not compatible with multiple questions. "
+                "Please specify a single question."
+            )
 
         context_ids, question_ids = self.preprocess(
             context, questions, answer_prefix, max_context_length, enable_thinking
         )
+
+        # FinchPress: locate the delimiter host-side, strip it, and bake the
+        # dynamic window size into the press (reference does this inside an
+        # embedding forward hook, finch_press.py:123-137).
+        if (
+            press is not None
+            and hasattr(press, "with_window")
+            and getattr(press, "delimiter_token_id", None) is not None
+        ):
+            did = press.delimiter_token_id
+            assert context_ids.count(did) == 1, (
+                "Exactly one delimiter token should be present."
+            )
+            pos = context_ids.index(did)
+            window = len(context_ids) - 1 - pos
+            assert window > 0, "No window detected (window size must be > 0)."
+            context_ids = context_ids[:pos] + context_ids[pos + 1 :]
+            press = press.with_window(window)
+
         context_length = len(context_ids)
         ids = jnp.asarray(np.asarray(context_ids, np.int32))[None]
 
-        prefill_logits, cache, _ = _prefill(
+        prefill_logits, cache, press_state = _prefill(
             self.params, ids, runner=self.runner, press=press
         )
         logger.debug("Context Length: %d", context_length)
@@ -191,9 +223,9 @@ class KVPressPipeline:
         for q_ids in question_ids:
             q = jnp.asarray(np.asarray(q_ids, np.int32))[None]
             tokens, n, _ = _generate_answer(
-                self.params, q, cache, prefill_logits,
+                self.params, q, cache, prefill_logits, press_state,
                 runner=self.runner, max_new_tokens=max_new_tokens,
-                eos_ids=self._eos(),
+                eos_ids=self._eos(), press=press,
             )
             tokens = np.asarray(tokens)[: int(n)]
             # Strip eos for decoding (skip_special_tokens equivalent).

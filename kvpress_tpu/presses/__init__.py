@@ -12,6 +12,13 @@ from .snapkv import (
     SnapKVPress,
     TOVAPress,
 )
+from .decoding import (
+    CompressionRatioDecodingPress,
+    DecodingPress,
+    PrefillDecodingPress,
+)
+from .dms import DMSPress
+from .finch import FinchPress
 from .streaming_llm import StreamingLLMPress
 from .wrappers import (
     AdaKVPress,
@@ -27,6 +34,11 @@ from .wrappers import (
 )
 
 __all__ = [
+    "DMSPress",
+    "FinchPress",
+    "CompressionRatioDecodingPress",
+    "DecodingPress",
+    "PrefillDecodingPress",
     "AdaKVPress",
     "BlockPress",
     "ChunkKVPress",

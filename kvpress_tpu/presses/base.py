@@ -50,6 +50,7 @@ class LayerCtx:
     cfg: ModelConfig = dataclasses.field(metadata=dict(static=True), default=None)
     attention_scaling: float = dataclasses.field(metadata=dict(static=True), default=1.0)
     window_size: Optional[jax.Array] = None  # dynamic observation window (Finch)
+    kv_len: Optional[jax.Array] = None       # traced valid cache length (decode)
 
     @property
     def seq_len(self) -> int:
@@ -64,13 +65,24 @@ class LayerCtx:
 class BasePress:
     """No-op base. Frozen → hashable → safe as a static jit argument."""
 
-    # Static trace-time signals for the runner:
-    needs_attn_probs: bool = dataclasses.field(default=False, init=False, repr=False)
+    # Static trace-time signals for the runner (plain class attributes, not
+    # dataclass fields, so subclasses override freely):
+    needs_attn_probs = False
+    # Which phases this press compresses in (reference is_prefilling routing,
+    # base_press.py:37-40 / decoding_press.py:129-131).
+    compresses_prefill = True
+    compresses_decode = False
 
-    def init_state(self, cfg: ModelConfig, batch: int, seq_len: int):
+    def init_state(self, cfg: ModelConfig, batch: int, seq_len: int,
+                   dtype=None):
         """Per-layer press state pytree, stacked over layers (leading dim L),
         threaded through the layer scan. None if stateless."""
         return None
+
+    def decode_compress(self, ctx: LayerCtx, keys, values, length, mask, state=None):
+        """Compression inside the decode loop (full padded buffers + traced
+        length). Default: no-op."""
+        return keys, values, length, mask, state
 
     def max_kept(self, seq_len: int, cfg: ModelConfig) -> int:
         """Static upper bound on kept entries per layer after compression —

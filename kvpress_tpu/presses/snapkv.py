@@ -69,6 +69,26 @@ class SnapKVPress(ScorerPress):
         window_region = jnp.arange(S)[None, None] >= S - W
         return jnp.where(window_region, maxv, scores)
 
+    def dynamic_score(self, ctx: LayerCtx, keys, values, length):
+        """Decode-time variant: the observation window is the last W *cache*
+        slots before the traced ``length``; queries are re-projected from the
+        press's hidden-state ring buffer (reference DecodingPress passes the
+        buffered hidden states to SnapKV.score the same way)."""
+        from .decoding import _buffer_queries
+
+        B, Hkv, S, _ = keys.shape
+        W = min(self.window_size, ctx.hidden.shape[1])
+        q_win = _buffer_queries(ctx, ctx.hidden[:, -W:], ctx.positions[:, -W:])
+        prior = length - W
+        attn = window_attention_probs(q_win, keys, ctx.scale, prior)
+        scores = attn.mean(axis=-2)                       # (B, Hq, S)
+        scores = avg_pool_1d(scores, self.kernel_size)
+        scores = group_mean(scores, Hkv)
+        maxv = jnp.max(scores) + 1.0
+        pos = jnp.arange(S)[None, None]
+        window_region = (pos >= length - W) & (pos < length)
+        return jnp.where(window_region, maxv, scores)
+
 
 @dataclasses.dataclass(frozen=True)
 class TOVAPress(ScorerPress):
@@ -97,7 +117,7 @@ class ObservedAttentionPress(ScorerPress):
     number of queries that could see each key (observed_attention_press.py:34-49).
     Requires the probs-returning (eager-equivalent) attention path."""
 
-    needs_attn_probs: bool = dataclasses.field(default=True, init=False, repr=False)
+    needs_attn_probs = True
 
     def score(self, ctx: LayerCtx, keys, values):
         assert ctx.attn_probs is not None, "runner must supply attention probs"

@@ -24,3 +24,11 @@ class StreamingLLMPress(ScorerPress):
         # Tie-break by recency among kept so ordering is deterministic.
         s = jnp.where(keep, 1.0, 0.0) + pos.astype(jnp.float32) * 1e-9
         return jnp.broadcast_to(s[None, None], (B, H, S))
+
+    def dynamic_score(self, ctx: LayerCtx, keys, values, length):
+        """Decode-time variant against a traced valid length: sinks pinned,
+        then recency order — top-k keeps sink + most recent."""
+        B, H, S, _ = keys.shape
+        pos = jnp.arange(S, dtype=jnp.float32)
+        s = jnp.where(pos < self.n_sink, 2.0 * S, pos)
+        return jnp.broadcast_to(s[None, None], (B, H, S))

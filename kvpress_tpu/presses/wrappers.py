@@ -224,7 +224,7 @@ class KeyRerotationPress(BasePress):
     (reference key_rerotation_press.py:50-152)."""
 
     press: ScorerPress = None
-    rerotates: bool = dataclasses.field(default=True, init=False, repr=False)
+    rerotates = True
 
     def __post_init__(self):
         assert isinstance(self.press, ScorerPress)
