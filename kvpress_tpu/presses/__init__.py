@@ -17,8 +17,14 @@ from .decoding import (
     DecodingPress,
     PrefillDecodingPress,
 )
+from .cam import CAMPress
+from .cap import CapPress
+from .compactor import CompactorPress, LeverageScorePress, NonCausalAttnPress
 from .dms import DMSPress
 from .finch import FinchPress
+from .lukv import LUKVPress, load_budget_curve
+from .merging import MergingPress
+from .simlayerkv import SimLayerKVPress
 from .streaming_llm import StreamingLLMPress
 from .wrappers import (
     AdaKVPress,
@@ -34,6 +40,15 @@ from .wrappers import (
 )
 
 __all__ = [
+    "CAMPress",
+    "CapPress",
+    "CompactorPress",
+    "LeverageScorePress",
+    "NonCausalAttnPress",
+    "LUKVPress",
+    "load_budget_curve",
+    "MergingPress",
+    "SimLayerKVPress",
     "DMSPress",
     "FinchPress",
     "CompressionRatioDecodingPress",

@@ -1,0 +1,66 @@
+"""CapPress — CAPKV scoring (reference cap_press.py, arXiv:2604.25975):
+query anchor = mean of avg-RoPE-rotated pre-RoPE queries; alignment weights
+w_i = exp(tau·cos(k_i, mu_q)); score = w_i · leverage of value vectors
+against the capacity matrix I + Σ w_i v_i v_iᵀ via linear solve."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..rope import mean_rotation_matrix
+from .base import LayerCtx, ScorerPress
+from .keydiff import _l2_normalize
+
+
+@dataclasses.dataclass(frozen=True)
+class CapPress(ScorerPress):
+    tau: float = 5.0
+    n_future_positions: int = 512
+    n_sink: int = 4
+    epsilon: float = 1e-6
+
+    def score(self, ctx: LayerCtx, keys, values):
+        B, Hkv, S, D = keys.shape
+        assert S > self.n_sink
+        k = keys[:, :, self.n_sink :].astype(jnp.float32)
+        v = values[:, :, self.n_sink :].astype(jnp.float32)
+        Sp = S - self.n_sink
+        Hq = ctx.queries.shape[1]
+        G = Hq // Hkv
+
+        # Query anchor: mean of avg-future-RoPE-rotated pre-RoPE queries.
+        q_pre = ctx.queries_prerope[:, :, self.n_sink :].astype(jnp.float32)
+        R = mean_rotation_matrix(
+            ctx.inv_freq, jnp.asarray(ctx.seq_len, jnp.float32),
+            self.n_future_positions,
+        ) * ctx.attention_scaling
+        q_rot = q_pre @ R.T                                   # (B, Hq, S', D)
+        anchor = q_rot.mean(axis=2)                           # (B, Hq, D)
+
+        k_rep = jnp.broadcast_to(k[:, :, None], (B, Hkv, G, Sp, D)).reshape(B, Hq, Sp, D)
+        v_rep = jnp.broadcast_to(v[:, :, None], (B, Hkv, G, Sp, D)).reshape(B, Hq, Sp, D)
+
+        stat = jnp.einsum(
+            "bhd,bhtd->bht", _l2_normalize(anchor), _l2_normalize(k_rep)
+        )
+        stat = jnp.clip(stat, -1.0, 1.0)
+        logits = self.tau * stat
+        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+        weights = jnp.exp(logits)                             # (B, Hq, S')
+
+        sqrt_w = jnp.sqrt(weights + self.epsilon)[..., None]
+        scaled = v_rep * sqrt_w
+        eye = jnp.eye(D, dtype=jnp.float32)[None, None]
+        cap = eye + jnp.einsum("bhtd,bhte->bhde", scaled, scaled)
+        vt = jnp.swapaxes(v_rep, 2, 3)                        # (B, Hq, D, S')
+        sol = jnp.linalg.solve(cap, vt)
+        leverage = jnp.sum(vt * sol, axis=2)                  # (B, Hq, S')
+        scores = weights * leverage
+        scores = scores.reshape(B, Hkv, G, Sp).mean(axis=2)
+        maxv = jnp.max(scores) + 1.0
+        scores = jnp.pad(scores, ((0, 0), (0, 0), (self.n_sink, 0)))
+        sink = jnp.arange(S)[None, None] < self.n_sink
+        return jnp.where(sink, maxv, scores)

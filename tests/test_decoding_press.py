@@ -110,3 +110,29 @@ def test_streaming_llm_decoding_keeps_sink_and_recent(pipe):
     got = _final_lengths(pipe, press, max_new=16)
     for l in got["len"]:
         assert 16 <= l <= 16 + 4 + 2, l
+
+
+def test_cam_press_compresses_to_target(pipe):
+    from kvpress_tpu.presses import CAMPress
+
+    press = CAMPress(
+        base_press=KnormPress(), compression_interval=4, target_size=20,
+        hidden_states_buffer_size=8, merge_budget=4,
+    )
+    got = _final_lengths(pipe, press, max_new=24)
+    assert got["n"] >= 8
+    for l in got["len"]:
+        assert 20 <= l <= 20 + 4 + 2, l
+
+
+def test_cam_merge_preserves_norm_scale(pipe):
+    """CAM must not blow up value magnitudes: decode runs to completion and
+    produces finite logits (merge weights are clipped to [0,1])."""
+    from kvpress_tpu.presses import CAMPress
+
+    press = CAMPress(
+        base_press=KnormPress(), compression_interval=3, target_size=16,
+        hidden_states_buffer_size=4, merge_budget=2,
+    )
+    out = pipe(CONTEXT, question="what ?", press=press, max_new_tokens=20)
+    assert isinstance(out["answer"], str) and len(out["answer"]) > 0
