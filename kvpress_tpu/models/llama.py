@@ -149,9 +149,34 @@ class Runner:
         k = apply_rope(k_pre, cos, sin)
 
         prior_len = cache_layer["length"]
-        keys, values, new_len = append_layer_kv(
-            cache_layer["keys"], cache_layer["values"], prior_len, k, v
-        )
+        quantized = cache_layer.get("key_scales") is not None
+        if quantized:
+            # int8 storage: quantize the new K/V, store payload+scales, and
+            # dequantize the whole buffer for attention/compression
+            # (reference QuantizedCache interplay, base_press.py:152-157).
+            from ..cache import quantize_kv
+
+            qk, k_scale = quantize_kv(k)
+            qv, v_scale = quantize_kv(v)
+            qkeys = jax.lax.dynamic_update_slice_in_dim(
+                cache_layer["keys"], qk, prior_len, axis=2
+            )
+            qvalues = jax.lax.dynamic_update_slice_in_dim(
+                cache_layer["values"], qv, prior_len, axis=2
+            )
+            key_scales = jax.lax.dynamic_update_slice_in_dim(
+                cache_layer["key_scales"], k_scale, prior_len, axis=2
+            )
+            value_scales = jax.lax.dynamic_update_slice_in_dim(
+                cache_layer["value_scales"], v_scale, prior_len, axis=2
+            )
+            new_len = prior_len + T
+            keys = (qkeys.astype(jnp.float32) * key_scales).astype(x.dtype)
+            values = (qvalues.astype(jnp.float32) * value_scales).astype(x.dtype)
+        else:
+            keys, values, new_len = append_layer_kv(
+                cache_layer["keys"], cache_layer["values"], prior_len, k, v
+            )
         mask = cache_layer["mask"]                     # (B, Hkv, S_buf)
 
         scale = cfg.head_dim ** -0.5
@@ -235,6 +260,21 @@ class Runner:
                 new_mask = jnp.where(sliding_flag, mask, new_mask)
             new_len = nlen
 
+        if quantized:
+            if apply_press:
+                # Press moved/merged entries: requantize the buffers.
+                qkeys2, key_scales = quantize_kv(keys)
+                qvalues2, value_scales = quantize_kv(values)
+                out_keys, out_values = qkeys2, qvalues2
+            else:
+                # No press: keep the exact payloads written at append time
+                # (avoids int8→f32→int8 drift during plain decode).
+                out_keys, out_values = qkeys, qvalues
+            out_scales = dict(key_scales=key_scales, value_scales=value_scales)
+        else:
+            out_keys, out_values = keys, values
+            out_scales = dict(key_scales=None, value_scales=None)
+
         o = attn_out.transpose(0, 2, 1, 3).reshape(B, T, -1) @ layer["wo"]
         if cfg.post_norms:
             o = rms_norm(o, layer["ln1_post"], cfg.rms_norm_eps, cfg.rms_one_offset)
@@ -247,7 +287,10 @@ class Runner:
             mlp = rms_norm(mlp, layer["ln2_post"], cfg.rms_norm_eps, cfg.rms_one_offset)
         x = x + mlp
 
-        new_cache_layer = dict(keys=keys, values=values, length=new_len, mask=new_mask)
+        new_cache_layer = dict(
+            keys=out_keys, values=out_values, length=new_len, mask=new_mask,
+            **out_scales,
+        )
         return x, new_cache_layer, new_state
 
     # ------------------------------------------------------------------ #
@@ -289,23 +332,33 @@ class Runner:
 
         def body(carry, xs):
             xh = carry
-            layer, ck, cv, clen, cmask, lid, sflag, pstate = xs
-            cache_layer = dict(keys=ck, values=cv, length=clen, mask=cmask)
+            layer, ck, cv, clen, cmask, cks, cvs, lid, sflag, pstate = xs
+            cache_layer = dict(
+                keys=ck, values=cv, length=clen, mask=cmask,
+                key_scales=cks, value_scales=cvs,
+            )
             xh, ncl, nstate = self._layer_step(
                 xh, layer, cache_layer, positions, inv_freq, lid, sflag,
                 press, pstate, phase,
             )
-            return xh, (ncl["keys"], ncl["values"], ncl["length"], ncl["mask"], nstate)
+            return xh, (
+                ncl["keys"], ncl["values"], ncl["length"], ncl["mask"],
+                ncl["key_scales"], ncl["value_scales"], nstate,
+            )
 
         xs = (
             params["layers"], cache.keys, cache.values, cache.length, mask,
+            cache.key_scales, cache.value_scales,
             layer_ids, sliding, press_state,
         )
-        x, (nkeys, nvalues, nlens, nmasks, nstate) = jax.lax.scan(body, x, xs)
+        x, (nkeys, nvalues, nlens, nmasks, nks, nvs, nstate) = jax.lax.scan(
+            body, x, xs
+        )
 
         new_cache = dataclasses.replace(
             cache,
             keys=nkeys, values=nvalues, length=nlens, mask=nmasks,
+            key_scales=nks, value_scales=nvs,
             offset=cache.offset + T,
         )
 

@@ -22,6 +22,7 @@ from .cap import CapPress
 from .compactor import CompactorPress, LeverageScorePress, NonCausalAttnPress
 from .dms import DMSPress
 from .finch import FinchPress
+from .kvzap import KVzapPress, load_kvzap_model, save_kvzap_model
 from .lukv import LUKVPress, load_budget_curve
 from .merging import MergingPress
 from .simlayerkv import SimLayerKVPress
@@ -45,6 +46,9 @@ __all__ = [
     "CompactorPress",
     "LeverageScorePress",
     "NonCausalAttnPress",
+    "KVzapPress",
+    "load_kvzap_model",
+    "save_kvzap_model",
     "LUKVPress",
     "load_budget_curve",
     "MergingPress",

@@ -27,6 +27,11 @@ def load_reference():
 
     _shim("cachetools", LRUCache=_LRUCache, cached=_cached)
     _shim("fire", Fire=lambda *a, **k: None)
+    # kvzap/data.py imports FP8Linear, whose module needs triton (absent here);
+    # FP8 paths are never exercised on the tiny test models.
+    class _FP8Linear:
+        pass
+    _shim("transformers.integrations.finegrained_fp8", FP8Linear=_FP8Linear)
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
     import kvpress  # noqa: F401

@@ -1,0 +1,60 @@
+"""Int8 quantized KV cache: storage dtype, dequant accuracy, press interplay
+(the reference's QuantizedCache × press matrix, tests/test_pipeline.py:109-126)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kvpress_tpu import KnormPress, Runner, init_params, tiny_config
+from kvpress_tpu.cache import quantize_kv
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    return cfg, params, Runner.create(cfg)
+
+
+def test_quantize_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 16, 32))
+    q, s = quantize_kv(x)
+    assert q.dtype == jnp.int8
+    err = jnp.max(jnp.abs(q.astype(jnp.float32) * s - x))
+    assert float(err) < float(jnp.max(jnp.abs(x))) / 100
+
+
+def test_quantized_prefill_matches_fp(tiny):
+    cfg, params, runner = tiny
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 48), 0, cfg.vocab_size)
+    lg_fp, c_fp, _ = runner.prefill(
+        params, ids, dtype=jnp.float32, compute_logits=True
+    )
+    lg_q, c_q, _ = runner.prefill(
+        params, ids, dtype=jnp.float32, compute_logits=True, quantized=True
+    )
+    assert c_q.keys.dtype == jnp.int8
+    assert c_q.is_quantized
+    # logits close (int8 cache noise only)
+    diff = np.abs(np.asarray(lg_fp) - np.asarray(lg_q)).max()
+    ref_scale = np.abs(np.asarray(lg_fp)).max()
+    assert diff < 0.1 * ref_scale, (diff, ref_scale)
+
+
+def test_quantized_press_and_decode(tiny):
+    cfg, params, runner = tiny
+    ids = jax.random.randint(jax.random.PRNGKey(2), (1, 40), 0, cfg.vocab_size)
+    press = KnormPress(compression_ratio=0.5)
+    _, cache, _ = runner.prefill(
+        params, ids, press=press, max_size=56, dtype=jnp.float32, quantized=True
+    )
+    assert all(int(l) == 20 for l in cache.length)
+    # decode a few tokens against the quantized compressed cache
+    tok = ids[:, -1:]
+    for _ in range(4):
+        logits, cache, _ = runner.forward(params, tok, cache, logits_last_only=True)
+        tok = jnp.argmax(logits, axis=-1)
+        assert np.isfinite(np.asarray(logits)).all()
+    assert int(cache.length[0]) == 24
+    assert cache.keys.dtype == jnp.int8
