@@ -1,0 +1,295 @@
+"""Evaluation CLI (reference evaluation/evaluate.py).
+
+Usage:
+    python evaluate.py --dataset ruler --data_dir 4096 --model <hf-path> \
+        --press_name snapkv --compression_ratio 0.5
+
+Config resolution: dataclass defaults ← --config YAML ← CLI flags
+(reference :538-568). Results land in
+``<output_dir>/<dataset>__<data_dir>__<model>__<press>__<ratio>[__N]/`` with
+``predictions.csv``, ``metrics.json`` and ``config.yaml``; runs are skipped if
+both result files already exist (reference :498-524).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import sys
+from pathlib import Path
+from typing import Optional
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import numpy as np
+import pandas as pd
+
+logger = logging.getLogger("kvpress_tpu.evaluate")
+
+
+@dataclasses.dataclass
+class EvaluationConfig:
+    dataset: str = "ruler"
+    data_dir: Optional[str] = None
+    model: str = "meta-llama/Llama-3.1-8B-Instruct"
+    device: Optional[str] = None
+    press_name: str = "knorm"
+    compression_ratio: float = 0.1
+    key_channel_compression_ratio: Optional[float] = None
+    threshold: Optional[float] = None            # DMS presses
+    compression_interval: Optional[int] = None   # decoding presses
+    target_size: Optional[int] = None
+    fraction: float = 1.0
+    max_new_tokens: Optional[int] = None
+    max_context_length: Optional[int] = None
+    needle_depth: int = 50
+    query_aware: bool = False
+    seed: int = 42
+    output_dir: str = "./results"
+    press_artifact: Optional[str] = None         # qfilter/kvzap/lukv artifact
+    log_level: str = "INFO"
+
+    def results_dir(self) -> Path:
+        parts = [
+            self.dataset,
+            self.data_dir or "",
+            self.model.split("/")[-1],
+            self.press_name,
+            f"{self.compression_ratio:.2f}"
+            if self.threshold is None else f"t{self.threshold}",
+        ]
+        base = Path(self.output_dir) / "__".join(p for p in parts if p)
+        candidate, n = base, 1
+        while (candidate / "config.yaml").exists():
+            existing = (candidate / "config.yaml").read_text()
+            if existing == self.to_yaml():
+                return candidate
+            candidate = Path(f"{base}__{n}")
+            n += 1
+        return candidate
+
+    def to_yaml(self) -> str:
+        import yaml
+
+        return yaml.safe_dump(dataclasses.asdict(self), sort_keys=True)
+
+
+def configure_press(config: EvaluationConfig):
+    """Registry lookup + parameter dispatch (reference :255-316). Frozen
+    presses are rebuilt with dataclasses.replace instead of mutated."""
+    from registry import PRESS_REGISTRY
+    from kvpress_tpu.presses import (
+        CAMPress, DecodingPress, DMSPress, KVzapPress, LUKVPress,
+        QFilterPress, ScorerPress, ThinKPress,
+    )
+    from kvpress_tpu.presses.wrappers import WrappedScorerMixin
+
+    press = PRESS_REGISTRY[config.press_name]
+    if press is None:
+        return None
+
+    def set_ratio(p, ratio):
+        if isinstance(p, ThinKPress):
+            return dataclasses.replace(
+                p,
+                key_channel_compression_ratio=(
+                    config.key_channel_compression_ratio or ratio
+                ),
+            )
+        if isinstance(p, ScorerPress) or hasattr(p, "compression_ratio"):
+            try:
+                return dataclasses.replace(p, compression_ratio=ratio)
+            except (TypeError, ValueError):
+                pass
+        if hasattr(p, "press") and p.press is not None:
+            return dataclasses.replace(p, press=set_ratio(p.press, ratio))
+        if hasattr(p, "presses"):
+            return dataclasses.replace(
+                p, presses=tuple(set_ratio(q, ratio) for q in p.presses)
+            )
+        return p
+
+    if isinstance(press, (DecodingPress, CAMPress)):
+        kw = {}
+        if config.compression_interval is not None:
+            kw["compression_interval"] = config.compression_interval
+        if config.target_size is not None:
+            kw["target_size"] = config.target_size
+        press = dataclasses.replace(press, **kw)
+    elif isinstance(press, DMSPress):
+        assert config.threshold is not None, "DMS presses require --threshold"
+        press = dataclasses.replace(press, threshold=config.threshold)
+        if config.press_artifact and isinstance(press.press, KVzapPress):
+            from kvpress_tpu.presses import load_kvzap_model
+
+            press = dataclasses.replace(
+                press, press=dataclasses.replace(
+                    press.press, surrogate=load_kvzap_model(config.press_artifact)
+                )
+            )
+    else:
+        press = set_ratio(press, config.compression_ratio)
+        if config.press_artifact:
+            if isinstance(press, QFilterPress):
+                from kvpress_tpu.presses import load_q_filters
+
+                press = dataclasses.replace(
+                    press, q_filters=load_q_filters(config.press_artifact)
+                )
+            elif isinstance(press, LUKVPress):
+                from kvpress_tpu.presses import load_budget_curve
+
+                press = dataclasses.replace(
+                    press, budget_curves=load_budget_curve(config.press_artifact)
+                )
+            elif isinstance(press, KVzapPress):
+                from kvpress_tpu.presses import load_kvzap_model
+
+                press = dataclasses.replace(
+                    press, surrogate=load_kvzap_model(config.press_artifact)
+                )
+    return press
+
+
+class EvaluationRunner:
+    def __init__(self, config: EvaluationConfig, pipeline=None, dataset_df=None):
+        self.config = config
+        np.random.seed(config.seed)
+        self.press = configure_press(config)
+        self.pipeline = pipeline or self._build_pipeline()
+        self.df: Optional[pd.DataFrame] = None
+        self._dataset_df = dataset_df    # test injection: skips hub loading
+
+    def _build_pipeline(self):
+        from kvpress_tpu.pipeline import KVPressPipeline
+
+        logger.info("Loading model pipeline for %s", self.config.model)
+        return KVPressPipeline.from_pretrained(self.config.model)
+
+    def _load_and_prepare_dataset(self):
+        cfg = self.config
+        if self._dataset_df is not None:
+            df = self._dataset_df.copy()
+        else:
+            from datasets import load_dataset
+
+            from registry import DATASET_REGISTRY
+
+            name = DATASET_REGISTRY.get(cfg.dataset, cfg.dataset)
+            logger.info("Loading dataset %s (data_dir=%s)", name, cfg.data_dir)
+            df = load_dataset(name, data_dir=cfg.data_dir, split="test").to_pandas()
+        if cfg.fraction < 1.0:
+            df = df.sample(frac=cfg.fraction, random_state=cfg.seed)
+
+        if cfg.dataset == "needle_in_haystack":
+            from needle_utils import insert_needle_in_haystack
+
+            df = insert_needle_in_haystack(
+                df, self.pipeline.tokenizer,
+                cfg.max_context_length or 2**20, cfg.needle_depth,
+            )
+
+        from kvpress_tpu.presses import FinchPress
+
+        if isinstance(self.press, FinchPress):
+            if not cfg.query_aware:
+                raise ValueError("FinchPress requires query_aware to be set to True")
+            tok = self.pipeline.tokenizer
+            delim = "<|finch_sep|>"
+            if delim not in tok.get_vocab():
+                tok.add_special_tokens({"additional_special_tokens": [delim]})
+            self.press = dataclasses.replace(
+                self.press, delimiter_token_id=tok.convert_tokens_to_ids(delim)
+            )
+            df["context"] = df["context"] + delim
+
+        if cfg.query_aware:
+            df["context"] = df["context"] + df["question"]
+            df["question"] = ""
+
+        self.df = df.reset_index(drop=True)
+
+    def _run_inference(self):
+        cfg = self.config
+        df = self.df
+        df["predicted_answer"] = None
+        per_sample = self.press is not None and self.press.compresses_decode
+        if per_sample:
+            groups = [(row["context"], df.loc[[i]]) for i, row in df.iterrows()]
+        else:
+            groups = list(df.groupby("context", sort=False))
+        for context, group in groups:
+            questions = group["question"].tolist()
+            max_new = cfg.max_new_tokens or int(group["max_new_tokens"].iloc[0])
+            answer_prefix = group.get("answer_prefix", pd.Series([""])).iloc[0]
+            out = self.pipeline(
+                context,
+                questions=questions if not per_sample else None,
+                question=questions[0] if per_sample else None,
+                answer_prefix=answer_prefix or "",
+                press=self.press,
+                max_new_tokens=max_new,
+                max_context_length=cfg.max_context_length,
+            )
+            answers = out.get("answers", [out.get("answer")])
+            df.loc[group.index, "predicted_answer"] = answers
+            ratio = (
+                self.press.compression_ratio if self.press is not None else 0.0
+            )
+            df.loc[group.index, "compression_ratio"] = ratio
+
+    def run(self) -> dict:
+        from registry import SCORER_REGISTRY
+
+        cfg = self.config
+        out_dir = cfg.results_dir()
+        pred_file = out_dir / "predictions.csv"
+        metrics_file = out_dir / "metrics.json"
+        if pred_file.exists() and metrics_file.exists():
+            logger.info("Results already exist at %s, skipping.", out_dir)
+            return json.loads(metrics_file.read_text())
+
+        self._load_and_prepare_dataset()
+        self._run_inference()
+
+        out_dir.mkdir(parents=True, exist_ok=True)
+        self.df.to_csv(pred_file, index=False)
+        metrics = SCORER_REGISTRY[cfg.dataset](self.df)
+        metrics_file.write_text(json.dumps(metrics, indent=2, default=float))
+        (out_dir / "config.yaml").write_text(cfg.to_yaml())
+        logger.info("Saved results to %s", out_dir)
+        return metrics
+
+
+def parse_args(argv=None) -> EvaluationConfig:
+    parser = argparse.ArgumentParser(description="kvpress_tpu evaluation")
+    parser.add_argument("--config", type=str, default=None, help="YAML config file")
+    for f in dataclasses.fields(EvaluationConfig):
+        arg_type = f.type if isinstance(f.type, type) else str
+        if f.type in ("bool", bool):
+            parser.add_argument(f"--{f.name}", action="store_true", default=None)
+        else:
+            caster = float if "float" in str(f.type) else (
+                int if "int" in str(f.type) else str
+            )
+            parser.add_argument(f"--{f.name}", type=caster, default=None)
+    args = vars(parser.parse_args(argv))
+
+    values = {}
+    config_path = args.pop("config")
+    if config_path:
+        import yaml
+
+        values.update(yaml.safe_load(Path(config_path).read_text()) or {})
+    values.update({k: v for k, v in args.items() if v is not None})
+    return EvaluationConfig(**values)
+
+
+if __name__ == "__main__":
+    config = parse_args()
+    logging.basicConfig(level=config.log_level)
+    runner = EvaluationRunner(config)
+    metrics = runner.run()
+    print(json.dumps(metrics, indent=2, default=float))
