@@ -87,6 +87,15 @@ def _prefill(params, context_ids, *, runner: Runner, press):
     )
 
 
+@partial(jax.jit, static_argnames=("runner", "press"))
+def _scored_forward(params, ids, cache, press_state, *, runner: Runner, press):
+    """One repeat-chunk forward with a scorer press (KVzip multi-pass)."""
+    return runner.forward(
+        params, ids, cache, press=press, press_state=press_state,
+        phase="decode", compute_logits=False,
+    )
+
+
 @dataclasses.dataclass
 class KVPressPipeline:
     """Callable: pipe(context, question=…, press=…) → {"answer": str}.
@@ -208,6 +217,12 @@ class KVPressPipeline:
         if press is not None and getattr(press, "rerotates", False):
             cache = dataclasses.replace(cache, offset=jnp.max(cache.length))
 
+        # Multi-pass presses (KVzip): score by chunked context reconstruction
+        # against the uncompressed cache, then mask (reference kvzip_press.py
+        # __call__ / _perform_kvzip_compression).
+        if press is not None and getattr(press, "multi_pass", False):
+            cache = self._run_kvzip(cache, context_ids, press, max_new_tokens)
+
         # Re-bucket the cache to realize compression memory savings, with room
         # for the longest question + generation.
         kept = (
@@ -241,3 +256,71 @@ class KVPressPipeline:
         if single:
             return {"answer": answers[0]}
         return {"answers": answers}
+
+    # ------------------------------------------------------------------ #
+
+    def _run_kvzip(self, cache: KVCache, context_ids, press, max_new_tokens):
+        """KVzip chunked context reconstruction: for each chunk, forward a
+        'repeat' prompt against the cache with a chunk-scorer press, collect
+        per-layer scores, roll the cache back (free — the pre-pass cache value
+        is simply reused), then mask global bottom-k."""
+        import numpy as np
+
+        from .cache import grow
+        from .presses.kvzip import KVzipChunkScorer
+
+        if press.compression_ratio <= 0:
+            return cache
+        tok = self.tokenizer
+        if tok.chat_template is None:
+            prefix_len = 0
+            suffix_ids = tok.encode("\n", add_special_tokens=False)
+        else:
+            dummy = "dummy context"
+            separator = "\n" + "#" * len(dummy)
+            templated = tok.apply_chat_template(
+                [{"role": "user", "content": dummy + separator}],
+                add_generation_prompt=True, tokenize=False, enable_thinking=False,
+            )
+            ctx_part, suffix_text = templated.split(separator)
+            prefix_text = ctx_part.split(dummy)[0]
+            prefix_len = len(tok.encode(prefix_text, add_special_tokens=False))
+            suffix_ids = tok.encode(suffix_text, add_special_tokens=False)
+
+        pairs = press.chunk_pairs(list(context_ids), prefix_len, suffix_ids, tok)
+        ctx_len = len(context_ids)
+        max_rep = max(len(r) for _, r in pairs)
+        if cache.max_size < ctx_len + max_rep:
+            cache = grow(cache, ctx_len + max_rep - cache.max_size)
+
+        cfg = self.runner.cfg
+        score_val = np.zeros((cfg.num_layers, 1, cfg.num_kv_heads, ctx_len), np.float32)
+        score_val[..., : press.n_sink] = 1.0
+
+        start = prefix_len
+        for chunk, repeat in pairs:
+            end = start + len(chunk)
+            scorer = KVzipChunkScorer(
+                start_idx=start, end_idx=end, context_length=ctx_len,
+                n_sink=press.n_sink, plus=press.kvzip_plus_normalization,
+            )
+            state = scorer.init_state(cfg, 1, ctx_len)
+            rep = jnp.asarray(np.asarray(repeat, np.int32))[None]
+            _, _, out_state = _scored_forward(
+                self.params, rep, cache, state,
+                runner=self.runner, press=scorer,
+            )
+            score_val[..., start:end] = np.asarray(out_state["scores"])
+            start = end
+            # Rollback is implicit: the pre-pass `cache` value is reused.
+
+        keep = press.head_mask_from_scores(score_val)        # (L, 1, H, ctx)
+        S_buf = cache.max_size
+        keep_padded = np.ones(
+            (cfg.num_layers, 1, cfg.num_kv_heads, S_buf), dtype=bool
+        )
+        keep_padded[..., :ctx_len] = keep
+        mask = cache.mask
+        if mask is None:
+            mask = jnp.ones_like(jnp.asarray(keep_padded))
+        return dataclasses.replace(cache, mask=mask & jnp.asarray(keep_padded))

@@ -22,7 +22,14 @@ from .cap import CapPress
 from .compactor import CompactorPress, LeverageScorePress, NonCausalAttnPress
 from .dms import DMSPress
 from .finch import FinchPress
+from .duo import DuoAttentionPress, load_duo_head_scores
+from .expected_attention_stats import (
+    ExpectedAttentionStatsPress,
+    load_query_stats,
+    save_query_stats,
+)
 from .kvzap import KVzapPress, load_kvzap_model, save_kvzap_model
+from .kvzip import KVzipPress
 from .lukv import LUKVPress, load_budget_curve
 from .merging import MergingPress
 from .simlayerkv import SimLayerKVPress
@@ -47,8 +54,14 @@ __all__ = [
     "LeverageScorePress",
     "NonCausalAttnPress",
     "KVzapPress",
+    "KVzipPress",
     "load_kvzap_model",
     "save_kvzap_model",
+    "DuoAttentionPress",
+    "load_duo_head_scores",
+    "ExpectedAttentionStatsPress",
+    "load_query_stats",
+    "save_query_stats",
     "LUKVPress",
     "load_budget_curve",
     "MergingPress",

@@ -1,0 +1,163 @@
+"""KVzipPress: query-agnostic scoring via context reconstruction
+(reference kvzip_press.py, arXiv:2505.23416).
+
+The reference overrides the press context manager to (1) capture the prefill,
+(2) re-feed the context in 2048-token chunks with "Repeat the previous
+context exactly." prompts, scoring cached keys by max cross-attention from
+the repeat queries, then (3) evict bottom-k across layers and heads via
+masked_key_indices. Cost: 2-3x prefill.
+
+Here the orchestration is explicit pipeline code (pipeline._run_kvzip):
+each repeat chunk is one jitted forward with a chunk-scorer press attached
+(phase="decode", cache already full), after which the cache length/offset
+simply rolls back — no monkey-patching, no fake keys. All chunk spans are
+trace-static, so the subsampled-key attention compiles to fixed shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import BasePress, LayerCtx
+
+NEG_INF = -2.0e38
+
+
+@dataclasses.dataclass(frozen=True)
+class KVzipPress(BasePress):
+    compression_ratio: float = 0.0
+    layerwise: bool = False
+    n_sink: int = 4
+    kvzip_plus_normalization: bool = False
+    chunk_size: int = 2048
+    prev_postfix_size: int = 8
+
+    # Pipeline routing flags:
+    multi_pass = True                 # run the reconstruction procedure
+    compresses_prefill = False        # the initial prefill stays uncompressed
+
+    def __post_init__(self):
+        assert 0 <= self.compression_ratio < 1
+
+    def chunk_pairs(self, context_ids: list[int], prefix_length: int,
+                    suffix_ids: list[int], tokenizer) -> list[tuple[list, list]]:
+        """[(chunk_ids, repeat_ids)] (reference prepare(), :225-264)."""
+        ctx = context_ids[prefix_length:]
+        chunks = [
+            ctx[i : i + self.chunk_size]
+            for i in range(0, max(len(ctx), 1), self.chunk_size)
+        ]
+        chunks = [c for c in chunks if c]
+        pairs = []
+        for i, chunk in enumerate(chunks):
+            if i == 0:
+                q = tokenizer.encode(
+                    "\n\nRepeat the previous context exactly.",
+                    add_special_tokens=False,
+                )
+            else:
+                q = tokenizer.encode(
+                    "\n\nRepeat the part of the previous context exactly, starting with",
+                    add_special_tokens=False,
+                )
+                q = q + chunks[i - 1][-self.prev_postfix_size :]
+            pairs.append((chunk, q + list(suffix_ids) + chunk))
+        return pairs
+
+    def head_mask_from_scores(self, score_val: np.ndarray) -> np.ndarray:
+        """Global (or layerwise) bottom-k eviction mask from (L, B, H, S)
+        scores (reference compress_post, :360-394). True = keep."""
+        L, B, H, S = score_val.shape
+        if self.compression_ratio <= 0:
+            return np.ones_like(score_val, dtype=bool)
+        per_layer = B * H * S
+        if self.layerwise:
+            n_pruned_layers = np.full(L, int(per_layer * self.compression_ratio))
+        else:
+            n_total = int(score_val.size * self.compression_ratio)
+            order = np.argsort(score_val.reshape(-1))[:n_total]
+            n_pruned_layers = np.bincount(order // per_layer, minlength=L)
+        keep = np.ones((L, B, H, S), dtype=bool)
+        for layer in range(L):
+            n = int(n_pruned_layers[layer])
+            if n == 0:
+                continue
+            flat = score_val[layer].reshape(B, -1)
+            idx = np.argsort(flat, axis=1)[:, :n]
+            for b in range(B):
+                h_idx = idx[b] // S
+                s_idx = idx[b] % S
+                keep[layer, b, h_idx, s_idx] = False
+        return keep
+
+
+@dataclasses.dataclass(frozen=True)
+class KVzipChunkScorer(BasePress):
+    """Per-chunk scoring press applied during the repeat forward: max
+    cross-attention of repeat queries onto the cached chunk keys
+    (reference score_kvzip, :287-358). All spans static."""
+
+    start_idx: int = 0
+    end_idx: int = 0
+    context_length: int = 0
+    n_sink: int = 4
+    plus: bool = False
+
+    compresses_prefill = False
+    compresses_decode = True
+
+    def init_state(self, cfg, batch, seq_len, dtype=None):
+        L = cfg.num_layers
+        n = self.end_idx - self.start_idx
+        return {"scores": jnp.zeros((L, batch, cfg.num_kv_heads, n), jnp.float32)}
+
+    def decode_compress(self, ctx: LayerCtx, keys, values, length, mask, state=None):
+        cfg = ctx.cfg
+        B, Hkv, S, D = keys.shape
+        Hq = cfg.num_heads
+        G = Hq // Hkv
+        T = ctx.queries.shape[2]
+        sink = min(self.n_sink, self.start_idx)
+        cl = self.end_idx - self.start_idx
+        ctx_len = self.context_length
+
+        def sub(x):
+            return jnp.concatenate(
+                [
+                    x[:, :, :sink],
+                    x[:, :, self.start_idx : self.end_idx],
+                    x[:, :, ctx_len : ctx_len + T],
+                ],
+                axis=2,
+            )
+
+        ks = sub(keys).astype(jnp.float32)                       # (B,Hkv,n_sub,D)
+        q = ctx.queries.reshape(B, Hkv, G, T, D).astype(jnp.float32)
+        attn = jnp.einsum("bhgtd,bhsd->bhgts", q, ks) / jnp.sqrt(D * 1.0)
+
+        # Causal mask inside the trailing repeat block.
+        rows = jnp.arange(T)[:, None]
+        cols = jnp.arange(T)[None, :]
+        block = jnp.where(cols <= rows, 0.0, NEG_INF)            # (T, T)
+        attn = attn.at[..., -T:].add(block[None, None, None])
+        attn = jax.nn.softmax(attn, axis=-1)
+
+        if self.plus:
+            h_norm = jnp.linalg.norm(ctx.hidden.astype(jnp.float32), axis=-1)  # (B,T)
+            attn = attn / h_norm[:, None, None, :, None]
+            Wo = ctx.layer_params["wo"].astype(jnp.float32).reshape(
+                Hkv, G, D, cfg.hidden_size
+            )
+            vs = sub(values).astype(jnp.float32)                 # (B,Hkv,n_sub,D)
+            WoV = jnp.einsum("hgij,bhsi->bhgsj", Wo, vs)
+            WoV_norm = jnp.linalg.norm(WoV, axis=-1)             # (B,Hkv,G,n_sub)
+            attn = attn * WoV_norm[:, :, :, None, :]
+
+        chunk_scores = attn[..., sink : sink + cl]               # (B,Hkv,G,T,cl)
+        scores = chunk_scores.max(axis=(2, 3))                   # (B,Hkv,cl)
+        return keys, values, length, mask, {"scores": scores}
