@@ -305,6 +305,7 @@ class Runner:
         phase: str = "none",
         compute_logits: bool = True,
         logits_last_only: bool = False,
+        inputs_embeds: Optional[jax.Array] = None,   # (B, T, E) overrides ids
     ):
         """Run T tokens through all layers against (and appending to) cache.
 
@@ -314,10 +315,14 @@ class Runner:
         (base_press.py:101-162).
         """
         cfg = self.cfg
-        B, T = ids.shape
-        x = params["embed"][ids]
-        if cfg.scale_embeddings:
-            x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
+        if inputs_embeds is not None:
+            x = inputs_embeds
+            B, T = x.shape[:2]
+        else:
+            B, T = ids.shape
+            x = params["embed"][ids]
+            if cfg.scale_embeddings:
+                x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
         positions = cache.offset + jnp.arange(T, dtype=jnp.int32)
         positions = jnp.broadcast_to(positions[None], (B, T))
         inv_freq = self.inv_freq()

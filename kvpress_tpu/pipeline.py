@@ -221,7 +221,15 @@ class KVPressPipeline:
         # against the uncompressed cache, then mask (reference kvzip_press.py
         # __call__ / _perform_kvzip_compression).
         if press is not None and getattr(press, "multi_pass", False):
-            cache = self._run_kvzip(cache, context_ids, press, max_new_tokens)
+            if getattr(press, "multi_pass", None) == "kvcompose":
+                cache = self._run_kvcompose(cache, context_ids, press)
+            else:
+                cache = self._run_kvzip(cache, context_ids, press, max_new_tokens)
+
+        # Post-mask presses (FastKVzip): cross-layer bottom-k over the scores
+        # the press collected during prefill (reference compress_post).
+        if press is not None and getattr(press, "post_mask", False):
+            cache = press.apply_post_mask(cache, press_state)
 
         # Re-bucket the cache to realize compression memory savings, with room
         # for the longest question + generation.
@@ -314,13 +322,99 @@ class KVPressPipeline:
             start = end
             # Rollback is implicit: the pre-pass `cache` value is reused.
 
-        keep = press.head_mask_from_scores(score_val)        # (L, 1, H, ctx)
+        # RestoreKV: one LoRA-adapted restore pass appends n restore-token
+        # KV slots to the cache; eviction then runs budget-matched
+        # (reference restorekv_press.py:67-100).
+        eff_press = press
+        if getattr(press, "num_restore_tokens", 0) > 0:
+            from .presses.restorekv import apply_lora
+
+            restore_params = (
+                apply_lora(self.params, press.lora, press.lora_scaling)
+                if press.lora else self.params
+            )
+            embeds = jnp.asarray(
+                press.restore_embeddings, self.params["embed"].dtype
+            )[None]
+            dummy_ids = jnp.zeros((1, embeds.shape[1]), jnp.int32)
+            _, cache, _ = self.runner.forward(
+                restore_params, dummy_ids, cache, inputs_embeds=embeds,
+                compute_logits=False,
+            )
+            overhead = press.num_restore_tokens / max(ctx_len, 1)
+            eff_press = dataclasses.replace(
+                press,
+                compression_ratio=min(0.999999, press.compression_ratio + overhead),
+            )
+
+        keep = eff_press.head_mask_from_scores(score_val)    # (L, 1, H, ctx)
+        return self._apply_keep_mask(cache, keep)
+
+    def _apply_keep_mask(self, cache: KVCache, keep):
+        """keep: (L, B, H, ctx_len) bool — AND into the cache mask."""
+        import numpy as np
+
+        L, B, H, ctx_len = keep.shape
         S_buf = cache.max_size
-        keep_padded = np.ones(
-            (cfg.num_layers, 1, cfg.num_kv_heads, S_buf), dtype=bool
-        )
+        keep_padded = np.ones((L, B, H, S_buf), dtype=bool)
         keep_padded[..., :ctx_len] = keep
         mask = cache.mask
         if mask is None:
             mask = jnp.ones_like(jnp.asarray(keep_padded))
         return dataclasses.replace(cache, mask=mask & jnp.asarray(keep_padded))
+
+    def _run_kvcompose(self, cache: KVCache, context_ids, press):
+        """KVCompose scoring pass: re-feed the context against its own cache,
+        aggregate attention onto the original columns, then structured
+        per-layer rebuild or unstructured head mask."""
+        import numpy as np
+
+        from .cache import grow
+        from .presses.kvcompose import KVComposeCollector
+
+        if press.compression_ratio <= 0:
+            return cache
+        ctx_len = len(context_ids)
+        if cache.max_size < 2 * ctx_len:
+            cache = grow(cache, 2 * ctx_len - cache.max_size)
+        cfg = self.runner.cfg
+
+        collector = KVComposeCollector(
+            context_len=ctx_len, agg_task=press.agg_task, agg_group=press.agg_group
+        )
+        state = collector.init_state(cfg, 1, ctx_len)
+        ids = jnp.asarray(np.asarray(context_ids, np.int32))[None]
+        _, _, out = _scored_forward(
+            self.params, ids, cache, state, runner=self.runner, press=collector
+        )
+        scores = np.asarray(out["scores"])[:, 0]             # (L, H, ctx)
+        values = None
+        if press.add_v_norm:
+            values = np.asarray(cache.values[:, 0, :, :ctx_len], np.float32)
+        budgets, keep = press.budgets_and_masks(scores, values)
+
+        if not press.structured:
+            return self._apply_keep_mask(cache, keep[:, None])
+
+        # Structured: physically rebuild each layer to its composite budget.
+        keep_buf = np.zeros((cfg.num_layers, 1, cfg.num_kv_heads, cache.max_size), bool)
+        keep_buf[..., :ctx_len] = keep[:, None]
+        order = jnp.argsort(
+            jnp.where(jnp.asarray(keep_buf), 0, 1), axis=-1, stable=True
+        )
+        new_keys = jnp.take_along_axis(cache.keys, order[..., None], axis=3)
+        new_values = jnp.take_along_axis(cache.values, order[..., None], axis=3)
+        updates = dict(
+            keys=new_keys,
+            values=new_values,
+            length=jnp.asarray(budgets, jnp.int32),
+            mask=jnp.ones_like(order, dtype=bool),
+        )
+        if cache.is_quantized:
+            updates["key_scales"] = jnp.take_along_axis(
+                cache.key_scales, order[..., None], axis=3
+            )
+            updates["value_scales"] = jnp.take_along_axis(
+                cache.value_scales, order[..., None], axis=3
+            )
+        return dataclasses.replace(cache, **updates)

@@ -28,8 +28,21 @@ from .expected_attention_stats import (
     load_query_stats,
     save_query_stats,
 )
+from .fastkvzip import (
+    FastKVzipPress,
+    init_random_gates,
+    load_fastkvzip_gates,
+    save_fastkvzip_gates,
+)
 from .kvzap import KVzapPress, load_kvzap_model, save_kvzap_model
 from .kvzip import KVzipPress
+from .kvcompose import KVComposePress
+from .restorekv import (
+    RestoreKVPress,
+    init_random_lora,
+    load_restore_artifacts,
+    save_restore_artifacts,
+)
 from .lukv import LUKVPress, load_budget_curve
 from .merging import MergingPress
 from .simlayerkv import SimLayerKVPress
@@ -55,6 +68,15 @@ __all__ = [
     "NonCausalAttnPress",
     "KVzapPress",
     "KVzipPress",
+    "KVComposePress",
+    "FastKVzipPress",
+    "init_random_gates",
+    "load_fastkvzip_gates",
+    "save_fastkvzip_gates",
+    "RestoreKVPress",
+    "init_random_lora",
+    "load_restore_artifacts",
+    "save_restore_artifacts",
     "load_kvzap_model",
     "save_kvzap_model",
     "DuoAttentionPress",

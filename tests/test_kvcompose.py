@@ -1,0 +1,83 @@
+"""KVCompose parity: structured per-layer rebuilt caches and unstructured
+head masks vs the reference run end-to-end through its context manager."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import kvpress_tpu as kp
+from kvpress_tpu.models.convert import from_torch_model
+from kvpress_tpu.pipeline import KVPressPipeline
+from kvpress_tpu.presses import KVComposePress
+
+from reference_oracle import load_reference, run_reference_press, tiny_torch_model
+from test_press_oracle import _match_sets
+from toy_tokenizer import ToyTokenizer
+
+S = 64
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    ref = load_reference()
+    model = tiny_torch_model("llama", eager=False)
+    params, cfg = from_torch_model(model, dtype=jnp.float32)
+    runner = kp.Runner.create(cfg)
+    rng = np.random.default_rng(0)
+    ids = rng.permutation(cfg.vocab_size)[:S][None]
+    return ref, model, params, cfg, runner, ids
+
+
+def _ours_kvcompose(runner, params, cfg, ids, press):
+    pipe = KVPressPipeline(runner, params, ToyTokenizer(cfg.vocab_size))
+    _, cache, _ = runner.prefill(
+        params, jnp.asarray(ids), dtype=jnp.float32, max_size=2 * S
+    )
+    if press.structured:
+        return pipe._run_kvcompose(cache, list(ids[0]), press)
+    return pipe._run_kvcompose(cache, list(ids[0]), press)
+
+
+def test_kvcompose_structured(oracle):
+    ref, model, params, cfg, runner, ids = oracle
+    ref_kv = run_reference_press(
+        model, ref.KVComposePress(compression_ratio=0.5), ids
+    )
+    press = KVComposePress(compression_ratio=0.5)
+    cache = _ours_kvcompose(runner, params, cfg, ids, press)
+    _match_sets(ref_kv, cache.keys, cache.values, cache.length, atol=2e-3)
+
+
+def test_kvcompose_unstructured(oracle):
+    import torch
+    from transformers import DynamicCache
+
+    ref, model, params, cfg, runner, ids = oracle
+    ref_press = ref.KVComposePress(compression_ratio=0.5, structured=False)
+    cache = DynamicCache()
+    with ref_press(model), torch.no_grad():
+        model.model(input_ids=torch.tensor(ids), past_key_values=cache)
+    ref_masked = [l.self_attn.masked_key_indices for l in model.model.layers]
+
+    press = KVComposePress(compression_ratio=0.5, structured=False)
+    our_cache = _ours_kvcompose(runner, params, cfg, ids, press)
+    for layer_idx, masked in enumerate(ref_masked):
+        got = ~np.asarray(our_cache.mask[layer_idx, :, :, :S])
+        exp = np.zeros_like(got)
+        if masked is not None:
+            b, h, s = (np.asarray(t) for t in masked)
+            exp[b, h, s] = True
+        np.testing.assert_array_equal(got, exp, err_msg=f"layer {layer_idx}")
+
+
+def test_kvcompose_pipeline_end_to_end():
+    cfg = kp.tiny_config()
+    params = kp.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    pipe = KVPressPipeline(kp.Runner.create(cfg), params, ToyTokenizer(cfg.vocab_size))
+    ctx = " ".join(f"w{i}" for i in range(48))
+    out = pipe(ctx, question="what ?", press=KVComposePress(compression_ratio=0.4),
+               max_new_tokens=4)
+    assert isinstance(out["answer"], str)
+
+
+import jax  # noqa: E402  (used in the fixtures above)
