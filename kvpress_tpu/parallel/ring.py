@@ -1,0 +1,111 @@
+"""Ring attention over a context-sharded sequence axis.
+
+The reference has no sequence/context parallelism (SURVEY §2.8) — this is the
+TPU-native mechanism for >single-chip prefill: K/V blocks rotate around the
+mesh axis with `jax.lax.ppermute` (point-to-point over the ICI ring) while
+each device accumulates online-softmax statistics for its local queries;
+communication overlaps with the next block's matmul (scaling-book recipe).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+NEG_INF = -2.0e38
+
+
+def _block_attend(q, k, v, scale, q_start, k_start, causal):
+    """One (local-q × remote-k) block: returns (unnormalized acc, m, l)."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    s = s * scale
+    if causal:
+        Sq, Sk = q.shape[2], k.shape[2]
+        rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (Sq, Sk), 0)
+        cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (Sq, Sk), 1)
+        s = jnp.where(cols <= rows, s, NEG_INF)
+    m = jnp.max(s, axis=-1)                                  # (B,H,Sq)
+    p = jnp.exp(s - m[..., None])
+    l = jnp.sum(p, axis=-1)
+    acc = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+    return acc, m, l
+
+
+def ring_self_attention(
+    q: jax.Array,                    # (B, Hq, S_local, D) — local query shard
+    k: jax.Array,                    # (B, Hkv, S_local, D)
+    v: jax.Array,
+    *,
+    axis_name: str,
+    sm_scale: float,
+    causal: bool = True,
+) -> jax.Array:
+    """Causal self-attention with the sequence sharded over ``axis_name``.
+
+    Call inside shard_map. Each step attends the local queries to the K/V
+    block currently resident, then rotates that block to the next device.
+    After N-1 rotations every query has seen every key. Total comms =
+    one all-gather's worth of K/V bytes, but point-to-point and overlapped.
+    """
+    N = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    B, Hq, Sl, D = q.shape
+    Hkv = k.shape[1]
+    G = Hq // Hkv
+    qg = q.reshape(B, Hkv, G, Sl, D).reshape(B, Hkv * G, Sl, D)
+
+    q_start = idx * Sl
+
+    def step(carry, step_idx):
+        k_blk, v_blk, m, l, acc = carry
+        src = (idx - step_idx) % N
+        k_start = src * Sl
+        k_rep = jnp.repeat(k_blk, G, axis=1)
+        v_rep = jnp.repeat(v_blk, G, axis=1)
+        blk_acc, blk_m, blk_l = _block_attend(
+            qg, k_rep, v_rep, sm_scale, q_start, k_start, causal
+        )
+        m_new = jnp.maximum(m, blk_m)
+        alpha = jnp.exp(m - m_new)
+        beta = jnp.exp(blk_m - m_new)
+        l = alpha * l + beta * blk_l
+        acc = alpha[..., None] * acc + beta[..., None] * blk_acc
+        # Rotate K/V to the next device (skippable on the last step, but a
+        # uniform schedule keeps the scan body static).
+        perm = [(i, (i + 1) % N) for i in range(N)]
+        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        return (k_blk, v_blk, m_new, l, acc), None
+
+    m0 = jnp.full((B, Hq, Sl), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((B, Hq, Sl), jnp.float32)
+    acc0 = jnp.zeros((B, Hq, Sl, D), jnp.float32)
+    (k_fin, v_fin, m, l, acc), _ = jax.lax.scan(
+        step, (k, v, m0, l0, acc0), jnp.arange(N)
+    )
+    l = jnp.where(l == 0.0, 1.0, l)
+    return (acc / l[..., None]).astype(q.dtype)
+
+
+def context_parallel_attention(q, k, v, mesh: Mesh, *, axis: str = "seq",
+                               sm_scale: Optional[float] = None):
+    """Convenience wrapper: shard (B,H,S,D) tensors over ``axis`` on the
+    sequence dimension and run ring attention via shard_map."""
+    from jax import shard_map
+
+    sm_scale = sm_scale if sm_scale is not None else q.shape[-1] ** -0.5
+    spec = P(None, None, axis, None)
+    fn = shard_map(
+        functools.partial(
+            ring_self_attention, axis_name=axis, sm_scale=sm_scale
+        ),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(q, k, v)

@@ -1,0 +1,81 @@
+"""Multi-device tests on the virtual 8-CPU mesh: tensor-parallel forward
+equivalence, cache sharding, and ring attention vs the single-device
+reference."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+import kvpress_tpu as kp
+from kvpress_tpu.ops.attention import attention_bias, gqa_attention
+from kvpress_tpu.parallel.mesh import (
+    data_sharding,
+    make_mesh,
+    shard_cache,
+    shard_params,
+    validate_tp,
+)
+from kvpress_tpu.parallel.ring import context_parallel_attention
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_ring_attention_matches_reference():
+    B, Hq, Hkv, S, D = 2, 8, 4, 256, 32
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, Hq, S, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, Hkv, S, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, Hkv, S, D), jnp.float32)
+
+    bias = attention_bias(jnp.asarray(0, jnp.int32), S, S)
+    ref, _ = gqa_attention(q, k, v, bias, D**-0.5)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("seq",))
+    out = context_parallel_attention(q, k, v, mesh, axis="seq")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_tensor_parallel_forward_matches_single_device():
+    cfg = kp.tiny_config(num_heads=8, num_kv_heads=4, intermediate_size=256)
+    params = kp.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    runner = kp.Runner.create(cfg, attn_impl="xla")
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 32), 0, cfg.vocab_size)
+    press = kp.KnormPress(compression_ratio=0.5)
+
+    logits_ref, cache_ref, _ = runner.prefill(
+        params, ids, press=press, dtype=jnp.float32, compute_logits=True
+    )
+
+    mesh = make_mesh(data=2, model=4)
+    validate_tp(cfg, 4)
+    sharded_params = shard_params(params, mesh)
+    sharded_ids = jax.device_put(ids, data_sharding(mesh))
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("press",))
+    def prefill(params, ids, press):
+        return runner.prefill(
+            params, ids, press=press, dtype=jnp.float32, compute_logits=True
+        )
+
+    with mesh:
+        logits_tp, cache_tp, _ = prefill(sharded_params, sharded_ids, press)
+    np.testing.assert_allclose(
+        np.asarray(logits_tp), np.asarray(logits_ref), atol=2e-4, rtol=1e-3
+    )
+    assert all(int(l) == 16 for l in cache_tp.length)
+
+
+def test_cache_sharding_roundtrip():
+    cfg = kp.tiny_config(num_heads=8, num_kv_heads=4)
+    mesh = make_mesh(data=2, model=4)
+    from kvpress_tpu.cache import init_cache
+
+    cache = init_cache(cfg, 2, 64, dtype=jnp.float32)
+    sharded = shard_cache(cache, mesh)
+    assert sharded.keys.sharding.spec == P(None, "data", "model", None, None)
