@@ -41,6 +41,10 @@ class ModelConfig:
     post_norms: bool = False         # Gemma3 pre+post attention/mlp norms
     rms_one_offset: bool = False     # Gemma-style (1 + w) RMSNorm weights
     logit_softcap: Optional[float] = None
+    # Gemma-family: fixed attention scale and a separate RoPE base frequency
+    # for sliding-window (local) layers.
+    query_pre_attn_scalar: Optional[float] = None
+    rope_local_base_freq: Optional[float] = None
     model_type: str = "llama"
 
     def __post_init__(self) -> None:
@@ -102,6 +106,8 @@ class ModelConfig:
             post_norms=model_type.startswith("gemma3"),
             rms_one_offset=model_type.startswith("gemma"),
             logit_softcap=get("final_logit_softcapping", None),
+            query_pre_attn_scalar=get("query_pre_attn_scalar", None),
+            rope_local_base_freq=get("rope_local_base_freq", None),
             model_type=model_type,
         )
 

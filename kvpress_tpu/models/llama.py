@@ -120,6 +120,17 @@ class Runner:
         inv, _ = compute_inv_freq(self.cfg)
         return jnp.asarray(inv)
 
+    def inv_freq_local(self) -> Optional[jax.Array]:
+        """Sliding-window layers' RoPE (Gemma3 rope_local_base_freq): plain
+        base frequency, no scaling."""
+        if self.cfg.rope_local_base_freq is None:
+            return None
+        local_cfg = dataclasses.replace(
+            self.cfg, rope_theta=self.cfg.rope_local_base_freq, rope_scaling=None
+        )
+        inv, _ = compute_inv_freq(local_cfg)
+        return jnp.asarray(inv)
+
     # ------------------------------------------------------------------ #
 
     def _layer_step(
@@ -144,6 +155,11 @@ class Runner:
         h = rms_norm(x, layer["ln1"], cfg.rms_norm_eps, cfg.rms_one_offset)
         q_pre, k_pre, v = _project_qkv(layer, cfg, h)
         cos, sin = rope_cos_sin(inv_freq, positions, self.attention_scaling)
+        if cfg.rope_local_base_freq is not None:
+            # Gemma3: sliding-window layers rotate at the local base frequency.
+            cos_l, sin_l = rope_cos_sin(self.inv_freq_local(), positions, 1.0)
+            cos = jnp.where(sliding_flag, cos_l, cos)
+            sin = jnp.where(sliding_flag, sin_l, sin)
         cos, sin = cos[:, None], sin[:, None]          # (B, 1, T, D)
         q = apply_rope(q_pre, cos, sin)
         k = apply_rope(k_pre, cos, sin)
@@ -179,7 +195,11 @@ class Runner:
             )
         mask = cache_layer["mask"]                     # (B, Hkv, S_buf)
 
-        scale = cfg.head_dim ** -0.5
+        scale = (
+            cfg.query_pre_attn_scalar ** -0.5
+            if cfg.query_pre_attn_scalar is not None
+            else cfg.head_dim ** -0.5
+        )
         window = cfg.sliding_window if cfg.sliding_window is not None else None
         use_sliding = window is not None
         return_probs = press is not None and press.needs_attn_probs and apply_press

@@ -58,6 +58,8 @@ class LayerCtx:
 
     @property
     def scale(self) -> float:
+        if self.cfg.query_pre_attn_scalar is not None:
+            return self.cfg.query_pre_attn_scalar ** -0.5
         return self.cfg.head_dim ** -0.5
 
 

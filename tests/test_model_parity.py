@@ -94,3 +94,81 @@ def test_incremental_decode_matches_full_forward():
         step_logits.append(np.asarray(lg)[:, 0])
     got = np.stack(step_logits, axis=1)
     np.testing.assert_allclose(got, np.asarray(full_logits)[:, 8:], atol=2e-3, rtol=2e-3)
+
+
+def test_phi3_fused_qkv_parity():
+    """Phi3 fused qkv/gate_up split at conversion (reference utils.py:30-43)."""
+    import torch
+    from transformers import AutoModelForCausalLM, Phi3Config
+
+    torch.manual_seed(0)
+    model = AutoModelForCausalLM.from_config(Phi3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, pad_token_id=0))
+    model.eval()
+    params, cfg = from_torch_model(model, dtype=jnp.float32)
+    runner = Runner.create(cfg)
+    ids = np.random.default_rng(0).integers(1, 256, (1, 15))
+    with torch.no_grad():
+        ref = model(torch.tensor(ids)).logits.float().numpy()
+    cache = init_cache(cfg, 1, 15, dtype=jnp.float32)
+    logits, _, _ = runner.forward(params, jnp.asarray(ids), cache)
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.parametrize("mixed", [False, True])
+def test_gemma3_parity(mixed):
+    """Gemma3: (1+w) norms, q/k-norm, query_pre_attn_scalar, dual RoPE bases,
+    interleaved sliding-window layers."""
+    import torch
+    from transformers import AutoModelForCausalLM, Gemma3TextConfig
+
+    torch.manual_seed(0)
+    kw = dict(vocab_size=256, hidden_size=64, intermediate_size=128,
+              num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+              head_dim=16, max_position_embeddings=512, pad_token_id=0,
+              sliding_window=8, tie_word_embeddings=False)
+    if mixed:
+        kw["layer_types"] = [
+            "sliding_attention" if (i + 1) % 2 else "full_attention"
+            for i in range(4)
+        ]
+    model = AutoModelForCausalLM.from_config(Gemma3TextConfig(**kw))
+    model.eval()
+    params, cfg = from_torch_model(model, dtype=jnp.float32)
+    runner = Runner.create(cfg)
+    ids = np.random.default_rng(0).integers(1, 256, (1, 20))
+    with torch.no_grad():
+        ref = model(torch.tensor(ids)).logits.float().numpy()
+    cache = init_cache(cfg, 1, 20, dtype=jnp.float32)
+    logits, _, _ = runner.forward(params, jnp.asarray(ids), cache)
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=2e-3, rtol=2e-3)
+
+
+def test_gemma3_sliding_layers_not_compressed():
+    """Sliding-window (local) layers are skipped by compression
+    (reference base_press.py:195-200)."""
+    import torch
+    from transformers import AutoModelForCausalLM, Gemma3TextConfig
+
+    from kvpress_tpu import KnormPress
+
+    torch.manual_seed(0)
+    model = AutoModelForCausalLM.from_config(Gemma3TextConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=512, pad_token_id=0,
+        sliding_window=8, tie_word_embeddings=False,
+        layer_types=["sliding_attention" if (i + 1) % 2 else "full_attention"
+                     for i in range(4)]))
+    model.eval()
+    params, cfg = from_torch_model(model, dtype=jnp.float32)
+    runner = Runner.create(cfg)
+    ids = jnp.asarray(np.random.default_rng(1).integers(1, 256, (1, 24)))
+    _, cache, _ = runner.prefill(
+        params, ids, press=KnormPress(compression_ratio=0.5), dtype=jnp.float32
+    )
+    lengths = [int(l) for l in cache.length]
+    for i, sliding in enumerate(cfg.layer_is_sliding):
+        assert lengths[i] == (24 if sliding else 12), (i, lengths)
