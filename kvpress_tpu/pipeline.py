@@ -28,18 +28,40 @@ from .presses.base import BasePress
 logger = logging.getLogger(__name__)
 
 
-@partial(jax.jit, static_argnames=("runner", "max_new_tokens", "eos_ids", "press"))
+def _sample_token(logits: jax.Array, key, temperature: float, top_p: float):
+    """Nucleus sampling of one token from (V,) logits."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32) / temperature)
+    order = jnp.argsort(-probs)
+    sorted_probs = probs[order]
+    cum = jnp.cumsum(sorted_probs)
+    keep = cum - sorted_probs < top_p        # always keep the top token
+    filtered = jnp.where(keep, sorted_probs, 0.0)
+    idx = jax.random.categorical(key, jnp.log(jnp.maximum(filtered, 1e-38)))
+    return order[idx].astype(jnp.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "runner", "max_new_tokens", "eos_ids", "press",
+        "do_sample", "temperature", "top_p",
+    ),
+)
 def _generate_answer(
     params,
     question_ids: jax.Array,          # (1, Tq); Tq may be 0
     cache: KVCache,
     prefill_logits,
     press_state=None,
+    rng_key=None,
     *,
     runner: Runner,
     max_new_tokens: int,
     eos_ids: tuple[int, ...],
     press=None,
+    do_sample: bool = False,
+    temperature: float = 1.0,
+    top_p: float = 1.0,
 ):
     """Question forward + greedy while_loop decode, with optional decode-time
     compression (press.compresses_decode) threaded through the loop. Returns
@@ -53,26 +75,36 @@ def _generate_answer(
         )
     else:
         logits = prefill_logits
-    first = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+
+    def pick(logits_row, key):
+        if do_sample:
+            return _sample_token(logits_row, key, temperature, top_p)
+        return jnp.argmax(logits_row).astype(jnp.int32)
+
+    rng_key, sub = jax.random.split(rng_key)
+    first = pick(logits[0, -1], sub)
     eos = jnp.asarray(eos_ids, jnp.int32)
     out = jnp.zeros((max_new_tokens,), jnp.int32).at[0].set(first)
 
     def cond(state):
-        i, tok, _, _, _ = state
+        i, tok, _, _, _, _ = state
         return (i < max_new_tokens) & ~jnp.isin(tok, eos)
 
     def body(state):
-        i, tok, cache, out, pstate = state
+        i, tok, cache, out, pstate, key = state
         logits, cache, pstate = runner.forward(
             params, tok[None, None], cache, logits_last_only=True,
             press=decode_press, press_state=pstate, phase="decode",
         )
-        nxt = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+        key, sub = jax.random.split(key)
+        nxt = pick(logits[0, -1], sub)
         out = out.at[i].set(nxt)
-        return i + 1, nxt, cache, out, pstate
+        return i + 1, nxt, cache, out, pstate, key
 
-    n, _, cache, out, _ = jax.lax.while_loop(
-        cond, body, (1, first, cache, out, press_state)
+    n, _, cache, out, _, _ = jax.lax.while_loop(
+        cond, body, (1, first, cache, out, press_state, rng_key)
     )
     return out, n, cache
 
@@ -168,6 +200,10 @@ class KVPressPipeline:
         answer_prefix: str = "",
         max_context_length: Optional[int] = None,
         enable_thinking: bool = False,
+        do_sample: bool = False,
+        temperature: float = 1.0,
+        top_p: float = 1.0,
+        seed: int = 0,
     ) -> dict:
         assert question is None or questions is None, (
             "Either question or questions should be provided, not both."
@@ -243,12 +279,14 @@ class KVPressPipeline:
         base_length = cache.length
         base_offset = cache.offset
         answers = []
-        for q_ids in question_ids:
+        for qi, q_ids in enumerate(question_ids):
             q = jnp.asarray(np.asarray(q_ids, np.int32))[None]
             tokens, n, _ = _generate_answer(
                 self.params, q, cache, prefill_logits, press_state,
+                jax.random.fold_in(jax.random.PRNGKey(seed), qi),
                 runner=self.runner, max_new_tokens=max_new_tokens,
                 eos_ids=self._eos(), press=press,
+                do_sample=do_sample, temperature=temperature, top_p=top_p,
             )
             tokens = np.asarray(tokens)[: int(n)]
             # Strip eos for decoding (skip_special_tokens equivalent).

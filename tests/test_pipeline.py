@@ -57,3 +57,15 @@ def test_no_press_no_compression(pipe, caplog):
 def test_empty_question(pipe):
     out = pipe(CONTEXT, press=KnormPress(compression_ratio=0.25), max_new_tokens=4)
     assert isinstance(out["answer"], str)
+
+
+def test_sampling_generation(pipe):
+    """do_sample with temperature/top-p is reproducible per seed and differs
+    across seeds (reference AIME eval protocol, kvzap/evaluate_aime.py)."""
+    kwargs = dict(question="what ?", press=KnormPress(compression_ratio=0.25),
+                  max_new_tokens=8, do_sample=True, temperature=1.2, top_p=0.9)
+    a1 = pipe(CONTEXT, seed=0, **kwargs)["answer"]
+    a2 = pipe(CONTEXT, seed=0, **kwargs)["answer"]
+    a3 = pipe(CONTEXT, seed=123, **kwargs)["answer"]
+    assert a1 == a2
+    assert isinstance(a3, str)
