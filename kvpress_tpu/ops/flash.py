@@ -7,10 +7,15 @@ Implements the same slot-index masking contract as ops/attention.py:
     replacing the reference's fake-key patch, attention_patch.py:43-87)
   - optional sliding window and logit softcap (Gemma-family)
 
-Online-softmax tiling over KV with fp32 statistics; GQA handled by indexing
-each query head's kv head in the BlockSpec index maps (no K/V repeat in HBM).
-prior_length rides in as a scalar-prefetch argument so causal tile skipping
-works with a traced cache length.
+Performance-shaping choices:
+  - online-softmax tiling over KV with fp32 statistics, bf16 MXU passes
+  - **GQA folding**: all G query heads of one kv head are processed in one
+    grid cell as a (G·bq, bk) matmul, so each K/V tile is DMA'd once per kv
+    head instead of once per query head (G× less HBM traffic)
+  - head_dim is NOT padded to the 128-lane width when it equals the array
+    dim (64-dim heads would otherwise double K/V DMA)
+  - prior_length rides in as a scalar-prefetch argument so causal tile
+    skipping works with a traced cache length
 """
 
 from __future__ import annotations
@@ -29,22 +34,22 @@ LANES = 128
 
 def _kernel(
     prior_ref,                 # scalar prefetch: (1,) int32
-    q_ref,                     # (1, 1, bq, D)
+    q_ref,                     # (1, 1, G, bq, D)
     k_ref,                     # (1, 1, bk, D)
     v_ref,                     # (1, 1, bk, D)
     mask_ref,                  # (1, 1, 1, bk) bool
-    o_ref,                     # (1, 1, bq, D)
-    m_scr,                     # (bq, LANES) f32
-    l_scr,                     # (bq, LANES) f32
-    acc_scr,                   # (bq, D) f32
+    o_ref,                     # (1, 1, G, bq, D)
+    m_scr,                     # (G*bq, LANES) f32
+    l_scr,                     # (G*bq, LANES) f32
+    acc_scr,                   # (G*bq, D) f32
     *,
+    G: int,
     bq: int,
     bk: int,
     n_k: int,
     sm_scale: float,
     softcap: Optional[float],
     window: Optional[int],
-    has_mask: bool,
 ):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
@@ -60,7 +65,6 @@ def _kernel(
     max_q_slot = prior + (qi + 1) * bq - 1
     should_run = ki * bk <= max_q_slot
     if window is not None:
-        # ...and tiles entirely outside the sliding window.
         min_q_slot = prior + qi * bq
         should_run = jnp.logical_and(
             should_run, (ki + 1) * bk - 1 > min_q_slot - window
@@ -68,52 +72,54 @@ def _kernel(
 
     @pl.when(should_run)
     def _run():
-        q = q_ref[0, 0].astype(jnp.float32)                  # (bq, D)
-        k = k_ref[0, 0].astype(jnp.float32)                  # (bk, D)
+        D = q_ref.shape[-1]
+        # bf16 MXU passes with fp32 accumulation.
+        q = q_ref[0, 0].reshape(G * bq, D)
+        k = k_ref[0, 0]                                      # (bk, D)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * sm_scale                                          # (bq, bk)
+        ) * sm_scale                                          # (G*bq, bk) f32
         if softcap is not None:
             s = jnp.tanh(s / softcap) * softcap
 
-        rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (G * bq, bk), 0) % bq
+        cols = jax.lax.broadcasted_iota(jnp.int32, (G * bq, bk), 1)
         q_slot = prior + qi * bq + rows
         k_slot = ki * bk + cols
         allowed = k_slot <= q_slot
         if window is not None:
             allowed = jnp.logical_and(allowed, k_slot > q_slot - window)
-        if has_mask:
-            allowed = jnp.logical_and(allowed, mask_ref[0, 0, 0][None, :])
+        allowed = jnp.logical_and(allowed, mask_ref[0, 0, 0][None, :])
         s = jnp.where(allowed, s, NEG_INF)
 
-        m_prev = m_scr[...]                                   # (bq, LANES)
+        m_prev = m_scr[...]                                   # (G*bq, LANES)
         l_prev = l_scr[...]
-        m_curr = jnp.max(s, axis=1)[:, None]                  # (bq, 1)
-        m_next = jnp.maximum(m_prev, m_curr)                  # broadcast lanes
+        m_curr = jnp.max(s, axis=1)[:, None]
+        m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])                        # (bq, bk)
-        l_corr = alpha * l_prev
-        l_next = l_corr + jnp.sum(p, axis=1)[:, None]
+        p = jnp.exp(s - m_next[:, :1])
+        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
         m_scr[...] = m_next
-        l_scr[...] = l_next
 
-        v = v_ref[0, 0].astype(jnp.float32)                   # (bk, D)
-        acc_scr[...] = acc_scr[...] * alpha[:, : acc_scr.shape[-1]] + jax.lax.dot(
-            p, v, preferred_element_type=jnp.float32
+        v = v_ref[0, 0]                                       # (bk, D)
+        acc_scr[...] = acc_scr[...] * alpha[:, :D] + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
 
     @pl.when(ki == n_k - 1)
     def _store():
-        l = l_scr[...][:, : acc_scr.shape[-1]]
+        D = o_ref.shape[-1]
+        l = l_scr[...][:, :D]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype).reshape(G, bq, D)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "softcap", "window", "block_q", "block_k"),
+    static_argnames=(
+        "sm_scale", "softcap", "window", "block_q", "block_k", "interpret"
+    ),
 )
 def flash_attention(
     q: jax.Array,                    # (B, Hq, T, D)
@@ -126,7 +132,8 @@ def flash_attention(
     softcap: Optional[float] = None,
     window: Optional[int] = None,
     block_q: int = 256,
-    block_k: int = 512,
+    block_k: int = 1024,
+    interpret: bool = False,         # CPU-testable interpreter mode
 ) -> jax.Array:
     B, Hq, T, D = q.shape
     _, Hkv, S, _ = k.shape
@@ -135,15 +142,16 @@ def flash_attention(
     def up(x, m):
         return -(-x // m) * m
 
-    # Pad T/S to block multiples and D to the 128-lane width. Zero-padding is
-    # sound: padded K columns are causally masked (they sit beyond prior+T)
-    # and padded D lanes contribute zero to dot products.
+    # Pad T/S to block multiples; D stays unpadded when it is the full array
+    # dim (Pallas allows full-dim lanes < 128). Zero-padded K columns are
+    # causally masked (they sit beyond prior+T).
     bq = min(block_q, up(T, 8))
     bk = min(block_k, up(S, LANES))
     Tp, Sp = up(T, bq), up(S, bk)
-    Dp = up(max(D, LANES), LANES)
+    Dp = D if D % LANES == 0 or D in (64,) else up(D, LANES)
 
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, Tp - T), (0, Dp - D)))
+    qp = qp.reshape(B, Hkv, G, Tp, Dp)
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, Sp - S), (0, Dp - D)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, Sp - S), (0, Dp - D)))
     n_k = Sp // bk
@@ -154,26 +162,12 @@ def flash_attention(
         head_mask, ((0, 0), (0, 0), (0, Sp - S)), constant_values=True
     )[:, :, None, :]                      # (B, Hkv, 1, Sp): legal (1, bk) tiles
 
-    grid = (B, Hq, Tp // bq, n_k)
-
-    def q_map(b, h, qi, ki, prior):
-        return (b, h, qi, 0)
-
-    def kv_map(b, h, qi, ki, prior):
-        return (b, h // G, ki, 0)
-
-    def mask_map(b, h, qi, ki, prior):
-        return (b, h // G, 0, ki)
+    grid = (B, Hkv, Tp // bq, n_k)
 
     kernel = functools.partial(
         _kernel,
-        bq=bq,
-        bk=bk,
-        n_k=n_k,
-        sm_scale=sm_scale,
-        softcap=softcap,
-        window=window,
-        has_mask=True,
+        G=G, bq=bq, bk=bk, n_k=n_k,
+        sm_scale=sm_scale, softcap=softcap, window=window,
     )
     out = pl.pallas_call(
         kernel,
@@ -181,21 +175,24 @@ def flash_attention(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, bq, Dp), q_map),
-                pl.BlockSpec((1, 1, bk, Dp), kv_map),
-                pl.BlockSpec((1, 1, bk, Dp), kv_map),
-                pl.BlockSpec((1, 1, 1, bk), mask_map),
+                pl.BlockSpec((1, 1, G, bq, Dp), lambda b, h, qi, ki, p: (b, h, 0, qi, 0)),
+                pl.BlockSpec((1, 1, bk, Dp), lambda b, h, qi, ki, p: (b, h, ki, 0)),
+                pl.BlockSpec((1, 1, bk, Dp), lambda b, h, qi, ki, p: (b, h, ki, 0)),
+                pl.BlockSpec((1, 1, 1, bk), lambda b, h, qi, ki, p: (b, h, 0, ki)),
             ],
-            out_specs=pl.BlockSpec((1, 1, bq, Dp), q_map),
+            out_specs=pl.BlockSpec(
+                (1, 1, G, bq, Dp), lambda b, h, qi, ki, p: (b, h, 0, qi, 0)
+            ),
             scratch_shapes=[
-                pltpu.VMEM((bq, LANES), jnp.float32),
-                pltpu.VMEM((bq, LANES), jnp.float32),
-                pltpu.VMEM((bq, Dp), jnp.float32),
+                pltpu.VMEM((G * bq, LANES), jnp.float32),
+                pltpu.VMEM((G * bq, LANES), jnp.float32),
+                pltpu.VMEM((G * bq, Dp), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Hq, Tp, Dp), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, Tp, Dp), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
+        interpret=interpret,
     )(jnp.asarray([prior_length], jnp.int32).reshape(1), qp, kp, vp, maskp)
-    return out[:, :, :T, :D]
+    return out.reshape(B, Hq, Tp, Dp)[:, :, :T, :D]

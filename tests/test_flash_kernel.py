@@ -1,0 +1,42 @@
+"""Flash-attention kernel correctness on CPU via Pallas interpret mode (the
+same kernel runs compiled on TPU; tools/ scripts re-validate on chip)."""
+
+import functools
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from kvpress_tpu.ops.attention import attention_bias, gqa_attention
+from kvpress_tpu.ops.flash import flash_attention
+
+CASES = [
+    # B, Hq, Hkv, T, S, D, prior, window, softcap
+    (1, 4, 2, 256, 256, 64, 0, None, None),
+    (2, 8, 4, 200, 200, 64, 0, None, None),
+    (1, 4, 2, 128, 640, 128, 512, None, None),     # decode-ish: prior cache
+    (1, 4, 4, 256, 256, 64, 0, 64, None),          # sliding window
+    (1, 4, 2, 130, 130, 64, 0, None, 30.0),        # softcap + ragged T
+]
+
+
+@pytest.mark.parametrize("case", CASES, ids=[f"T{c[3]}S{c[4]}p{c[6]}" for c in CASES])
+def test_flash_matches_reference(case):
+    B, Hq, Hkv, T, S, D, prior, window, softcap = case
+    ks = jax.random.split(jax.random.PRNGKey(T + S + prior), 4)
+    q = jax.random.normal(ks[0], (B, Hq, T, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, Hkv, S, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, Hkv, S, D), jnp.float32)
+    mask = (jax.random.uniform(ks[3], (B, Hkv, S)) > 0.2).at[:, :, :8].set(True)
+
+    bias = attention_bias(
+        jnp.asarray(prior, jnp.int32), T, S, sliding_window=window, head_mask=mask
+    )
+    ref, _ = gqa_attention(q, k, v, bias, D**-0.5, softcap=softcap)
+    got = flash_attention(
+        q, k, v, jnp.asarray(prior, jnp.int32), mask,
+        sm_scale=D**-0.5, window=window, softcap=softcap,
+        block_q=64, block_k=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
