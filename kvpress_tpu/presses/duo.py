@@ -30,6 +30,63 @@ def load_duo_head_scores(path: str) -> tuple[int, int, np.ndarray]:
 
 
 @dataclasses.dataclass(frozen=True)
+class _MeanQKCollector(BasePress):
+    """Captures per-layer mean pre-RoPE queries/keys (post qk-norm)."""
+
+    def init_state(self, cfg, batch, seq_len, dtype=None):
+        L = cfg.num_layers
+        return {
+            "q": jnp.zeros((L, cfg.num_heads, cfg.head_dim), jnp.float32),
+            "k": jnp.zeros((L, cfg.num_kv_heads, cfg.head_dim), jnp.float32),
+        }
+
+    def layer_compress(self, ctx, keys, values, length, mask, state=None):
+        state = {
+            "q": ctx.queries_prerope.astype(jnp.float32).mean(axis=(0, 2)),
+            "k": ctx.keys_prerope.astype(jnp.float32).mean(axis=(0, 2)),
+        }
+        return keys, values, length, mask, state
+
+
+def duo_attention_on_the_fly(runner, params, samples, q_len: int = 500) -> np.ndarray:
+    """Experimental head scoring (reference duo_attention_on_the_fly,
+    :144-210): mean pre-RoPE q/k per layer over calibration samples, repeated
+    ``q_len`` times with RoPE, attention of the last query over all keys,
+    score = area under the cumulative attention curve, group-averaged.
+    Returns (L, H_kv) scores (higher = retrieval head)."""
+    from ..rope import apply_rope, rope_cos_sin
+
+    cfg = runner.cfg
+    Hq, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    G = Hq // Hkv
+    inv_freq = runner.inv_freq()
+    scores = np.zeros((cfg.num_layers, Hkv), np.float64)
+    collector = _MeanQKCollector()
+
+    positions = jnp.arange(q_len, dtype=jnp.int32)[None]
+    cos, sin = rope_cos_sin(inv_freq, positions, runner.attention_scaling)
+    cos, sin = cos[:, None], sin[:, None]                # (1, 1, q_len, D)
+
+    for ids in samples:
+        _, _, state = runner.prefill(
+            params, ids, press=collector, dtype=jnp.float32, compute_logits=False
+        )
+        mq = jnp.asarray(state["q"])                     # (L, Hq, D)
+        mk = jnp.asarray(state["k"])                     # (L, Hkv, D)
+        q = jnp.broadcast_to(mq[:, :, None], mq.shape[:2] + (q_len, D))
+        k = jnp.broadcast_to(mk[:, :, None], mk.shape[:2] + (q_len, D))
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        k_rep = jnp.repeat(k, G, axis=1)                 # (L, Hq, q_len, D)
+        attn = jnp.einsum("lhd,lhsd->lhs", q[:, :, -1], k_rep) / D**0.5
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+        s = jnp.cumsum(attn, axis=-1).mean(axis=-1)      # (L, Hq)
+        s = s.reshape(cfg.num_layers, Hkv, G).mean(axis=-1)
+        scores += np.asarray(s) / len(samples)
+    return scores
+
+
+@dataclasses.dataclass(frozen=True)
 class DuoAttentionPress(BasePress):
     head_compression_ratio: float = 0.0
     sink_size: int = 128

@@ -194,3 +194,25 @@ def test_expected_attention_stats(oracle):
         d = np.linalg.norm(k1[h][:, None] - k2[h][None], axis=-1)
         overlap = (d.min(axis=1) < 1e-5).mean()
         assert overlap > 0.7, overlap
+
+
+def test_duo_on_the_fly_scoring(oracle):
+    """On-the-fly head scores: right shape/range, reproducible, and usable as
+    the press artifact (reference duo_attention_on_the_fly, :144-210)."""
+    from kvpress_tpu.presses.duo import duo_attention_on_the_fly
+
+    ref, model, params, cfg, runner, ids = oracle
+    scores = duo_attention_on_the_fly(
+        runner, params, [jnp.asarray(ids)], q_len=64
+    )
+    assert scores.shape == (cfg.num_layers, cfg.num_kv_heads)
+    # area under a cumulative attention curve lies in (0, 1]
+    assert (scores > 0).all() and (scores <= 1.0 + 1e-6).all()
+
+    press = DuoAttentionPress(
+        head_compression_ratio=0.5, sink_size=4, recent_size=8,
+        head_scores=scores,
+    )
+    _, cache, _ = runner.prefill(params, jnp.asarray(ids), press=press, dtype=jnp.float32)
+    from kvpress_tpu.cache import masked_fraction
+    assert float(masked_fraction(cache)) > 0.2
