@@ -172,3 +172,61 @@ def test_gemma3_sliding_layers_not_compressed():
     lengths = [int(l) for l in cache.length]
     for i, sliding in enumerate(cfg.layer_is_sliding):
         assert lengths[i] == (24 if sliding else 12), (i, lengths)
+
+
+@pytest.mark.parametrize("scaling", [
+    {"rope_type": "yarn", "factor": 2.0, "original_max_position_embeddings": 64},
+    {"rope_type": "llama3", "factor": 2.0, "low_freq_factor": 1.0,
+     "high_freq_factor": 4.0, "original_max_position_embeddings": 64},
+    {"rope_type": "linear", "factor": 2.0},
+])
+def test_rope_scaling_parity(scaling):
+    """YaRN / llama3 / linear RoPE scaling vs transformers
+    (reference KeyRerotation tests cover default + YaRN, test_key_rerotation_press_rope.py)."""
+    import torch
+    from transformers import AutoModelForCausalLM, LlamaConfig
+
+    torch.manual_seed(0)
+    model = AutoModelForCausalLM.from_config(LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rope_scaling=dict(scaling)))
+    model.eval()
+    params, cfg = from_torch_model(model, dtype=jnp.float32)
+    runner = Runner.create(cfg)
+    ids = np.random.default_rng(0).integers(1, 256, (1, 96))
+    with torch.no_grad():
+        ref = model(torch.tensor(ids)).logits.float().numpy()
+    cache = init_cache(cfg, 1, 96, dtype=jnp.float32)
+    logits, _, _ = runner.forward(params, jnp.asarray(ids), cache)
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=3e-3, rtol=3e-3)
+
+
+def test_key_rerotation_under_yarn():
+    """KeyRerotation kept-KV parity vs the reference under YaRN scaling."""
+    import sys, torch
+    sys.path.insert(0, "/root/repo/tests")
+    from reference_oracle import load_reference, run_reference_press
+    from test_press_oracle import _match_sets
+    from transformers import AutoModelForCausalLM, LlamaConfig
+    from kvpress_tpu.presses import KeyRerotationPress, KnormPress
+
+    ref = load_reference()
+    torch.manual_seed(0)
+    model = AutoModelForCausalLM.from_config(LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256,
+        rope_scaling={"rope_type": "yarn", "factor": 2.0,
+                      "original_max_position_embeddings": 64}))
+    model.eval()
+    params, cfg = from_torch_model(model, dtype=jnp.float32)
+    runner = Runner.create(cfg)
+    ids = np.random.default_rng(1).permutation(256)[:96][None]
+
+    ref_kv = run_reference_press(
+        model, ref.KeyRerotationPress(press=ref.KnormPress(0.5)), ids
+    )
+    ours = KeyRerotationPress(press=KnormPress(0.5))
+    _, cache, _ = runner.prefill(params, jnp.asarray(ids), press=ours, dtype=jnp.float32)
+    _match_sets(ref_kv, cache.keys, cache.values, cache.length, atol=3e-3)
