@@ -15,7 +15,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from .base import BasePress, LayerCtx, ScorerPress
+from .base import BasePress, ScorerPress
 
 
 @dataclasses.dataclass(frozen=True)

@@ -148,3 +148,19 @@ def test_configure_press_dispatch():
     assert isinstance(p, DecodingPress)
     assert p.compression_interval == 7 and p.target_size == 128
     assert configure_press(EvaluationConfig(press_name="no_press")) is None
+
+
+def test_cli_parse_args_yaml_merge(tmp_path):
+    """defaults <- YAML <- CLI layering (reference evaluate.py:538-568)."""
+    from evaluate import parse_args
+
+    cfg_file = tmp_path / "cfg.yaml"
+    cfg_file.write_text("press_name: snapkv\ncompression_ratio: 0.75\nseed: 7\n")
+    cfg = parse_args([
+        "--config", str(cfg_file), "--compression_ratio", "0.25",
+        "--dataset", "ruler",
+    ])
+    assert cfg.press_name == "snapkv"       # from YAML
+    assert cfg.compression_ratio == 0.25    # CLI overrides YAML
+    assert cfg.seed == 7                    # from YAML
+    assert cfg.dataset == "ruler"           # CLI
