@@ -145,6 +145,7 @@ class Runner:
         press: Optional[BasePress],
         press_state,
         phase: str,
+        valid_len: Optional[jax.Array] = None,
     ):
         cfg = self.cfg
         apply_press = press is not None and (
@@ -193,6 +194,10 @@ class Runner:
             keys, values, new_len = append_layer_kv(
                 cache_layer["keys"], cache_layer["values"], prior_len, k, v
             )
+        if valid_len is not None:
+            # Bucketed prefill: only the first valid_len of the T tokens are
+            # real; pad slots stay beyond the valid length.
+            new_len = prior_len + valid_len
         mask = cache_layer["mask"]                     # (B, Hkv, S_buf)
 
         scale = (
@@ -256,6 +261,7 @@ class Runner:
                 inv_freq=inv_freq,
                 cfg=cfg,
                 attention_scaling=self.attention_scaling,
+                kv_len=valid_len if phase == "prefill" else None,
             )
             if phase == "prefill":
                 # Prefill into an empty cache: compress over the first T slots.
@@ -326,6 +332,7 @@ class Runner:
         compute_logits: bool = True,
         logits_last_only: bool = False,
         inputs_embeds: Optional[jax.Array] = None,   # (B, T, E) overrides ids
+        valid_len: Optional[jax.Array] = None,       # () int32: bucketed prefill
     ):
         """Run T tokens through all layers against (and appending to) cache.
 
@@ -333,6 +340,12 @@ class Runner:
         apply_press) compresses each layer's cache in the layer body — the
         functional analogue of the reference's prefill forward hook
         (base_press.py:101-162).
+
+        ``valid_len`` enables bucketed prefill: ids are padded to a bucket
+        size but only the first valid_len tokens are real. Causal slot
+        masking already keeps valid queries away from pad keys (pads come
+        after); cache length/offset advance by valid_len, presses receive
+        ctx.kv_len, and last-position logits read slot valid_len-1.
         """
         cfg = self.cfg
         if inputs_embeds is not None:
@@ -364,7 +377,7 @@ class Runner:
             )
             xh, ncl, nstate = self._layer_step(
                 xh, layer, cache_layer, positions, inv_freq, lid, sflag,
-                press, pstate, phase,
+                press, pstate, phase, valid_len,
             )
             return xh, (
                 ncl["keys"], ncl["values"], ncl["length"], ncl["mask"],
@@ -384,14 +397,17 @@ class Runner:
             cache,
             keys=nkeys, values=nvalues, length=nlens, mask=nmasks,
             key_scales=nks, value_scales=nvs,
-            offset=cache.offset + T,
+            offset=cache.offset + (T if valid_len is None else valid_len),
         )
 
         logits = None
         if compute_logits:
             x = rms_norm(x, params["ln_f"], cfg.rms_norm_eps, cfg.rms_one_offset)
             if logits_last_only:
-                x = x[:, -1:]
+                if valid_len is not None:
+                    x = jax.lax.dynamic_slice_in_dim(x, valid_len - 1, 1, axis=1)
+                else:
+                    x = x[:, -1:]
             head = params.get("lm_head")
             if head is None:
                 head = params["embed"].T
@@ -403,8 +419,10 @@ class Runner:
     # ------------------------------------------------------------------ #
 
     def prefill(self, params, ids, press=None, max_size=None, dtype=jnp.bfloat16,
-                compute_logits=False, quantized=False):
-        """Compress-on-prefill entry: build a fresh cache for ids (B, S)."""
+                compute_logits=False, quantized=False, valid_len=None):
+        """Compress-on-prefill entry: build a fresh cache for ids (B, S).
+
+        ``valid_len`` (traced) enables bucketed prefill over padded ids."""
         B, S = ids.shape
         max_size = max_size or S
         cache = init_cache(self.cfg, B, max_size, dtype=dtype, quantized=quantized)
@@ -415,5 +433,5 @@ class Runner:
         return self.forward(
             params, ids, cache, press=press, press_state=state,
             phase="prefill", compute_logits=compute_logits,
-            logits_last_only=True,
+            logits_last_only=True, valid_len=valid_len,
         )

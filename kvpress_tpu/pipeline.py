@@ -110,12 +110,14 @@ def _generate_answer(
 
 
 @partial(jax.jit, static_argnames=("runner", "press"))
-def _prefill(params, context_ids, *, runner: Runner, press):
-    # Exact-length prefill; press is static (part of the trace). Last-position
-    # logits are kept so empty-question generation can continue the context.
+def _prefill(params, context_ids, valid_len=None, *, runner: Runner, press):
+    # Prefill; press is static (part of the trace). Last-position logits are
+    # kept so empty-question generation can continue the context. valid_len
+    # (traced) enables bucketed prefill: one compile per bucket instead of
+    # one per context length.
     return runner.prefill(
         params, context_ids, press=press, compute_logits=True,
-        dtype=params["embed"].dtype,
+        dtype=params["embed"].dtype, valid_len=valid_len,
     )
 
 
@@ -204,6 +206,7 @@ class KVPressPipeline:
         temperature: float = 1.0,
         top_p: float = 1.0,
         seed: int = 0,
+        context_bucket: Optional[int] = None,
     ) -> dict:
         assert question is None or questions is None, (
             "Either question or questions should be provided, not both."
@@ -239,10 +242,20 @@ class KVPressPipeline:
             press = press.with_window(window)
 
         context_length = len(context_ids)
+        valid_len = None
+        if context_bucket is not None:
+            # Bucketed prefill: bounded compile count across context lengths.
+            assert press is None or not (
+                getattr(press, "multi_pass", False)
+                or getattr(press, "post_mask", False)
+            ), "context_bucket is not supported for multi-pass presses"
+            pad_to = -(-context_length // context_bucket) * context_bucket
+            context_ids = list(context_ids) + [0] * (pad_to - context_length)
+            valid_len = jnp.asarray(context_length, jnp.int32)
         ids = jnp.asarray(np.asarray(context_ids, np.int32))[None]
 
         prefill_logits, cache, press_state = _prefill(
-            self.params, ids, runner=self.runner, press=press
+            self.params, ids, valid_len, runner=self.runner, press=press
         )
         logger.debug("Context Length: %d", context_length)
         logger.debug("Compressed Context Length: %d", int(jnp.max(cache.length)))

@@ -163,17 +163,47 @@ class ScorerPress(BasePress):
         Budget-shaping presses (PyramidKV) override."""
         return jnp.asarray(self.n_kept(seq_len), jnp.int32)
 
+    # Whether the press scores correctly over bucket-padded prefill when the
+    # pad slots are masked out (true for per-token content scorers; presses
+    # whose statistics pool over the whole sequence must opt out or override
+    # dynamic_score).
+    supports_padding = True
+
+    def dynamic_score(self, ctx: LayerCtx, keys, values, length) -> jax.Array:
+        """Score against a traced valid ``length`` (bucketed prefill /
+        decode-time use). Default: plain score — sufficient for per-token
+        content scorers; the caller masks slots >= length."""
+        return self.score(ctx, keys, values)
+
     def layer_compress(self, ctx, keys, values, length, mask, state=None):
         if self.compression_ratio == 0.0:
             return keys, values, length, mask, state
         S = keys.shape[2]
         n_top = self.max_kept(S, ctx.cfg)
-        scores = self.score(ctx, keys, values).astype(jnp.float32)
+        B, H, _, _ = keys.shape
+        if ctx.kv_len is None:
+            scores = self.score(ctx, keys, values).astype(jnp.float32)
+            budget = self.budget(ctx, S)
+        else:
+            # Bucketed prefill: pad slots scored -inf; budget from the traced
+            # valid length (same int() floor as the reference).
+            assert self.supports_padding, (
+                f"{type(self).__name__} does not support bucketed prefill"
+            )
+            kv_len = jnp.asarray(ctx.kv_len, jnp.int32)
+            scores = self.dynamic_score(ctx, keys, values, kv_len)
+            scores = jnp.where(
+                jnp.arange(S)[None, None] < kv_len, scores.astype(jnp.float32),
+                -jnp.inf,
+            )
+            budget = jnp.maximum(
+                (kv_len.astype(jnp.float32)
+                 * (1 - self.compression_ratio)).astype(jnp.int32),
+                1,
+            )
         keys, values, idx = topk_keep(scores, keys, values, n_top)
-        budget = self.budget(ctx, S)
         new_length = jnp.minimum(budget, n_top).astype(jnp.int32)
         # Per-layer budgets below n_top are realized through length; the mask
         # stays all-True over the valid prefix.
-        B, H, _, _ = keys.shape
         new_mask = jnp.ones((B, H, keys.shape[2]), bool)
         return keys, values, new_length, new_mask, state

@@ -17,6 +17,7 @@ from .keydiff import _l2_normalize
 
 @dataclasses.dataclass(frozen=True)
 class CapPress(ScorerPress):
+    supports_padding = False  # query anchor pools over (padded) hidden states
     tau: float = 5.0
     n_future_positions: int = 512
     n_sink: int = 4

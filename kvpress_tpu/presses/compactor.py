@@ -21,6 +21,7 @@ def _z_norm(scores: jax.Array) -> jax.Array:
 
 @dataclasses.dataclass(frozen=True)
 class NonCausalAttnPress(ScorerPress):
+    supports_padding = False
     """Non-causal chunked attention column-sums × ||v||, pooled, z-normed
     (reference :46-122)."""
 
@@ -68,6 +69,7 @@ class NonCausalAttnPress(ScorerPress):
 
 @dataclasses.dataclass(frozen=True)
 class LeverageScorePress(ScorerPress):
+    supports_padding = False
     """Approximate statistical leverage of pre-RoPE keys via right Gaussian
     sketch + Cholesky solve with adaptive jitter (reference :46-110)."""
 
@@ -111,6 +113,7 @@ class LeverageScorePress(ScorerPress):
 
 @dataclasses.dataclass(frozen=True)
 class CompactorPress(ScorerPress):
+    supports_padding = False
     """blend·leverage + non_causal_attn with protected sink start/end
     (reference compactor_press.py:87-122)."""
 

@@ -13,6 +13,7 @@ from .base import LayerCtx, ScorerPress
 
 @dataclasses.dataclass(frozen=True)
 class CURPress(ScorerPress):
+    supports_padding = False  # local-window normalization over static blocks
     num_sinks: int = 4
     leverage_type: Literal["key", "value", "kv_avg", "kv_product"] = "kv_product"
     use_random_leverage: bool = False

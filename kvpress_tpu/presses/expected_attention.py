@@ -23,6 +23,7 @@ from .snapkv import group_mean
 
 @dataclasses.dataclass(frozen=True)
 class ExpectedAttentionPress(ScorerPress):
+    supports_padding = False  # query stats pool over (padded) hidden states
     n_future_positions: int = 512
     n_sink: int = 4
     use_covariance: bool = True

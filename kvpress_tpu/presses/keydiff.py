@@ -15,6 +15,7 @@ def _l2_normalize(x, axis=-1, eps=1e-12):
 
 @dataclasses.dataclass(frozen=True)
 class KeyDiffPress(ScorerPress):
+    supports_padding = False  # anchor = mean over (padded) keys
     def score(self, ctx: LayerCtx, keys, values):
         k = keys.astype(jnp.float32)
         anchor = _l2_normalize(k).mean(axis=2, keepdims=True)

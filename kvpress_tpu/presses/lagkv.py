@@ -17,6 +17,7 @@ from .base import LayerCtx, ScorerPress
 
 @dataclasses.dataclass(frozen=True)
 class LagKVPress(ScorerPress):
+    supports_padding = False  # static block partitioning
     n_sink: int = 4
     lag_size: int = 128
     cross_scoring: bool = False

@@ -70,22 +70,33 @@ class SnapKVPress(ScorerPress):
         return jnp.where(window_region, maxv, scores)
 
     def dynamic_score(self, ctx: LayerCtx, keys, values, length):
-        """Decode-time variant: the observation window is the last W *cache*
-        slots before the traced ``length``; queries are re-projected from the
-        press's hidden-state ring buffer (reference DecodingPress passes the
-        buffered hidden states to SnapKV.score the same way)."""
+        """Traced-length variant: the observation window is the last W valid
+        slots before ``length``. In bucketed prefill the post-RoPE queries are
+        available directly (dynamic slice); in the decode loop they are
+        re-projected from the press's hidden-state ring buffer (reference
+        DecodingPress passes buffered hidden states to SnapKV.score)."""
         from .decoding import _buffer_queries
 
         B, Hkv, S, _ = keys.shape
-        W = min(self.window_size, ctx.hidden.shape[1])
-        q_win = _buffer_queries(ctx, ctx.hidden[:, -W:], ctx.positions[:, -W:])
+        if ctx.queries.shape[2] == S:
+            # Bucketed prefill: queries aligned with cache slots.
+            W = min(self.window_size, S)
+            q_win = jax.lax.dynamic_slice_in_dim(
+                ctx.queries, length - W, W, axis=2
+            )
+        else:
+            W = min(self.window_size, ctx.hidden.shape[1])
+            q_win = _buffer_queries(ctx, ctx.hidden[:, -W:], ctx.positions[:, -W:])
         prior = length - W
         attn = window_attention_probs(q_win, keys, ctx.scale, prior)
         scores = attn.mean(axis=-2)                       # (B, Hq, S)
+        # Zero the window region before pooling so the boundary sees the same
+        # zero-padding as the exact-length path (which pools on [0, S-W)).
+        pos = jnp.arange(S)[None, None]
+        scores = jnp.where(pos >= length - W, 0.0, scores)
         scores = avg_pool_1d(scores, self.kernel_size)
         scores = group_mean(scores, Hkv)
         maxv = jnp.max(scores) + 1.0
-        pos = jnp.arange(S)[None, None]
         window_region = (pos >= length - W) & (pos < length)
         return jnp.where(window_region, maxv, scores)
 
@@ -110,9 +121,22 @@ class TOVAPress(ScorerPress):
         last = jnp.arange(S)[None, None] == S - 1
         return jnp.where(last, maxv, scores)
 
+    def dynamic_score(self, ctx: LayerCtx, keys, values, length):
+        """Traced-length variant for bucketed prefill: attention of the last
+        *valid* token."""
+        B, Hkv, S, _ = keys.shape
+        q_last = jax.lax.dynamic_slice_in_dim(ctx.queries, length - 1, 1, axis=2)
+        attn = window_attention_probs(q_last, keys, ctx.scale, length - 1)
+        scores = attn.mean(axis=1)[:, 0]                   # (B, S)
+        scores = jnp.broadcast_to(scores[:, None], (B, Hkv, S))
+        maxv = jnp.max(scores) + 1.0
+        last = jnp.arange(S)[None, None] == length - 1
+        return jnp.where(last, maxv, scores)
+
 
 @dataclasses.dataclass(frozen=True)
 class ObservedAttentionPress(ScorerPress):
+    supports_padding = False
     """Column mean of the actual prefill attention matrix, normalized by the
     number of queries that could see each key (observed_attention_press.py:34-49).
     Requires the probs-returning (eager-equivalent) attention path."""
@@ -133,6 +157,7 @@ class ObservedAttentionPress(ScorerPress):
 class PyramidKVPress(SnapKVPress):
     """SnapKV scoring + per-layer budget pyramid (pyramidkv_press.py:47-112)."""
 
+    supports_padding = False  # pyramid budgets derive from the static length
     beta: int = 20
 
     def _budgets(self, q_len: int, num_layers: int) -> list[int]:
