@@ -1,0 +1,136 @@
+"""Context-parallel prefill: the full model forward with the *sequence* axis
+sharded over the mesh, ring attention across shards, and shard-local press
+compaction (SURVEY §2.8/§5: the reference has no sequence parallelism; its
+nearest analogue is algorithmic chunking).
+
+Semantics: compression is applied per sequence shard — identical math to the
+single-device ``ChunkPress(press, chunk_length=S/N)`` (uniform compression
+along the sequence), which the equivalence test exploits. Dense layers run
+purely shard-local; the only cross-shard communication is the ring rotation
+of K/V blocks inside attention (point-to-point over ICI).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import ModelConfig
+from ..models.llama import Runner, _act, _project_qkv, rms_norm
+from ..presses.base import BasePress, LayerCtx
+from ..rope import apply_rope, rope_cos_sin
+from .ring import ring_self_attention
+
+
+def _local_forward(
+    params: dict,
+    ids_local: jax.Array,              # (B, S_local)
+    runner: Runner,
+    press: Optional[BasePress],
+    axis_name: str,
+):
+    cfg = runner.cfg
+    B, Sl = ids_local.shape
+    idx = jax.lax.axis_index(axis_name)
+    positions = idx * Sl + jnp.arange(Sl, dtype=jnp.int32)
+    positions = jnp.broadcast_to(positions[None], (B, Sl))
+    inv_freq = runner.inv_freq()
+    scale = (
+        cfg.query_pre_attn_scalar ** -0.5
+        if cfg.query_pre_attn_scalar is not None else cfg.head_dim ** -0.5
+    )
+
+    x = params["embed"][ids_local]
+    if cfg.scale_embeddings:
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
+
+    layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+
+    def body(carry, xs):
+        xh = carry
+        layer, lid = xs
+        h = rms_norm(xh, layer["ln1"], cfg.rms_norm_eps, cfg.rms_one_offset)
+        q_pre, k_pre, v = _project_qkv(layer, cfg, h)
+        cos, sin = rope_cos_sin(inv_freq, positions, runner.attention_scaling)
+        cos, sin = cos[:, None], sin[:, None]
+        q = apply_rope(q_pre, cos, sin)
+        k = apply_rope(k_pre, cos, sin)
+
+        attn_out = ring_self_attention(
+            q, k, v, axis_name=axis_name, sm_scale=scale
+        )
+
+        keys, values = k, v
+        length = jnp.asarray(Sl, jnp.int32)
+        mask = jnp.ones((B, cfg.num_kv_heads, Sl), bool)
+        if press is not None:
+            ctx = LayerCtx(
+                layer_idx=lid,
+                hidden=h,
+                queries=q,
+                queries_prerope=q_pre,
+                keys_prerope=k_pre,
+                positions=positions,
+                attn_probs=None,
+                layer_params=layer,
+                inv_freq=inv_freq,
+                cfg=cfg,
+                attention_scaling=runner.attention_scaling,
+            )
+            keys, values, length, mask, _ = press.layer_compress(
+                ctx, keys, values, length, mask, None
+            )
+
+        o = attn_out.transpose(0, 2, 1, 3).reshape(B, Sl, -1) @ layer["wo"]
+        if cfg.post_norms:
+            o = rms_norm(o, layer["ln1_post"], cfg.rms_norm_eps, cfg.rms_one_offset)
+        xh = xh + o
+        h2 = rms_norm(xh, layer["ln2"], cfg.rms_norm_eps, cfg.rms_one_offset)
+        mlp = _act(h2 @ layer["wg"], cfg.act) * (h2 @ layer["wu"])
+        mlp = mlp @ layer["wd"]
+        if cfg.post_norms:
+            mlp = rms_norm(mlp, layer["ln2_post"], cfg.rms_norm_eps, cfg.rms_one_offset)
+        xh = xh + mlp
+        return xh, (keys, values, length, mask)
+
+    x, (keys, values, lengths, masks) = jax.lax.scan(
+        body, x, (params["layers"], layer_ids)
+    )
+    return keys, values, lengths, masks
+
+
+@functools.partial(jax.jit, static_argnames=("runner", "press", "mesh", "axis"))
+def context_parallel_prefill(
+    params: dict,
+    ids: jax.Array,                     # (B, S), S divisible by mesh axis size
+    *,
+    runner: Runner,
+    press: Optional[BasePress] = None,
+    mesh: Mesh,
+    axis: str = "seq",
+):
+    """Returns per-layer (keys, values, lengths, masks) with the sequence
+    dimension sharded over ``axis``; each shard's valid prefix holds its
+    locally-kept entries (lengths is (L,) per shard, identical across shards
+    for uniform scorer presses)."""
+    fn = shard_map(
+        functools.partial(
+            _local_forward, runner=runner, press=press, axis_name=axis
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(None, axis)),
+        out_specs=(
+            P(None, None, None, axis, None),   # keys   (L,B,H,S,D)
+            P(None, None, None, axis, None),   # values
+            P(axis),                           # per-shard lengths (N*L,)
+            P(None, None, None, axis),         # masks
+        ),
+        check_vma=False,
+    )
+    return fn(params, ids)

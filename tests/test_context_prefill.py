@@ -1,0 +1,73 @@
+"""Context-parallel prefill equivalence: full-model forward with the sequence
+sharded over 8 devices + shard-local compression must equal the single-device
+prefill with ChunkPress(chunk_length = S/N) — the same math by construction."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+import kvpress_tpu as kp
+from kvpress_tpu.parallel.context_prefill import context_parallel_prefill
+from kvpress_tpu.presses import ChunkPress, KnormPress
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+S = 128
+N = 8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = kp.tiny_config()
+    params = kp.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    runner = kp.Runner.create(cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, S), 0, cfg.vocab_size)
+    mesh = Mesh(np.array(jax.devices()[:N]), axis_names=("seq",))
+    return cfg, params, runner, ids, mesh
+
+
+def test_uncompressed_keys_match_single_device(setup):
+    cfg, params, runner, ids, mesh = setup
+    keys, values, lengths, masks = context_parallel_prefill(
+        params, ids, runner=runner, press=None, mesh=mesh
+    )
+    _, cache, _ = runner.prefill(params, ids, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(keys), np.asarray(cache.keys), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(values), np.asarray(cache.values), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_compressed_matches_chunk_press(setup):
+    cfg, params, runner, ids, mesh = setup
+    press = KnormPress(compression_ratio=0.5)
+    keys, values, lengths, masks = context_parallel_prefill(
+        params, ids, runner=runner, press=press, mesh=mesh
+    )
+    # single-device reference: ChunkPress with chunk = shard size
+    ref_press = ChunkPress(press=press, chunk_length=S // N)
+    _, cache, _ = runner.prefill(params, ids, press=ref_press, dtype=jnp.float32)
+
+    Sl = S // N
+    kept = press.n_kept(Sl)
+    lengths = np.asarray(lengths).reshape(N, cfg.num_layers)
+    assert (lengths == kept).all()
+
+    got = np.asarray(keys)       # (L, B, H, S, D): per-shard kept at front
+    ref = np.asarray(cache.keys)  # (L, B, H, S, D): all kept at front
+    for layer in range(cfg.num_layers):
+        for h in range(cfg.num_kv_heads):
+            shard_rows = np.concatenate(
+                [got[layer, 0, h, s * Sl : s * Sl + kept] for s in range(N)]
+            )
+            ref_rows = ref[layer, 0, h, : N * kept]
+            # same kept sets (order within differs: chunk-concat vs per-shard)
+            d = np.linalg.norm(shard_rows[:, None] - ref_rows[None], axis=-1)
+            assert (d.min(axis=1) < 1e-4).all(), (layer, h)
+            assert (d.min(axis=0) < 1e-4).all(), (layer, h)
