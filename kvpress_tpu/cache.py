@@ -30,7 +30,7 @@ from .config import ModelConfig
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class KVCache:
-    keys: jax.Array                       # (L, B, H_kv, S_max, D) or int8 payload
+    keys: jax.Array                       # (L, B, H_kv, S_max, D) or int payload
     values: jax.Array                     # same shape as keys
     length: jax.Array                     # (L,) int32: valid entries per layer
     offset: jax.Array                     # () int32: logical (uncompressed) seq len
@@ -38,6 +38,9 @@ class KVCache:
     mask: Optional[jax.Array] = None      # (L, B, H_kv, S_max) bool
     key_scales: Optional[jax.Array] = None    # (L, B, H_kv, S_max, 1) f32 if quantized
     value_scales: Optional[jax.Array] = None
+    # Quantization width: 8 = int8 payload, 4 = two nibbles packed per uint8
+    # (payload last dim = D//2). Static pytree metadata.
+    bits: int = dataclasses.field(metadata=dict(static=True), default=8)
 
     @property
     def is_quantized(self) -> bool:
@@ -67,17 +70,20 @@ def init_cache(
     max_size: int,
     dtype=jnp.bfloat16,
     quantized: bool = False,
+    bits: int = 8,
 ) -> KVCache:
     L, H, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
-    shape = (L, batch, H, max_size, D)
     if quantized:
-        keys = jnp.zeros(shape, jnp.int8)
-        values = jnp.zeros(shape, jnp.int8)
+        assert bits in (8, 4)
+        payload_d = D if bits == 8 else D // 2
+        payload_t = jnp.int8 if bits == 8 else jnp.uint8
+        keys = jnp.zeros((L, batch, H, max_size, payload_d), payload_t)
+        values = jnp.zeros((L, batch, H, max_size, payload_d), payload_t)
         ks = jnp.ones((L, batch, H, max_size, 1), jnp.float32)
         vs = jnp.ones((L, batch, H, max_size, 1), jnp.float32)
     else:
-        keys = jnp.zeros(shape, dtype)
-        values = jnp.zeros(shape, dtype)
+        keys = jnp.zeros((L, batch, H, max_size, D), dtype)
+        values = jnp.zeros((L, batch, H, max_size, D), dtype)
         ks = vs = None
     return KVCache(
         keys=keys,
@@ -87,15 +93,40 @@ def init_cache(
         mask=None,
         key_scales=ks,
         value_scales=vs,
+        bits=bits,
     )
 
 
-def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Per-(token, head) symmetric int8 quantization along the head_dim axis."""
+def quantize_kv(x: jax.Array, bits: int = 8) -> tuple[jax.Array, jax.Array]:
+    """Per-(token, head) symmetric quantization along head_dim.
+
+    bits=8 → int8 payload; bits=4 → two nibbles packed per uint8 (payload
+    last dim D//2), the int4 analogue of the reference's quanto cache."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    scale = jnp.maximum(amax / 127.0, 1e-8)
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
-    return q, scale
+    if bits == 8:
+        scale = jnp.maximum(amax / 127.0, 1e-8)
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+        return q.astype(jnp.int8), scale
+    assert bits == 4 and x.shape[-1] % 2 == 0
+    scale = jnp.maximum(amax / 7.0, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -8, 7).astype(jnp.int32)
+    q = q + 8                                               # [0, 15]
+    lo, hi = q[..., 0::2], q[..., 1::2]
+    packed = (lo | (hi << 4)).astype(jnp.uint8)
+    return packed, scale
+
+
+def dequantize_kv(payload: jax.Array, scale: jax.Array, bits: int, dtype):
+    if bits == 8:
+        return (payload.astype(jnp.float32) * scale).astype(dtype)
+    p = payload.astype(jnp.int32)
+    lo = (p & 0xF) - 8
+    hi = (p >> 4) - 8
+    D2 = payload.shape[-1]
+    out = jnp.zeros(payload.shape[:-1] + (2 * D2,), jnp.float32)
+    out = out.at[..., 0::2].set(lo.astype(jnp.float32))
+    out = out.at[..., 1::2].set(hi.astype(jnp.float32))
+    return (out * scale).astype(dtype)
 
 
 def valid_mask(cache: KVCache) -> jax.Array:

@@ -146,6 +146,7 @@ class Runner:
         press_state,
         phase: str,
         valid_len: Optional[jax.Array] = None,
+        kv_bits: int = 8,
     ):
         cfg = self.cfg
         apply_press = press is not None and (
@@ -171,10 +172,10 @@ class Runner:
             # int8 storage: quantize the new K/V, store payload+scales, and
             # dequantize the whole buffer for attention/compression
             # (reference QuantizedCache interplay, base_press.py:152-157).
-            from ..cache import quantize_kv
+            from ..cache import dequantize_kv, quantize_kv
 
-            qk, k_scale = quantize_kv(k)
-            qv, v_scale = quantize_kv(v)
+            qk, k_scale = quantize_kv(k, kv_bits)
+            qv, v_scale = quantize_kv(v, kv_bits)
             qkeys = jax.lax.dynamic_update_slice_in_dim(
                 cache_layer["keys"], qk, prior_len, axis=2
             )
@@ -188,8 +189,8 @@ class Runner:
                 cache_layer["value_scales"], v_scale, prior_len, axis=2
             )
             new_len = prior_len + T
-            keys = (qkeys.astype(jnp.float32) * key_scales).astype(x.dtype)
-            values = (qvalues.astype(jnp.float32) * value_scales).astype(x.dtype)
+            keys = dequantize_kv(qkeys, key_scales, kv_bits, x.dtype)
+            values = dequantize_kv(qvalues, value_scales, kv_bits, x.dtype)
         else:
             keys, values, new_len = append_layer_kv(
                 cache_layer["keys"], cache_layer["values"], prior_len, k, v
@@ -289,8 +290,8 @@ class Runner:
         if quantized:
             if apply_press:
                 # Press moved/merged entries: requantize the buffers.
-                qkeys2, key_scales = quantize_kv(keys)
-                qvalues2, value_scales = quantize_kv(values)
+                qkeys2, key_scales = quantize_kv(keys, kv_bits)
+                qvalues2, value_scales = quantize_kv(values, kv_bits)
                 out_keys, out_values = qkeys2, qvalues2
             else:
                 # No press: keep the exact payloads written at append time
@@ -377,7 +378,7 @@ class Runner:
             )
             xh, ncl, nstate = self._layer_step(
                 xh, layer, cache_layer, positions, inv_freq, lid, sflag,
-                press, pstate, phase, valid_len,
+                press, pstate, phase, valid_len, cache.bits,
             )
             return xh, (
                 ncl["keys"], ncl["values"], ncl["length"], ncl["mask"],
@@ -419,13 +420,16 @@ class Runner:
     # ------------------------------------------------------------------ #
 
     def prefill(self, params, ids, press=None, max_size=None, dtype=jnp.bfloat16,
-                compute_logits=False, quantized=False, valid_len=None):
+                compute_logits=False, quantized=False, valid_len=None,
+                kv_bits=8):
         """Compress-on-prefill entry: build a fresh cache for ids (B, S).
 
         ``valid_len`` (traced) enables bucketed prefill over padded ids."""
         B, S = ids.shape
         max_size = max_size or S
-        cache = init_cache(self.cfg, B, max_size, dtype=dtype, quantized=quantized)
+        cache = init_cache(
+            self.cfg, B, max_size, dtype=dtype, quantized=quantized, bits=kv_bits
+        )
         state = (
             press.init_state(self.cfg, B, S, dtype=dtype)
             if press is not None else None

@@ -58,3 +58,32 @@ def test_quantized_press_and_decode(tiny):
         assert np.isfinite(np.asarray(logits)).all()
     assert int(cache.length[0]) == 24
     assert cache.keys.dtype == jnp.int8
+
+
+def test_int4_roundtrip():
+    from kvpress_tpu.cache import dequantize_kv
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 2, 16, 32))
+    q, s = quantize_kv(x, bits=4)
+    assert q.dtype == jnp.uint8 and q.shape[-1] == 16
+    err = jnp.max(jnp.abs(dequantize_kv(q, s, 4, jnp.float32) - x))
+    # int4: coarse but bounded by scale/2
+    assert float(err) <= float(jnp.max(s)) * 0.51
+
+
+def test_int4_prefill_press_decode(tiny):
+    cfg, params, runner = tiny
+    ids = jax.random.randint(jax.random.PRNGKey(4), (1, 40), 0, cfg.vocab_size)
+    press = KnormPress(compression_ratio=0.5)
+    _, cache, _ = runner.prefill(
+        params, ids, press=press, max_size=56, dtype=jnp.float32,
+        quantized=True, kv_bits=4,
+    )
+    assert cache.keys.dtype == jnp.uint8
+    assert cache.keys.shape[-1] == cfg.head_dim // 2    # packed nibbles
+    assert all(int(l) == 20 for l in cache.length)
+    tok = ids[:, -1:]
+    for _ in range(3):
+        logits, cache, _ = runner.forward(params, tok, cache, logits_last_only=True)
+        tok = jnp.argmax(logits, axis=-1)
+        assert np.isfinite(np.asarray(logits)).all()
+    assert int(cache.length[0]) == 23
