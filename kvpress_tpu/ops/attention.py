@@ -77,6 +77,63 @@ def gqa_attention(
     return out, None
 
 
+def chunked_window_probs_mean(
+    q_window: jax.Array,         # (B, Hq, W, D)
+    k: jax.Array,                # (B, Hkv, S, D)
+    scale: float,
+    prior_length: jax.Array,
+    chunk: int = 4096,
+) -> jax.Array:
+    """Column means over the window of softmax probs: (B, Hq, S), computed in
+    O(W·chunk) memory via a two-pass online softmax over key chunks — the
+    long-context path for observation-window presses (SnapKV at 128K would
+    otherwise materialize a W×S float32 matrix per layer)."""
+    B, Hq, W, D = q_window.shape
+    Hkv, S = k.shape[1], k.shape[2]
+    G = Hq // Hkv
+    qg = q_window.reshape(B, Hkv, G, W, D).astype(jnp.float32)
+    Sp = -(-S // chunk) * chunk
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, Sp - S), (0, 0))).astype(jnp.float32)
+    n_chunks = Sp // chunk
+    kc = kp.reshape(B, Hkv, n_chunks, chunk, D).transpose(2, 0, 1, 3, 4)
+
+    q_slot = prior_length + jnp.arange(W, dtype=jnp.int32)[:, None]
+
+    def logits_of(k_chunk, c):
+        s = jnp.einsum("bhgtd,bhsd->bhgts", qg, k_chunk,
+                       preferred_element_type=jnp.float32) * scale
+        k_slot = c * chunk + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+        allowed = (k_slot <= q_slot) & (k_slot < S)
+        return jnp.where(allowed[None, None, None], s, NEG_INF)
+
+    # Pass 1: per-row max and sum-exp.
+    def pass1(carry, xs):
+        m, l = carry
+        k_chunk, c = xs
+        s = logits_of(k_chunk, c)
+        m_new = jnp.maximum(m, s.max(axis=-1))
+        l = l * jnp.exp(m - m_new) + jnp.exp(
+            s - m_new[..., None]
+        ).sum(axis=-1)
+        return (m_new, l), None
+
+    m0 = jnp.full((B, Hkv, G, W), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((B, Hkv, G, W), jnp.float32)
+    (m, l), _ = jax.lax.scan(pass1, (m0, l0), (kc, jnp.arange(n_chunks)))
+    inv_l = jnp.where(l == 0.0, 0.0, 1.0 / l)
+
+    # Pass 2: normalized column means per chunk.
+    def pass2(_, xs):
+        k_chunk, c = xs
+        s = logits_of(k_chunk, c)
+        p = jnp.exp(s - m[..., None]) * inv_l[..., None]
+        return None, p.mean(axis=-2)                      # (B, Hkv, G, chunk)
+
+    _, cols = jax.lax.scan(pass2, None, (kc, jnp.arange(n_chunks)))
+    cols = cols.transpose(1, 2, 3, 0, 4).reshape(B, Hkv, G, Sp)[..., :S]
+    return cols.reshape(B, Hq, S)
+
+
 def window_attention_probs(
     q_window: jax.Array,         # (B, Hq, W, D) — last-W queries (post-RoPE)
     k: jax.Array,                # (B, Hkv, S, D)

@@ -53,15 +53,27 @@ class SnapKVPress(ScorerPress):
         prior = jnp.asarray(S - window_size, jnp.int32)
         return window_attention_probs(q_win, keys, ctx.scale, prior)
 
+    # Above this length the W×S probs matrix is replaced by a chunked two-pass
+    # column-mean (O(W·chunk) memory — the 128K enabler).
+    chunked_threshold = 8192
+
     def score(self, ctx: LayerCtx, keys, values):
+        from ..ops.attention import chunked_window_probs_mean
+
         B, Hkv, S, _ = keys.shape
         W = self.window_size
         assert S > W, f"Query length {S} should be greater than the window size {W}"
         if ctx.attn_probs is not None:
             attn = ctx.attn_probs[..., S - W :, : S - W].astype(jnp.float32)
+            scores = attn.mean(axis=-2)                   # (B, Hq, S-W)
+        elif S >= self.chunked_threshold:
+            scores = chunked_window_probs_mean(
+                ctx.queries[:, :, S - W :], keys, ctx.scale,
+                jnp.asarray(S - W, jnp.int32),
+            )[..., : S - W]
         else:
             attn = self.window_scores(ctx, keys, W)[..., : S - W]
-        scores = attn.mean(axis=-2)                       # (B, Hq, S-W)
+            scores = attn.mean(axis=-2)                   # (B, Hq, S-W)
         scores = avg_pool_1d(scores, self.kernel_size)
         scores = group_mean(scores, Hkv)                  # (B, Hkv, S-W)
         maxv = jnp.max(scores) + 1.0

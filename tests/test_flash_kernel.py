@@ -40,3 +40,19 @@ def test_flash_matches_reference(case):
         block_q=64, block_k=128, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_chunked_window_probs_mean_matches_dense():
+    from kvpress_tpu.ops.attention import (
+        chunked_window_probs_mean,
+        window_attention_probs,
+    )
+
+    B, Hq, Hkv, W, S, D = 1, 4, 2, 16, 640, 32
+    ks = jax.random.split(jax.random.PRNGKey(0), 2)
+    q = jax.random.normal(ks[0], (B, Hq, W, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, Hkv, S, D), jnp.float32)
+    prior = jnp.asarray(S - W, jnp.int32)
+    dense = window_attention_probs(q, k, D**-0.5, prior).mean(axis=-2)
+    chunked = chunked_window_probs_mean(q, k, D**-0.5, prior, chunk=128)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(dense), atol=1e-6)
