@@ -34,8 +34,19 @@ def _local_forward(
     runner: Runner,
     press: Optional[BasePress],
     axis_name: str,
+    model_axis: Optional[str] = None,
+    model_size: int = 1,
 ):
     cfg = runner.cfg
+    if model_size > 1:
+        # Tensor parallel within each sequence shard: local head/ffn counts.
+        cfg = dataclasses.replace(
+            cfg,
+            num_heads=cfg.num_heads // model_size,
+            num_kv_heads=cfg.num_kv_heads // model_size,
+            intermediate_size=cfg.intermediate_size // model_size,
+        )
+        runner = dataclasses.replace(runner, cfg=cfg)
     B, Sl = ids_local.shape
     idx = jax.lax.axis_index(axis_name)
     positions = idx * Sl + jnp.arange(Sl, dtype=jnp.int32)
@@ -88,12 +99,16 @@ def _local_forward(
             )
 
         o = attn_out.transpose(0, 2, 1, 3).reshape(B, Sl, -1) @ layer["wo"]
+        if model_axis is not None:
+            o = jax.lax.psum(o, model_axis)          # combine head shards
         if cfg.post_norms:
             o = rms_norm(o, layer["ln1_post"], cfg.rms_norm_eps, cfg.rms_one_offset)
         xh = xh + o
         h2 = rms_norm(xh, layer["ln2"], cfg.rms_norm_eps, cfg.rms_one_offset)
         mlp = _act(h2 @ layer["wg"], cfg.act) * (h2 @ layer["wu"])
         mlp = mlp @ layer["wd"]
+        if model_axis is not None:
+            mlp = jax.lax.psum(mlp, model_axis)      # combine ffn shards
         if cfg.post_norms:
             mlp = rms_norm(mlp, layer["ln2_post"], cfg.rms_norm_eps, cfg.rms_one_offset)
         xh = xh + mlp
@@ -105,7 +120,9 @@ def _local_forward(
     return keys, values, lengths, masks
 
 
-@functools.partial(jax.jit, static_argnames=("runner", "press", "mesh", "axis"))
+@functools.partial(
+    jax.jit, static_argnames=("runner", "press", "mesh", "axis", "model_axis")
+)
 def context_parallel_prefill(
     params: dict,
     ids: jax.Array,                     # (B, S), S divisible by mesh axis size
@@ -114,22 +131,52 @@ def context_parallel_prefill(
     press: Optional[BasePress] = None,
     mesh: Mesh,
     axis: str = "seq",
+    model_axis: Optional[str] = None,
 ):
     """Returns per-layer (keys, values, lengths, masks) with the sequence
-    dimension sharded over ``axis``; each shard's valid prefix holds its
-    locally-kept entries (lengths is (L,) per shard, identical across shards
-    for uniform scorer presses)."""
+    dimension sharded over ``axis`` and (optionally) heads/ffn sharded over
+    ``model_axis`` — 2D sp×tp: ring attention over ICI on the sequence axis,
+    one psum per attention/MLP block on the model axis. Each shard's valid
+    prefix holds its locally-kept entries."""
+    model_size = mesh.shape[model_axis] if model_axis is not None else 1
+    mp = model_axis
+
+    def layer_spec(name):
+        col_sharded = {"wq", "wk", "wv", "wg", "wu", "bq", "bk", "bv"}
+        row_sharded = {"wo", "wd"}
+        if mp is not None and name in col_sharded:
+            return P(None, None, mp) if name.startswith("w") else P(None, mp)
+        if mp is not None and name in row_sharded:
+            return P(None, mp, None)
+        return P()
+
+    params_spec = {
+        "embed": P(),
+        "ln_f": P(),
+        "layers": {k: layer_spec(k) for k in params["layers"]},
+    }
+    if "lm_head" in params:
+        params_spec["lm_head"] = P()
+    kv_spec = (
+        P(None, None, mp, axis, None) if mp is not None
+        else P(None, None, None, axis, None)
+    )
+    mask_spec = (
+        P(None, None, mp, axis) if mp is not None else P(None, None, None, axis)
+    )
+
     fn = shard_map(
         functools.partial(
-            _local_forward, runner=runner, press=press, axis_name=axis
+            _local_forward, runner=runner, press=press, axis_name=axis,
+            model_axis=model_axis, model_size=model_size,
         ),
         mesh=mesh,
-        in_specs=(P(), P(None, axis)),
+        in_specs=(params_spec, P(None, axis)),
         out_specs=(
-            P(None, None, None, axis, None),   # keys   (L,B,H,S,D)
-            P(None, None, None, axis, None),   # values
-            P(axis),                           # per-shard lengths (N*L,)
-            P(None, None, None, axis),         # masks
+            kv_spec,                           # keys   (L,B,H,S,D)
+            kv_spec,                           # values
+            P(axis) if mp is None else P((mp, axis)),  # per-shard lengths
+            mask_spec,                         # masks
         ),
         check_vma=False,
     )

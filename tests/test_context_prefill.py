@@ -71,3 +71,32 @@ def test_compressed_matches_chunk_press(setup):
             d = np.linalg.norm(shard_rows[:, None] - ref_rows[None], axis=-1)
             assert (d.min(axis=1) < 1e-4).all(), (layer, h)
             assert (d.min(axis=0) < 1e-4).all(), (layer, h)
+
+
+def test_2d_tp_sp_matches_chunk_press(setup):
+    """2D (model=2, seq=4) sp×tp prefill: kept sets still match ChunkPress."""
+    cfg, params, runner, ids, _ = setup
+    mesh2 = Mesh(
+        np.array(jax.devices()[:8]).reshape(2, 4), axis_names=("model", "seq")
+    )
+    press = KnormPress(compression_ratio=0.5)
+    keys, values, lengths, masks = context_parallel_prefill(
+        params, ids, runner=runner, press=press, mesh=mesh2,
+        axis="seq", model_axis="model",
+    )
+    ref_press = ChunkPress(press=press, chunk_length=S // 4)
+    _, cache, _ = runner.prefill(params, ids, press=ref_press, dtype=jnp.float32)
+
+    Sl = S // 4
+    kept = press.n_kept(Sl)
+    got = np.asarray(keys)
+    ref = np.asarray(cache.keys)
+    for layer in range(cfg.num_layers):
+        for h in range(cfg.num_kv_heads):
+            shard_rows = np.concatenate(
+                [got[layer, 0, h, s * Sl : s * Sl + kept] for s in range(4)]
+            )
+            ref_rows = ref[layer, 0, h, : 4 * kept]
+            d = np.linalg.norm(shard_rows[:, None] - ref_rows[None], axis=-1)
+            assert (d.min(axis=1) < 1e-4).all(), (layer, h)
+            assert (d.min(axis=0) < 1e-4).all(), (layer, h)
