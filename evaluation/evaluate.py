@@ -46,6 +46,7 @@ class EvaluationConfig:
     max_context_length: Optional[int] = None
     needle_depth: int = 50
     query_aware: bool = False
+    context_bucket: Optional[int] = None   # pad contexts to this bucket (padding-safe presses)
     seed: int = 42
     output_dir: str = "./results"
     press_artifact: Optional[str] = None         # qfilter/kvzap/lukv artifact
@@ -232,6 +233,7 @@ class EvaluationRunner:
                 press=self.press,
                 max_new_tokens=max_new,
                 max_context_length=cfg.max_context_length,
+                context_bucket=cfg.context_bucket,
             )
             answers = out.get("answers", [out.get("answer")])
             df.loc[group.index, "predicted_answer"] = answers
