@@ -109,8 +109,9 @@ def _generate_answer(
     return out, n, cache
 
 
-@partial(jax.jit, static_argnames=("runner", "press"))
-def _prefill(params, context_ids, valid_len=None, *, runner: Runner, press):
+@partial(jax.jit, static_argnames=("runner", "press", "quantized", "kv_bits"))
+def _prefill(params, context_ids, valid_len=None, *, runner: Runner, press,
+             quantized: bool = False, kv_bits: int = 8):
     # Prefill; press is static (part of the trace). Last-position logits are
     # kept so empty-question generation can continue the context. valid_len
     # (traced) enables bucketed prefill: one compile per bucket instead of
@@ -118,6 +119,7 @@ def _prefill(params, context_ids, valid_len=None, *, runner: Runner, press):
     return runner.prefill(
         params, context_ids, press=press, compute_logits=True,
         dtype=params["embed"].dtype, valid_len=valid_len,
+        quantized=quantized, kv_bits=kv_bits,
     )
 
 
@@ -207,6 +209,8 @@ class KVPressPipeline:
         top_p: float = 1.0,
         seed: int = 0,
         context_bucket: Optional[int] = None,
+        quantized: bool = False,     # int KV cache (reference: cache=QuantizedCache())
+        kv_bits: int = 8,            # 8 (int8) or 4 (packed nibbles)
     ) -> dict:
         assert question is None or questions is None, (
             "Either question or questions should be provided, not both."
@@ -255,7 +259,8 @@ class KVPressPipeline:
         ids = jnp.asarray(np.asarray(context_ids, np.int32))[None]
 
         prefill_logits, cache, press_state = _prefill(
-            self.params, ids, valid_len, runner=self.runner, press=press
+            self.params, ids, valid_len, runner=self.runner, press=press,
+            quantized=quantized, kv_bits=kv_bits,
         )
         logger.debug("Context Length: %d", context_length)
         logger.debug("Compressed Context Length: %d", int(jnp.max(cache.length)))

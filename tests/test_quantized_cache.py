@@ -87,3 +87,19 @@ def test_int4_prefill_press_decode(tiny):
         tok = jnp.argmax(logits, axis=-1)
         assert np.isfinite(np.asarray(logits)).all()
     assert int(cache.length[0]) == 23
+
+
+def test_pipeline_quantized_cache(tiny):
+    """Pipeline-level quantized cache (the reference's cache=QuantizedCache())."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from kvpress_tpu.pipeline import KVPressPipeline
+    from toy_tokenizer import ToyTokenizer
+
+    cfg, params, runner = tiny
+    pipe = KVPressPipeline(runner, params, ToyTokenizer(cfg.vocab_size))
+    ctx = " ".join(f"w{i}" for i in range(30))
+    for bits in (8, 4):
+        out = pipe(ctx, question="what ?", press=KnormPress(0.5),
+                   max_new_tokens=4, quantized=True, kv_bits=bits)
+        assert isinstance(out["answer"], str)

@@ -38,15 +38,16 @@ def cache_bytes(cache) -> int:
     return total
 
 
-def sweep(contexts, ratios, num_layers=16, batch=1, quantized=False):
+def sweep(contexts, ratios, num_layers=16, batch=1, quantized=False, kv_bits=8):
     cfg = flagship_config(num_layers=num_layers)
     runner = Runner.create(cfg)
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
 
-    @functools.partial(jax.jit, static_argnames=("press", "quantized"))
-    def prefill(params, ids, press=None, quantized=False):
+    @functools.partial(jax.jit, static_argnames=("press", "quantized", "kv_bits"))
+    def prefill(params, ids, press=None, quantized=False, kv_bits=8):
         logits, cache, _ = runner.prefill(
-            params, ids, press=press, quantized=quantized, compute_logits=True
+            params, ids, press=press, quantized=quantized, kv_bits=kv_bits,
+            compute_logits=True
         )
         return logits[0, -1, :8], cache
 
@@ -61,10 +62,10 @@ def sweep(contexts, ratios, num_layers=16, batch=1, quantized=False):
         for ratio in ratios:
             press = KnormPress(compression_ratio=ratio) if ratio > 0 else None
             # prefill timing
-            out, cache = prefill(params, ids, press=press, quantized=quantized)
+            out, cache = prefill(params, ids, press=press, quantized=quantized, kv_bits=kv_bits)
             jax.device_get(out)
             t0 = time.perf_counter()
-            out, cache = prefill(params, ids, press=press, quantized=quantized)
+            out, cache = prefill(params, ids, press=press, quantized=quantized, kv_bits=kv_bits)
             jax.device_get(out)
             prefill_s = time.perf_counter() - t0
 
@@ -86,6 +87,7 @@ def sweep(contexts, ratios, num_layers=16, batch=1, quantized=False):
                 "context": S,
                 "ratio": ratio,
                 "quantized": quantized,
+                "kv_bits": kv_bits if quantized else 16,
                 "prefill_s": round(prefill_s, 4),
                 "prefill_tok_s": round(S / prefill_s, 1),
                 "decode_ms_per_tok": round(decode_s * 1000, 3),
@@ -103,12 +105,13 @@ def main():
     p.add_argument("--num_layers", type=int, default=16)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--quantized", action="store_true")
+    p.add_argument("--kv_bits", type=int, default=8)
     p.add_argument("--output", default=None)
     args = p.parse_args()
 
     contexts = [int(x) for x in args.contexts.split(",")]
     ratios = [float(x) for x in args.ratios.split(",")]
-    rows = sweep(contexts, ratios, args.num_layers, args.batch, args.quantized)
+    rows = sweep(contexts, ratios, args.num_layers, args.batch, args.quantized, args.kv_bits)
     if args.output:
         Path(args.output).parent.mkdir(parents=True, exist_ok=True)
         Path(args.output).write_text(json.dumps(rows, indent=2))
