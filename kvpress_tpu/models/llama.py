@@ -200,6 +200,11 @@ class Runner:
             # real; pad slots stay beyond the valid length.
             new_len = prior_len + valid_len
         mask = cache_layer["mask"]                     # (B, Hkv, S_buf)
+        # Newly appended tokens are always attendable by every head — the
+        # append region may overlap slots a head-compacting press marked dead.
+        mask = jax.lax.dynamic_update_slice_in_dim(
+            mask, jnp.ones((B, cfg.num_kv_heads, T), bool), prior_len, axis=2
+        )
 
         scale = (
             cfg.query_pre_attn_scalar ** -0.5

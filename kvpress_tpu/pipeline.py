@@ -286,11 +286,14 @@ class KVPressPipeline:
             cache = press.apply_post_mask(cache, press_state)
 
         # Re-bucket the cache to realize compression memory savings, with room
-        # for the longest question + generation.
+        # for the longest question + generation. The host reads the actual
+        # post-compression length so head-compacting presses (AdaKV
+        # compact=True) shrink below their static bound.
         kept = (
             press.max_kept(context_length, self.runner.cfg)
             if press is not None else context_length
         )
+        kept = min(kept, int(jnp.max(cache.length)))
         max_q = max((len(q) for q in question_ids), default=0)
         cache = shrink(cache, kept + max_q + max_new_tokens + 1)
 

@@ -50,6 +50,22 @@ def compact_by_mask(keys, values, keep: jax.Array):
     return k2, v2, length
 
 
+def compact_headwise(keys, values, keep: jax.Array):
+    """Per-head compaction of a head-wise keep mask: each (batch, head) row's
+    kept entries move to the buffer front; the returned mask marks each head's
+    valid prefix and ``length`` is the max prefix (so a host-level shrink to
+    ``length`` realizes the memory saving that the reference's fake eviction
+    never can, attention_patch.py:47). Returns (keys, values, length, mask)."""
+    order = jnp.argsort(jnp.where(keep, 0, 1), axis=-1, stable=True)
+    k2 = jnp.take_along_axis(keys, order[..., None], axis=2)
+    v2 = jnp.take_along_axis(values, order[..., None], axis=2)
+    counts = jnp.sum(keep, axis=-1)                         # (B, H)
+    S = keys.shape[2]
+    new_mask = jnp.arange(S)[None, None, :] < counts[..., None]
+    length = jnp.max(counts).astype(jnp.int32)
+    return k2, v2, length, new_mask
+
+
 @dataclasses.dataclass(frozen=True)
 class AdaKVPress(BasePress):
     """Head-wise budget allocation (reference adakv_press.py:53-78): per-head
@@ -58,6 +74,11 @@ class AdaKVPress(BasePress):
 
     press: ScorerPress = None
     alpha_safeguard: float = 0.20
+    # Per-head compaction after masking: kept entries move to each head's
+    # buffer front so the buffer can shrink to the max head budget — a real
+    # memory/bandwidth saving unavailable to the reference's fake eviction.
+    # Off by default to keep the exact reference-observable mask layout.
+    compact: bool = False
 
     def __post_init__(self):
         assert isinstance(self.press, ScorerPress), "AdaKVPress requires a ScorerPress"
@@ -94,6 +115,10 @@ class AdaKVPress(BasePress):
             keep_flat, pruned_idx, False, axis=-1, inplace=False
         )
         new_mask = mask & keep_flat.reshape(B, H, S)
+        if self.compact:
+            keys, values, length, new_mask = compact_headwise(
+                keys, values, new_mask
+            )
         return keys, values, length, new_mask, state
 
 
@@ -168,6 +193,7 @@ class CriticalAdaKVPress(BasePress):
     alpha_safeguard: float = 0.20
     epsilon: float = 1e-4
     first_stage_ratio: float = 0.5
+    compact: bool = False     # per-head compaction (see AdaKVPress.compact)
 
     def __post_init__(self):
         assert isinstance(self.press, ScorerPress)
@@ -215,6 +241,10 @@ class CriticalAdaKVPress(BasePress):
         keep_flat = jnp.ones((B, H * S), bool)
         keep_flat = jnp.put_along_axis(keep_flat, pruned_idx, False, axis=-1, inplace=False)
         new_mask = mask & keep_flat.reshape(B, H, S)
+        if self.compact:
+            keys, values, length, new_mask = compact_headwise(
+                keys, values, new_mask
+            )
         return keys, values, length, new_mask, state
 
 
