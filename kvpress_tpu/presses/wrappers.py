@@ -89,16 +89,18 @@ class AdaKVPress(BasePress):
         return self.press.compression_ratio
 
     def masked_scores(self, ctx, keys, values) -> jax.Array:
-        """Scores after the per-head safeguard pinning."""
+        """Scores after the per-head safeguard pinning.
+
+        Selection is threshold-based (rank via double argsort) instead of
+        scatter: XLA scatters inside the layer scan compile pathologically
+        slowly on TPU at long context, and ranks are tie-exact."""
         scores = self.press.score(ctx, keys, values).astype(jnp.float32)
         S = keys.shape[2]
         n_kept = int(S * (1 - self.compression_ratio))
         n_safe = int(n_kept * self.alpha_safeguard)
         if n_safe > 0:
-            _, safe_idx = jax.lax.top_k(scores, n_safe)
-            scores = jnp.put_along_axis(
-                scores, safe_idx, BIG, axis=-1, inplace=False
-            )
+            rank = jnp.argsort(jnp.argsort(-scores, axis=-1), axis=-1)
+            scores = jnp.where(rank < n_safe, BIG, scores)
         return scores
 
     def layer_compress(self, ctx, keys, values, length, mask, state=None):
@@ -107,13 +109,10 @@ class AdaKVPress(BasePress):
         B, H, S, _ = keys.shape
         scores = self.masked_scores(ctx, keys, values)
         n_kept = int(S * (1 - self.compression_ratio))
-        n_pruned = H * (S - n_kept)
+        # Global keep = top n_kept*H across heads×seq, by flat rank.
         flat = scores.reshape(B, H * S)
-        _, pruned_idx = jax.lax.top_k(-flat, n_pruned)
-        keep_flat = jnp.ones((B, H * S), bool)
-        keep_flat = jnp.put_along_axis(
-            keep_flat, pruned_idx, False, axis=-1, inplace=False
-        )
+        flat_rank = jnp.argsort(jnp.argsort(-flat, axis=-1), axis=-1)
+        keep_flat = flat_rank < n_kept * H
         new_mask = mask & keep_flat.reshape(B, H, S)
         if self.compact:
             keys, values, length, new_mask = compact_headwise(
@@ -211,14 +210,14 @@ class CriticalAdaKVPress(BasePress):
         n_kept = int(S * (1 - self.compression_ratio))
         n_safe = int(n_kept * self.alpha_safeguard)
         if n_safe > 0:
-            _, safe_idx = jax.lax.top_k(scores, n_safe)
-            scores = jnp.put_along_axis(scores, safe_idx, BIG, axis=-1, inplace=False)
+            rank0 = jnp.argsort(jnp.argsort(-scores, axis=-1), axis=-1)
+            scores = jnp.where(rank0 < n_safe, BIG, scores)
 
-        # Head budgets: count of each head's slots in the global top n_kept*H.
+        # Head budgets: count of each head's slots in the global top n_kept*H
+        # (rank-based — scatters compile pathologically in the layer scan).
         flat = scores.reshape(B, H * S)
-        _, top_idx = jax.lax.top_k(flat, n_kept * H)
-        top_mask = jnp.zeros((B, H * S), bool)
-        top_mask = jnp.put_along_axis(top_mask, top_idx, True, axis=-1, inplace=False)
+        flat_rank = jnp.argsort(jnp.argsort(-flat, axis=-1), axis=-1)
+        top_mask = flat_rank < n_kept * H
         head_budgets = jnp.sum(top_mask.reshape(B, H, S), axis=(0, 2))   # (H,)
 
         # Stage 1: pin per-head top int(budget * first_stage_ratio) by rank.
@@ -234,12 +233,10 @@ class CriticalAdaKVPress(BasePress):
         rank = jnp.argsort(desc, axis=-1)
         scores = jnp.where(rank < head_budgets[None, :, None], BIG, scores)
 
-        # Global bottom-k prune → keep-mask.
-        n_pruned = H * (S - n_kept)
+        # Global keep = top n_kept*H by flat rank.
         flat = scores.reshape(B, H * S)
-        _, pruned_idx = jax.lax.top_k(-flat, n_pruned)
-        keep_flat = jnp.ones((B, H * S), bool)
-        keep_flat = jnp.put_along_axis(keep_flat, pruned_idx, False, axis=-1, inplace=False)
+        flat_rank = jnp.argsort(jnp.argsort(-flat, axis=-1), axis=-1)
+        keep_flat = flat_rank < n_kept * H
         new_mask = mask & keep_flat.reshape(B, H, S)
         if self.compact:
             keys, values, length, new_mask = compact_headwise(
