@@ -213,7 +213,7 @@ class Runner:
         )
         window = cfg.sliding_window if cfg.sliding_window is not None else None
         use_sliding = window is not None
-        return_probs = press is not None and press.needs_attn_probs and apply_press
+        return_probs = press is not None and apply_press and press.wants_probs(T)
 
         use_flash = self.attn_impl == "flash" and not return_probs and T > 1
         if use_flash:

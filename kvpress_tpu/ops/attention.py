@@ -134,6 +134,54 @@ def chunked_window_probs_mean(
     return cols.reshape(B, Hq, S)
 
 
+def chunked_observed_colsums(
+    queries: jax.Array,          # (B, Hq, S, D) — all post-RoPE prefill queries
+    keys: jax.Array,             # (B, Hkv, S, D)
+    scale: float,
+    softcap: Optional[float] = None,
+    chunk: int = 64,
+) -> jax.Array:
+    """Causal column sums of the full softmax attention matrix, (B, Hq, S),
+    without ever materializing it: queries are processed ``chunk`` rows at a
+    time, each chunk's rows softmaxed over the whole key axis and column-summed
+    into an accumulator. O(Hq·chunk·S) memory, same S²·D FLOPs as attention.
+
+    This is ObservedAttention's score (reference
+    observed_attention_press.py:34-49 reads ``attentions`` from eager output)
+    made viable at long context and under the flash path, where probs are
+    never produced."""
+    B, Hq, S, D = queries.shape
+    Hkv = keys.shape[1]
+    G = Hq // Hkv
+    Sp = -(-S // chunk) * chunk
+    qp = jnp.pad(queries, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+    n_chunks = Sp // chunk
+    qc = qp.reshape(B, Hkv, G, n_chunks, chunk, D).transpose(3, 0, 1, 2, 4, 5)
+    kf = keys.astype(jnp.float32)
+    k_slot = jnp.arange(S, dtype=jnp.int32)[None, :]
+
+    def step(acc, xs):
+        q_chunk, c = xs                               # (B, Hkv, G, chunk, D)
+        s = jnp.einsum(
+            "bhgtd,bhsd->bhgts", q_chunk.astype(jnp.float32), kf,
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if softcap is not None:
+            s = jnp.tanh(s / softcap) * softcap
+        q_pos = c * chunk + jnp.arange(chunk, dtype=jnp.int32)[:, None]
+        allowed = k_slot <= q_pos
+        s = jnp.where(allowed[None, None, None], s, NEG_INF)
+        p = jax.nn.softmax(s, axis=-1)
+        # Rows beyond S are padding: all-NEG_INF softmax is uniform, zero them.
+        row_valid = (q_pos[:, 0] < S)[None, None, None, :, None]
+        p = jnp.where(row_valid, p, 0.0)
+        return acc + p.sum(axis=-2), None             # (B, Hkv, G, S)
+
+    acc0 = jnp.zeros((B, Hkv, G, S), jnp.float32)
+    acc, _ = jax.lax.scan(step, acc0, (qc, jnp.arange(n_chunks)))
+    return acc.reshape(B, Hq, S)
+
+
 def window_attention_probs(
     q_window: jax.Array,         # (B, Hq, W, D) — last-W queries (post-RoPE)
     k: jax.Array,                # (B, Hkv, S, D)

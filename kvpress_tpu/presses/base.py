@@ -75,6 +75,12 @@ class BasePress:
     compresses_prefill = True
     compresses_decode = False
 
+    def wants_probs(self, q_len: int) -> bool:
+        """Whether the runner should use the probs-materializing (O(S²)
+        memory) attention path for a ``q_len``-token call. Presses with a
+        chunked long-context scorer override this to cap the cost."""
+        return self.needs_attn_probs
+
     def init_state(self, cfg: ModelConfig, batch: int, seq_len: int,
                    dtype=None):
         """Per-layer press state pytree, stacked over layers (leading dim L),

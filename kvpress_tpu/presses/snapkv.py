@@ -151,15 +151,35 @@ class ObservedAttentionPress(ScorerPress):
     supports_padding = False
     """Column mean of the actual prefill attention matrix, normalized by the
     number of queries that could see each key (observed_attention_press.py:34-49).
-    Requires the probs-returning (eager-equivalent) attention path."""
+
+    Below ``chunked_threshold`` tokens the runner materializes probs (the
+    eager-equivalent path). Above it — or whenever probs are unavailable, e.g.
+    under the flash kernel or inside a wrapper press — the same column sums
+    are recomputed from post-RoPE queries in query chunks without the S×S
+    matrix (ops/attention.py chunked_observed_colsums): O(Hq·chunk·S) memory,
+    which is what makes ObservedAttention usable at 128K."""
 
     needs_attn_probs = True
+    chunked_threshold = 8192
+
+    def wants_probs(self, q_len: int) -> bool:
+        return q_len < self.chunked_threshold
 
     def score(self, ctx: LayerCtx, keys, values):
-        assert ctx.attn_probs is not None, "runner must supply attention probs"
+        from ..ops.attention import chunked_observed_colsums
+
         B, Hkv, S, _ = keys.shape
-        attn = ctx.attn_probs.astype(jnp.float32)          # (B, Hq, S, S)
-        scores = attn.sum(axis=2)                          # (B, Hq, S)
+        if ctx.attn_probs is not None:
+            attn = ctx.attn_probs.astype(jnp.float32)      # (B, Hq, S, S)
+            scores = attn.sum(axis=2)                      # (B, Hq, S)
+        else:
+            Hq = ctx.queries.shape[1]
+            # Cap the chunk so the in-flight logits block stays ≲128 MB f32.
+            chunk = max(8, min(128, (32 << 20) // max(1, Hq * S)))
+            scores = chunked_observed_colsums(
+                ctx.queries, keys, ctx.scale,
+                softcap=ctx.cfg.logit_softcap, chunk=chunk,
+            )
         n_in_sum = jnp.arange(S, 0, -1, dtype=jnp.float32)
         scores = scores / n_in_sum[None, None]
         return group_mean(scores, Hkv)

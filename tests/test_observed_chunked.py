@@ -1,0 +1,87 @@
+"""ObservedAttention without materialized probs: the chunked column-sum path
+(ops/attention.py chunked_observed_colsums) must reproduce the eager-probs
+scoring exactly — this is what makes ObservedAttention work at long context
+and inside wrapper presses (reference observed_attention_press.py:34-49 can
+only read eager ``attentions``)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import kvpress_tpu as kp
+from kvpress_tpu.ops.attention import (
+    attention_bias,
+    chunked_observed_colsums,
+    gqa_attention,
+)
+from kvpress_tpu.presses import AdaKVPress, ObservedAttentionPress
+
+
+@pytest.mark.parametrize("softcap", [None, 30.0])
+@pytest.mark.parametrize("chunk", [8, 16, 64])
+def test_colsums_match_probs(softcap, chunk):
+    B, Hq, Hkv, S, D = 2, 4, 2, 50, 16
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kq, (B, Hq, S, D))
+    k = jax.random.normal(kk, (B, Hkv, S, D))
+    v = jax.random.normal(kv, (B, Hkv, S, D))
+    scale = D ** -0.5
+
+    bias = attention_bias(jnp.asarray(0, jnp.int32), S, S)
+    _, probs = gqa_attention(q, k, v, bias, scale, softcap=softcap,
+                             return_probs=True)
+    want = probs.astype(jnp.float32).sum(axis=2)          # (B, Hq, S)
+
+    got = chunked_observed_colsums(q, k, scale, softcap=softcap, chunk=chunk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+class _ForcedChunked(ObservedAttentionPress):
+    chunked_threshold = 0
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = kp.tiny_config()
+    params = kp.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    return cfg, params, kp.Runner.create(cfg)
+
+
+def test_chunked_path_matches_probs_path(tiny):
+    cfg, params, runner = tiny
+    S = 64
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, S), 0, cfg.vocab_size)
+
+    _, c_probs, _ = runner.prefill(
+        params, ids, press=ObservedAttentionPress(0.5), dtype=jnp.float32
+    )
+    _, c_chunk, _ = runner.prefill(
+        params, ids, press=_ForcedChunked(0.5), dtype=jnp.float32
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c_probs.length), np.asarray(c_chunk.length)
+    )
+    kept = int(c_probs.length[0])
+    np.testing.assert_allclose(
+        np.asarray(c_probs.keys[:, :, :, :kept]),
+        np.asarray(c_chunk.keys[:, :, :, :kept]),
+        atol=1e-5, rtol=1e-5,
+    )
+
+
+def test_observed_under_wrapper(tiny):
+    """Wrappers hand the inner press a probs-free ctx — previously an assert;
+    now the chunked path makes AdaKV(ObservedAttention) work."""
+    cfg, params, runner = tiny
+    S = 64
+    ids = jax.random.randint(jax.random.PRNGKey(2), (1, S), 0, cfg.vocab_size)
+    press = AdaKVPress(press=ObservedAttentionPress(0.5))
+    _, cache, _ = runner.prefill(params, ids, press=press, dtype=jnp.float32)
+    from kvpress_tpu.cache import masked_fraction
+
+    assert abs(float(masked_fraction(cache)) - 0.5) < 0.05
+    logits, _, _ = runner.forward(params, ids[:, -1:], cache,
+                                  logits_last_only=True)
+    assert np.isfinite(np.asarray(logits)).all()

@@ -26,6 +26,7 @@ from kvpress_tpu.presses import (
     LagKVPress,
     MergingPress,
     NonCausalAttnPress,
+    ObservedAttentionPress,
     RandomPress,
     SnapKVPress,
     StreamingLLMPress,
@@ -48,6 +49,7 @@ SCORERS = [
     CURPress(RATIO),
     CapPress(RATIO, n_future_positions=16),
     NonCausalAttnPress(RATIO, chunk_size=16),
+    ObservedAttentionPress(RATIO),  # chunked colsum path under wrappers
 ]
 
 WRAPPERS = [

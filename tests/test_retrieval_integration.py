@@ -41,6 +41,10 @@ def make_batch(rng, batch, depth=None):
 
 @pytest.fixture(scope="module")
 def trained():
+    # Drop every executable compiled by the ~230 preceding tests: the XLA CPU
+    # compile of the training step below intermittently segfaults when it runs
+    # late in a long-lived process with hundreds of live executables.
+    jax.clear_caches()
     cfg = tiny_config(vocab_size=80, num_layers=2, hidden_size=96,
                       num_heads=4, num_kv_heads=4, head_dim=24,
                       intermediate_size=192)

@@ -1,0 +1,91 @@
+"""End-to-end surface drive on the real TPU chip: exercises the public
+pipeline API the way a user would — prefill+compress+answer with the newest
+features (per-head compaction, int4 cache, bucketed prefill) plus edge-case
+probes. Prints one line per step; exits nonzero on any failure."""
+
+import pathlib
+import sys
+import time
+
+_ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_ROOT))
+sys.path.insert(0, str(_ROOT / "tests"))
+
+import jax
+import jax.numpy as jnp
+
+import kvpress_tpu as kp
+from kvpress_tpu.pipeline import KVPressPipeline
+from kvpress_tpu.presses import (
+    AdaKVPress,
+    ExpectedAttentionPress,
+    KnormPress,
+    ObservedAttentionPress,
+    SnapKVPress,
+)
+
+from toy_tokenizer import ToyTokenizer  # noqa: E402
+
+
+def main():
+    print(f"devices: {jax.devices()}")
+    cfg = kp.tiny_config()
+    params = kp.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    runner = kp.Runner.create(cfg)
+    pipe = KVPressPipeline(runner, params, ToyTokenizer(cfg.vocab_size))
+    ctx = " ".join(f"w{i % 97}" for i in range(300))
+
+    t0 = time.perf_counter()
+    out = pipe(ctx, question="what is w3 ?", max_new_tokens=8,
+               press=KnormPress(0.5))
+    print(f"step1 knorm: answer={out['answer']!r} "
+          f"({time.perf_counter() - t0:.1f}s)")
+    assert isinstance(out["answer"], str) and out["answer"]
+
+    t0 = time.perf_counter()
+    out = pipe(ctx, question="what is w3 ?", max_new_tokens=8,
+               press=AdaKVPress(press=ExpectedAttentionPress(0.5), compact=True))
+    print(f"step2 adakv-compact: answer={out['answer']!r} "
+          f"({time.perf_counter() - t0:.1f}s)")
+
+    t0 = time.perf_counter()
+    out = pipe(ctx, question="what is w3 ?", max_new_tokens=8,
+               press=SnapKVPress(0.5), quantized=True, kv_bits=4)
+    print(f"step3 snapkv-int4: answer={out['answer']!r} "
+          f"({time.perf_counter() - t0:.1f}s)")
+
+    t0 = time.perf_counter()
+    out = pipe(ctx, question="what is w3 ?", max_new_tokens=8,
+               press=KnormPress(0.5), context_bucket=512)
+    print(f"step4 bucketed(512): answer={out['answer']!r} "
+          f"({time.perf_counter() - t0:.1f}s)")
+
+    t0 = time.perf_counter()
+    out = pipe(ctx, question="what is w3 ?", max_new_tokens=8,
+               press=AdaKVPress(press=ObservedAttentionPress(0.5)))
+    print(f"step5 adakv-observed (chunked colsums): answer={out['answer']!r} "
+          f"({time.perf_counter() - t0:.1f}s)")
+
+    # probes
+    out = pipe(ctx, question="", max_new_tokens=4, press=KnormPress(0.5))
+    print(f"probe empty-question: answer={out['answer']!r}")
+    assert isinstance(out["answer"], str)
+
+    out = pipe(ctx, question="a ?", max_new_tokens=4, press=KnormPress(0.0))
+    print(f"probe ratio=0: answer={out['answer']!r}")
+
+    try:
+        pipe(ctx, question="a ?", press=KnormPress(1.5))
+        print("probe ratio=1.5: NO ERROR (unexpected)")
+    except Exception as e:
+        print(f"probe ratio=1.5: raised {type(e).__name__}: {e}")
+
+    # multi-question reuse of one compressed cache (compress-once contract)
+    outs = [pipe(ctx, question=q, max_new_tokens=4, press=KnormPress(0.5))
+            for q in ("what is w1 ?", "what is w2 ?")]
+    print(f"probe multi-question: {[o['answer'] for o in outs]}")
+    print("DRIVE OK")
+
+
+if __name__ == "__main__":
+    main()
