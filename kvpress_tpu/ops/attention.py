@@ -157,13 +157,14 @@ def chunked_observed_colsums(
     qp = jnp.pad(queries, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
     n_chunks = Sp // chunk
     qc = qp.reshape(B, Hkv, G, n_chunks, chunk, D).transpose(3, 0, 1, 2, 4, 5)
-    kf = keys.astype(jnp.float32)
     k_slot = jnp.arange(S, dtype=jnp.int32)[None, :]
 
     def step(acc, xs):
         q_chunk, c = xs                               # (B, Hkv, G, chunk, D)
+        # Native-dtype inputs (bf16 on chip) with f32 accumulation: full MXU
+        # rate, same numerics as the attention the scores are meant to mirror.
         s = jnp.einsum(
-            "bhgtd,bhsd->bhgts", q_chunk.astype(jnp.float32), kf,
+            "bhgtd,bhsd->bhgts", q_chunk, keys,
             preferred_element_type=jnp.float32,
         ) * scale
         if softcap is not None:
