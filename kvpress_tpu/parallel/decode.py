@@ -1,0 +1,160 @@
+"""Distributed decode against context-parallel KV shards.
+
+Closes the loop on ``context_parallel_prefill``: after the sequence-sharded
+prefill (+ shard-local compression), decode proceeds WITHOUT gathering the
+cache to one device. Every device runs the (replicated) dense compute for the
+new token and attends its local KV shard only; the per-shard softmax partials
+are combined with one ``pmax`` + ``psum`` pair per layer — the flash-decoding
+split-KV reduction, expressed as XLA collectives over the mesh's ICI axis
+(the reference has no distributed serving path at all; its device_map spreads
+layers, SURVEY §2.8).
+
+The new token's K/V are appended to the LAST shard's buffer (shard-local
+compression leaves tail slack in every shard, so the buffer grows into the
+space the press freed). Positions are logical: the caller threads ``offset``
+(original context length + tokens decoded so far) exactly like the
+single-device cache offset.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.llama import Runner, _act, _project_qkv, rms_norm
+from ..ops.attention import NEG_INF
+from ..rope import apply_rope, rope_cos_sin
+
+
+def _local_decode(
+    params: dict,
+    tok: jax.Array,                    # (B, 1) next-token ids, replicated
+    keys: jax.Array,                   # (L, B, H, Sl, D) local shard
+    values: jax.Array,
+    lengths: jax.Array,                # (L,) local per-layer valid lengths
+    masks: jax.Array,                  # (L, B, H, Sl) local keep-masks
+    offset: jax.Array,                 # () int32 — logical position of tok
+    runner: Runner,
+    axis_name: str,
+):
+    cfg = runner.cfg
+    B = tok.shape[0]
+    n_shards = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    is_last = idx == n_shards - 1
+    inv_freq = runner.inv_freq()
+    scale = (
+        cfg.query_pre_attn_scalar ** -0.5
+        if cfg.query_pre_attn_scalar is not None else cfg.head_dim ** -0.5
+    )
+    G = cfg.num_heads // cfg.num_kv_heads
+    Sl = keys.shape[3]
+
+    x = params["embed"][tok]
+    if cfg.scale_embeddings:
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
+    positions = jnp.broadcast_to(offset[None, None], (B, 1)).astype(jnp.int32)
+
+    def body(carry, xs):
+        xh = carry
+        layer, k_loc, v_loc, length, mask = xs
+        h = rms_norm(xh, layer["ln1"], cfg.rms_norm_eps, cfg.rms_one_offset)
+        q_pre, k_pre, v = _project_qkv(layer, cfg, h)
+        cos, sin = rope_cos_sin(inv_freq, positions, runner.attention_scaling)
+        cos, sin = cos[:, None], sin[:, None]
+        q = apply_rope(q_pre, cos, sin)                     # (B, Hq, 1, D)
+        k_new = apply_rope(k_pre, cos, sin)                 # (B, Hkv, 1, D)
+
+        # Append onto the last shard only (it owns the decode tail).
+        slot = jnp.minimum(length, Sl - 1)
+        k_app = jax.lax.dynamic_update_slice_in_dim(
+            k_loc, k_new.astype(k_loc.dtype), slot, axis=2
+        )
+        v_app = jax.lax.dynamic_update_slice_in_dim(
+            v_loc, v.astype(v_loc.dtype), slot, axis=2
+        )
+        m_app = jax.lax.dynamic_update_slice_in_dim(
+            mask, jnp.ones((B, cfg.num_kv_heads, 1), bool), slot, axis=2
+        )
+        k_loc = jnp.where(is_last, k_app, k_loc)
+        v_loc = jnp.where(is_last, v_app, v_loc)
+        mask_n = jnp.where(is_last, m_app, mask)
+        length_n = jnp.where(is_last, length + 1, length)
+
+        # Shard-local softmax partials, then the split-KV combine:
+        # m_g = pmax(m_s);  out = psum(exp(s - m_g) @ V) / psum(sum exp(s - m_g))
+        qg = q.reshape(B, cfg.num_kv_heads, G, cfg.head_dim)
+        s = jnp.einsum(
+            "bhgd,bhsd->bhgs", qg, k_loc, preferred_element_type=jnp.float32
+        ) * scale
+        if cfg.logit_softcap is not None:
+            s = jnp.tanh(s / cfg.logit_softcap) * cfg.logit_softcap
+        valid = mask_n & (jnp.arange(Sl)[None, None] < length_n)
+        s = jnp.where(valid[:, :, None], s, NEG_INF)
+        m_s = jnp.max(s, axis=-1)                            # (B, Hkv, G)
+        m_g = jax.lax.pmax(m_s, axis_name)
+        p = jnp.exp(s - m_g[..., None])
+        l_s = jnp.sum(p, axis=-1)
+        acc_s = jnp.einsum("bhgs,bhsd->bhgd", p.astype(v_loc.dtype), v_loc,
+                           preferred_element_type=jnp.float32)
+        l_g = jax.lax.psum(l_s, axis_name)
+        acc_g = jax.lax.psum(acc_s, axis_name)
+        attn = (acc_g / jnp.maximum(l_g, 1e-30)[..., None]).astype(xh.dtype)
+        attn = attn.reshape(B, cfg.num_heads, 1, cfg.head_dim)
+
+        o = attn.transpose(0, 2, 1, 3).reshape(B, 1, -1) @ layer["wo"]
+        if cfg.post_norms:
+            o = rms_norm(o, layer["ln1_post"], cfg.rms_norm_eps, cfg.rms_one_offset)
+        xh = xh + o
+        h2 = rms_norm(xh, layer["ln2"], cfg.rms_norm_eps, cfg.rms_one_offset)
+        mlp = _act(h2 @ layer["wg"], cfg.act) * (h2 @ layer["wu"])
+        mlp = mlp @ layer["wd"]
+        if cfg.post_norms:
+            mlp = rms_norm(mlp, layer["ln2_post"], cfg.rms_norm_eps, cfg.rms_one_offset)
+        xh = xh + mlp
+        return xh, (k_loc, v_loc, length_n, mask_n)
+
+    x, (keys, values, lengths, masks) = jax.lax.scan(
+        body, x, (params["layers"], keys, values, lengths, masks)
+    )
+    x = rms_norm(x, params["ln_f"], cfg.rms_norm_eps, cfg.rms_one_offset)
+    head = params.get("lm_head", params["embed"].T)
+    logits = (x @ head).astype(jnp.float32)
+    if cfg.logit_softcap:
+        logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
+    return logits, keys, values, lengths, masks
+
+
+@functools.partial(jax.jit, static_argnames=("runner", "mesh", "axis"))
+def context_parallel_decode_step(
+    params: dict,
+    tok: jax.Array,                     # (B, 1)
+    shards,                             # (keys, values, lengths, masks) from prefill
+    offset: jax.Array,                  # () int32 logical position of tok
+    *,
+    runner: Runner,
+    mesh: Mesh,
+    axis: str = "seq",
+):
+    """One decode step against sequence-sharded KV. Returns
+    (logits (B, 1, V), updated shards, offset+1). 1D ``seq`` meshes only —
+    pair with context_parallel_prefill(model_axis=None)."""
+    keys, values, lengths, masks = shards
+    kv_spec = P(None, None, None, axis, None)
+    mask_spec = P(None, None, None, axis)
+    fn = shard_map(
+        functools.partial(_local_decode, runner=runner, axis_name=axis),
+        mesh=mesh,
+        in_specs=(P(), P(), kv_spec, kv_spec, P(axis), mask_spec, P()),
+        out_specs=(P(), kv_spec, kv_spec, P(axis), mask_spec),
+        check_vma=False,
+    )
+    logits, keys, values, lengths, masks = fn(
+        params, tok, keys, values, lengths, masks, offset
+    )
+    return logits, (keys, values, lengths, masks), offset + 1

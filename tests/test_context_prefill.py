@@ -100,3 +100,42 @@ def test_2d_tp_sp_matches_chunk_press(setup):
             d = np.linalg.norm(shard_rows[:, None] - ref_rows[None], axis=-1)
             assert (d.min(axis=1) < 1e-4).all(), (layer, h)
             assert (d.min(axis=0) < 1e-4).all(), (layer, h)
+
+
+def test_distributed_decode_matches_single_device(setup):
+    """Flash-decoding-style split-KV decode over the seq mesh == single-device
+    decode on the ChunkPress-equivalent cache (same kept sets ⇒ same softmax,
+    combined via pmax/psum partials instead of a gathered cache)."""
+    from kvpress_tpu.parallel.decode import context_parallel_decode_step
+
+    cfg, params, runner, ids, mesh = setup
+    press = KnormPress(compression_ratio=0.5)
+    shards = context_parallel_prefill(
+        params, ids, runner=runner, press=press, mesh=mesh
+    )
+    ref_press = ChunkPress(press=press, chunk_length=S // N)
+    _, cache, _ = runner.prefill(params, ids, press=ref_press, dtype=jnp.float32)
+
+    tok = ids[:, -1:]
+    offset = jnp.asarray(S, jnp.int32)
+    lg_ref, cache, _ = runner.forward(params, tok, cache, logits_last_only=True)
+    lg, shards, offset = context_parallel_decode_step(
+        params, tok, shards, offset, runner=runner, mesh=mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(lg)[:, 0], np.asarray(lg_ref)[:, 0], atol=2e-4, rtol=1e-3
+    )
+
+    # greedy next token, step again: the appended K/V live on the last shard
+    tok2 = jnp.argmax(lg[:, -1:], axis=-1).astype(jnp.int32)
+    lg_ref2, cache, _ = runner.forward(params, tok2, cache, logits_last_only=True)
+    lg2, shards, offset = context_parallel_decode_step(
+        params, tok2, shards, offset, runner=runner, mesh=mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(lg2)[:, 0], np.asarray(lg_ref2)[:, 0], atol=2e-4, rtol=1e-3
+    )
+    lengths = np.asarray(shards[2]).reshape(N, cfg.num_layers)
+    kept = press.n_kept(S // N)
+    assert (lengths[:-1] == kept).all()
+    assert (lengths[-1] == kept + 2).all()
