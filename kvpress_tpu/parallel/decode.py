@@ -34,15 +34,28 @@ from ..rope import apply_rope, rope_cos_sin
 def _local_decode(
     params: dict,
     tok: jax.Array,                    # (B, 1) next-token ids, replicated
-    keys: jax.Array,                   # (L, B, H, Sl, D) local shard
+    keys: jax.Array,                   # (L, B, H_local, Sl, D) local shard
     values: jax.Array,
     lengths: jax.Array,                # (L,) local per-layer valid lengths
-    masks: jax.Array,                  # (L, B, H, Sl) local keep-masks
+    masks: jax.Array,                  # (L, B, H_local, Sl) local keep-masks
     offset: jax.Array,                 # () int32 — logical position of tok
     runner: Runner,
     axis_name: str,
+    model_axis: Optional[str] = None,
+    model_size: int = 1,
 ):
+    import dataclasses
+
     cfg = runner.cfg
+    if model_size > 1:
+        # 2D sp×tp: local head/ffn counts, exactly as the prefill side.
+        cfg = dataclasses.replace(
+            cfg,
+            num_heads=cfg.num_heads // model_size,
+            num_kv_heads=cfg.num_kv_heads // model_size,
+            intermediate_size=cfg.intermediate_size // model_size,
+        )
+        runner = dataclasses.replace(runner, cfg=cfg)
     B = tok.shape[0]
     n_shards = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
@@ -108,12 +121,16 @@ def _local_decode(
         attn = attn.reshape(B, cfg.num_heads, 1, cfg.head_dim)
 
         o = attn.transpose(0, 2, 1, 3).reshape(B, 1, -1) @ layer["wo"]
+        if model_axis is not None:
+            o = jax.lax.psum(o, model_axis)
         if cfg.post_norms:
             o = rms_norm(o, layer["ln1_post"], cfg.rms_norm_eps, cfg.rms_one_offset)
         xh = xh + o
         h2 = rms_norm(xh, layer["ln2"], cfg.rms_norm_eps, cfg.rms_one_offset)
         mlp = _act(h2 @ layer["wg"], cfg.act) * (h2 @ layer["wu"])
         mlp = mlp @ layer["wd"]
+        if model_axis is not None:
+            mlp = jax.lax.psum(mlp, model_axis)
         if cfg.post_norms:
             mlp = rms_norm(mlp, layer["ln2_post"], cfg.rms_norm_eps, cfg.rms_one_offset)
         xh = xh + mlp
@@ -130,7 +147,9 @@ def _local_decode(
     return logits, keys, values, lengths, masks
 
 
-@functools.partial(jax.jit, static_argnames=("runner", "mesh", "axis"))
+@functools.partial(
+    jax.jit, static_argnames=("runner", "mesh", "axis", "model_axis")
+)
 def context_parallel_decode_step(
     params: dict,
     tok: jax.Array,                     # (B, 1)
@@ -140,18 +159,48 @@ def context_parallel_decode_step(
     runner: Runner,
     mesh: Mesh,
     axis: str = "seq",
+    model_axis: Optional[str] = None,
 ):
     """One decode step against sequence-sharded KV. Returns
-    (logits (B, 1, V), updated shards, offset+1). 1D ``seq`` meshes only —
-    pair with context_parallel_prefill(model_axis=None)."""
+    (logits (B, 1, V), updated shards, offset+1). Pair ``axis``/``model_axis``
+    with the same arguments given to context_parallel_prefill (1D seq, or 2D
+    sp×tp with heads/ffn over ``model_axis``)."""
     keys, values, lengths, masks = shards
-    kv_spec = P(None, None, None, axis, None)
-    mask_spec = P(None, None, None, axis)
+    model_size = mesh.shape[model_axis] if model_axis is not None else 1
+    mp = model_axis
+
+    def layer_spec(name):
+        col_sharded = {"wq", "wk", "wv", "wg", "wu", "bq", "bk", "bv"}
+        row_sharded = {"wo", "wd"}
+        if mp is not None and name in col_sharded:
+            return P(None, None, mp) if name.startswith("w") else P(None, mp)
+        if mp is not None and name in row_sharded:
+            return P(None, mp, None)
+        return P()
+
+    params_spec = {
+        "embed": P(),
+        "ln_f": P(),
+        "layers": {k: layer_spec(k) for k in params["layers"]},
+    }
+    if "lm_head" in params:
+        params_spec["lm_head"] = P()
+    kv_spec = (
+        P(None, None, mp, axis, None) if mp is not None
+        else P(None, None, None, axis, None)
+    )
+    mask_spec = (
+        P(None, None, mp, axis) if mp is not None else P(None, None, None, axis)
+    )
+    len_spec = P(axis) if mp is None else P((mp, axis))
     fn = shard_map(
-        functools.partial(_local_decode, runner=runner, axis_name=axis),
+        functools.partial(
+            _local_decode, runner=runner, axis_name=axis,
+            model_axis=model_axis, model_size=model_size,
+        ),
         mesh=mesh,
-        in_specs=(P(), P(), kv_spec, kv_spec, P(axis), mask_spec, P()),
-        out_specs=(P(), kv_spec, kv_spec, P(axis), mask_spec),
+        in_specs=(params_spec, P(), kv_spec, kv_spec, len_spec, mask_spec, P()),
+        out_specs=(P(), kv_spec, kv_spec, len_spec, mask_spec),
         check_vma=False,
     )
     logits, keys, values, lengths, masks = fn(

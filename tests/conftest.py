@@ -15,7 +15,22 @@ import jax  # noqa: E402
 # overrides the env var — force CPU explicitly for the test suite.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-# Persistent compile cache: press×shape matrix tests recompile heavily otherwise.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# NO persistent compile cache: a crashed run leaves truncated entries whose
+# zstd decompress SEGFAULTS every later run that reads them (observed twice,
+# in compilation_cache.get_executable_and_time). Within-run reuse is already
+# covered by the in-process jit cache; the persistent cache only ever helped
+# across runs and is not worth the poisoning risk.
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_live_executables():
+    """XLA CPU compile intermittently SEGFAULTs/aborts late in a long suite
+    run once hundreds of executables are live in one process (seen in
+    backend_compile and in persistent-cache reads). Dropping compiled
+    executables at every module boundary keeps the count bounded; module
+    fixtures are already scoped to recompile after this."""
+    yield
+    jax.clear_caches()

@@ -139,3 +139,30 @@ def test_distributed_decode_matches_single_device(setup):
     kept = press.n_kept(S // N)
     assert (lengths[:-1] == kept).all()
     assert (lengths[-1] == kept + 2).all()
+
+
+def test_distributed_decode_2d_matches_single_device(setup):
+    """2D (model=2, seq=4) sp×tp distributed decode == single-device decode."""
+    from kvpress_tpu.parallel.decode import context_parallel_decode_step
+
+    cfg, params, runner, ids, _ = setup
+    mesh2 = Mesh(
+        np.array(jax.devices()[:8]).reshape(2, 4), axis_names=("model", "seq")
+    )
+    press = KnormPress(compression_ratio=0.5)
+    shards = context_parallel_prefill(
+        params, ids, runner=runner, press=press, mesh=mesh2,
+        axis="seq", model_axis="model",
+    )
+    ref_press = ChunkPress(press=press, chunk_length=S // 4)
+    _, cache, _ = runner.prefill(params, ids, press=ref_press, dtype=jnp.float32)
+
+    tok = ids[:, -1:]
+    lg_ref, _, _ = runner.forward(params, tok, cache, logits_last_only=True)
+    lg, shards, _ = context_parallel_decode_step(
+        params, tok, shards, jnp.asarray(S, jnp.int32),
+        runner=runner, mesh=mesh2, axis="seq", model_axis="model",
+    )
+    np.testing.assert_allclose(
+        np.asarray(lg)[:, 0], np.asarray(lg_ref)[:, 0], atol=2e-4, rtol=1e-3
+    )
