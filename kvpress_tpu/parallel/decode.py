@@ -207,3 +207,44 @@ def context_parallel_decode_step(
         params, tok, keys, values, lengths, masks, offset
     )
     return logits, (keys, values, lengths, masks), offset + 1
+
+
+def context_parallel_generate(
+    params: dict,
+    ids: jax.Array,                     # (B, S) context token ids
+    *,
+    runner: Runner,
+    mesh: Mesh,
+    press=None,
+    axis: str = "seq",
+    model_axis: Optional[str] = None,
+    max_new_tokens: int = 32,
+    eos_id: Optional[int] = None,
+):
+    """Compress-then-generate entirely on the mesh: context-parallel prefill
+    (shard-local compression), then greedy decode with the split-KV combine —
+    the KV cache never leaves its shards. Returns (B, <=max_new_tokens) ids.
+
+    The first generated token is produced from the last context token
+    re-projected against the sharded cache (matching the single-device
+    pipeline's uncompressed-question decode contract)."""
+    from .context_prefill import context_parallel_prefill
+
+    shards = context_parallel_prefill(
+        params, ids, runner=runner, press=press, mesh=mesh,
+        axis=axis, model_axis=model_axis,
+    )
+    S = ids.shape[1]
+    offset = jnp.asarray(S, jnp.int32)
+    tok = ids[:, -1:]
+    out = []
+    for _ in range(max_new_tokens):
+        logits, shards, offset = context_parallel_decode_step(
+            params, tok, shards, offset,
+            runner=runner, mesh=mesh, axis=axis, model_axis=model_axis,
+        )
+        tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+        out.append(tok)
+        if eos_id is not None and int(tok[0, 0]) == eos_id:
+            break
+    return jnp.concatenate(out, axis=1)

@@ -166,3 +166,26 @@ def test_distributed_decode_2d_matches_single_device(setup):
     np.testing.assert_allclose(
         np.asarray(lg)[:, 0], np.asarray(lg_ref)[:, 0], atol=2e-4, rtol=1e-3
     )
+
+
+def test_distributed_generate_matches_single_device(setup):
+    """Greedy generation on the mesh == single-device greedy decode over the
+    ChunkPress-equivalent compressed cache, token for token."""
+    from kvpress_tpu.parallel.decode import context_parallel_generate
+
+    cfg, params, runner, ids, mesh = setup
+    press = KnormPress(compression_ratio=0.5)
+    got = context_parallel_generate(
+        params, ids, runner=runner, press=press, mesh=mesh, max_new_tokens=6
+    )
+
+    ref_press = ChunkPress(press=press, chunk_length=S // N)
+    _, cache, _ = runner.prefill(params, ids, press=ref_press, dtype=jnp.float32)
+    tok = ids[:, -1:]
+    want = []
+    for _ in range(6):
+        lg, cache, _ = runner.forward(params, tok, cache, logits_last_only=True)
+        tok = jnp.argmax(lg[:, -1:], axis=-1).astype(jnp.int32)
+        want.append(tok)
+    want = jnp.concatenate(want, axis=1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
