@@ -140,6 +140,7 @@ def chunked_observed_colsums(
     scale: float,
     softcap: Optional[float] = None,
     chunk: int = 64,
+    valid_len: Optional[jax.Array] = None,   # () traced — bucketed prefill
 ) -> jax.Array:
     """Causal column sums of the full softmax attention matrix, (B, Hq, S),
     without ever materializing it: queries are processed ``chunk`` rows at a
@@ -158,6 +159,7 @@ def chunked_observed_colsums(
     n_chunks = Sp // chunk
     qc = qp.reshape(B, Hkv, G, n_chunks, chunk, D).transpose(3, 0, 1, 2, 4, 5)
     k_slot = jnp.arange(S, dtype=jnp.int32)[None, :]
+    L = jnp.asarray(S if valid_len is None else valid_len, jnp.int32)
 
     def step(acc, xs):
         q_chunk, c = xs                               # (B, Hkv, G, chunk, D)
@@ -170,11 +172,12 @@ def chunked_observed_colsums(
         if softcap is not None:
             s = jnp.tanh(s / softcap) * softcap
         q_pos = c * chunk + jnp.arange(chunk, dtype=jnp.int32)[:, None]
-        allowed = k_slot <= q_pos
+        allowed = (k_slot <= q_pos) & (k_slot < L)
         s = jnp.where(allowed[None, None, None], s, NEG_INF)
         p = jax.nn.softmax(s, axis=-1)
-        # Rows beyond S are padding: all-NEG_INF softmax is uniform, zero them.
-        row_valid = (q_pos[:, 0] < S)[None, None, None, :, None]
+        # Rows beyond the valid length (bucket padding / chunk padding) are
+        # not observers: all-NEG_INF softmax is uniform, zero them.
+        row_valid = (q_pos[:, 0] < L)[None, None, None, :, None]
         p = jnp.where(row_valid, p, 0.0)
         return acc + p.sum(axis=-2), None             # (B, Hkv, G, S)
 

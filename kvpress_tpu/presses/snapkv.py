@@ -148,7 +148,6 @@ class TOVAPress(ScorerPress):
 
 @dataclasses.dataclass(frozen=True)
 class ObservedAttentionPress(ScorerPress):
-    supports_padding = False
     """Column mean of the actual prefill attention matrix, normalized by the
     number of queries that could see each key (observed_attention_press.py:34-49).
 
@@ -190,6 +189,25 @@ class ObservedAttentionPress(ScorerPress):
                 softcap=ctx.cfg.logit_softcap, chunk=chunk,
             )
         n_in_sum = jnp.arange(S, 0, -1, dtype=jnp.float32)
+        scores = scores / n_in_sum[None, None]
+        return group_mean(scores, Hkv)
+
+    def dynamic_score(self, ctx: LayerCtx, keys, values, length):
+        """Bucketed prefill: only the first ``length`` queries are observers
+        and the normalizer is the number of VALID queries that could see each
+        key (length - j). Pad slots are masked by the caller."""
+        from ..ops.attention import chunked_observed_colsums
+
+        B, Hkv, S, _ = keys.shape
+        Hq = ctx.queries.shape[1]
+        chunk = max(8, min(128, (32 << 20) // max(1, Hq * S)))
+        scores = chunked_observed_colsums(
+            ctx.queries, keys, ctx.scale,
+            softcap=ctx.cfg.logit_softcap, chunk=chunk, valid_len=length,
+        )
+        n_in_sum = jnp.maximum(
+            length.astype(jnp.float32) - jnp.arange(S, dtype=jnp.float32), 1.0
+        )
         scores = scores / n_in_sum[None, None]
         return group_mean(scores, Hkv)
 

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 import kvpress_tpu as kp
 from kvpress_tpu.presses import (
     KnormPress,
+    ObservedAttentionPress,
     RandomPress,
     SnapKVPress,
     StreamingLLMPress,
@@ -34,6 +35,7 @@ PRESSES = [
     StreamingLLMPress(0.5),
     SnapKVPress(0.5, window_size=8, kernel_size=3),
     TOVAPress(0.5),
+    ObservedAttentionPress(0.5),  # chunked colsums with traced valid length
 ]
 
 
