@@ -23,7 +23,6 @@ from .snapkv import group_mean
 
 @dataclasses.dataclass(frozen=True)
 class ExpectedAttentionPress(ScorerPress):
-    supports_padding = False  # query stats pool over (padded) hidden states
     n_future_positions: int = 512
     n_sink: int = 4
     use_covariance: bool = True
@@ -69,3 +68,45 @@ class ExpectedAttentionPress(ScorerPress):
         scores = jnp.pad(scores, ((0, 0), (0, 0), (self.n_sink, 0)))
         sink_region = jnp.arange(S)[None, None] < self.n_sink
         return jnp.where(sink_region, maxv, scores)
+
+    def dynamic_score(self, ctx: LayerCtx, keys, values, length):
+        """Bucketed prefill: query moments over the VALID (non-pad) rows only,
+        the mean future-RoPE rotation starts at the traced valid length, and
+        pad keys are excluded from the expected-attention softmax. Matches
+        score() exactly when length == S (test_bucketing.py)."""
+        B, Hkv, S, D = keys.shape
+        L = jnp.asarray(length, jnp.int32)
+        idx = jnp.arange(S, dtype=jnp.int32)
+        q = ctx.queries_prerope.astype(jnp.float32)            # (B, Hq, S, D)
+        w = ((idx >= self.n_sink) & (idx < L)).astype(jnp.float32)
+        cnt = jnp.maximum(w.sum(), 1.0)
+        mu = (q * w[None, None, :, None]).sum(axis=2) / cnt    # (B, Hq, D)
+        cov = None
+        if self.use_covariance:
+            centered = (q - mu[:, :, None]) * w[None, None, :, None]
+            cov = jnp.einsum("bhsi,bhsj->bhij", centered, centered) / cnt
+        R = mean_rotation_matrix(
+            ctx.inv_freq, L.astype(jnp.float32), self.n_future_positions
+        ) * ctx.attention_scaling
+        mu = mu @ R.T
+        if cov is not None:
+            cov = jnp.einsum("ij,bhjk,lk->bhil", R, cov, R)
+
+        k = keys.astype(jnp.float32)
+        v = values.astype(jnp.float32)
+        G = mu.shape[1] // Hkv
+        mug = mu.reshape(B, Hkv, G, D)
+        logits = jnp.einsum("bhgd,bhsd->bhgs", mug, k) / jnp.sqrt(D * 1.0)
+        if self.use_covariance:
+            covg = cov.reshape(B, Hkv, G, D, D)
+            logits = logits + jnp.einsum(
+                "bhsi,bhgij,bhsj->bhgs", k, covg, k
+            ) / D / 2
+        valid = (idx >= self.n_sink) & (idx < L)
+        logits = jnp.where(valid[None, None, None], logits, -jnp.inf)
+        scores = jax.nn.softmax(logits, axis=-1).mean(axis=2)  # (B, Hkv, S)
+        if self.use_vnorm:
+            scores = (scores + self.epsilon) * jnp.linalg.norm(v, axis=-1)
+        scores = jnp.where(valid[None, None], scores, 0.0)
+        maxv = jnp.max(scores) + 1.0
+        return jnp.where((idx < self.n_sink)[None, None], maxv, scores)

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 import kvpress_tpu as kp
 from kvpress_tpu.presses import (
     KnormPress,
+    PyramidKVPress,
     ObservedAttentionPress,
     RandomPress,
     SnapKVPress,
@@ -36,6 +37,7 @@ PRESSES = [
     SnapKVPress(0.5, window_size=8, kernel_size=3),
     TOVAPress(0.5),
     ObservedAttentionPress(0.5),  # chunked colsums with traced valid length
+    ExpectedAttentionPress(0.5),  # masked query moments + traced-length RoPE
 ]
 
 
@@ -78,7 +80,7 @@ def test_unsafe_press_rejected(tiny):
     ids = jnp.zeros((1, 64), jnp.int32)
     with pytest.raises(AssertionError, match="bucketed prefill"):
         runner.prefill(
-            params, ids, press=ExpectedAttentionPress(0.5), dtype=jnp.float32,
+            params, ids, press=PyramidKVPress(0.5), dtype=jnp.float32,
             valid_len=jnp.asarray(40, jnp.int32),
         )
 
