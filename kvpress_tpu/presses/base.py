@@ -181,6 +181,15 @@ class ScorerPress(BasePress):
         content scorers; the caller masks slots >= length."""
         return self.score(ctx, keys, values)
 
+    def dynamic_budget(self, ctx: LayerCtx, length) -> jax.Array:
+        """Traced kept count for bucketed prefill (same int() floor as the
+        reference). Budget-shaping presses (PyramidKV) override."""
+        return jnp.maximum(
+            (length.astype(jnp.float32)
+             * (1 - self.compression_ratio)).astype(jnp.int32),
+            1,
+        )
+
     def layer_compress(self, ctx, keys, values, length, mask, state=None):
         if self.compression_ratio == 0.0:
             return keys, values, length, mask, state
@@ -202,11 +211,7 @@ class ScorerPress(BasePress):
                 jnp.arange(S)[None, None] < kv_len, scores.astype(jnp.float32),
                 -jnp.inf,
             )
-            budget = jnp.maximum(
-                (kv_len.astype(jnp.float32)
-                 * (1 - self.compression_ratio)).astype(jnp.int32),
-                1,
-            )
+            budget = self.dynamic_budget(ctx, kv_len)
         keys, values, idx = topk_keep(scores, keys, values, n_top)
         new_length = jnp.minimum(budget, n_top).astype(jnp.int32)
         # Per-layer budgets below n_top are realized through length; the mask

@@ -216,7 +216,6 @@ class ObservedAttentionPress(ScorerPress):
 class PyramidKVPress(SnapKVPress):
     """SnapKV scoring + per-layer budget pyramid (pyramidkv_press.py:47-112)."""
 
-    supports_padding = False  # pyramid budgets derive from the static length
     beta: int = 20
 
     def _budgets(self, q_len: int, num_layers: int) -> list[int]:
@@ -244,3 +243,23 @@ class PyramidKVPress(SnapKVPress):
             np.asarray(self._budgets(seq_len, ctx.cfg.num_layers), np.int32)
         )
         return budgets[ctx.layer_idx]
+
+    def dynamic_budget(self, ctx: LayerCtx, length) -> jax.Array:
+        """Traced-length pyramid (bucketed prefill): the same arithmetic as
+        _budgets with the branches as jnp.where selects. Rounding matches
+        numpy's round-half-even, like the reference's python round()."""
+        L = ctx.cfg.num_layers
+        q = length.astype(jnp.float32)
+        w = jnp.float32(self.window_size)
+        max_capacity = w + q * (1 - self.compression_ratio)
+        min_num = (max_capacity - w) / self.beta
+        max_num = (max_capacity - w) * 2 - min_num
+        clamp = max_num >= q - w
+        max_num = jnp.where(clamp, q - w, max_num)
+        min_num = jnp.where(clamp, (max_capacity - w) * 2 - max_num, min_num)
+        ok = (q >= max_num) & (max_num >= min_num) & (min_num >= w)
+        fallback = jnp.round(q * (1 - self.compression_ratio))
+        steps = jnp.where(L > 1, (max_num - min_num) / max(L - 1, 1), 0.0)
+        i = ctx.layer_idx.astype(jnp.float32)
+        pyramid = jnp.round(max_num - i * steps)
+        return jnp.maximum(jnp.where(ok, pyramid, fallback), 1).astype(jnp.int32)

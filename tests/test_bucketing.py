@@ -9,6 +9,9 @@ import jax.numpy as jnp
 
 import kvpress_tpu as kp
 from kvpress_tpu.presses import (
+    CapPress,
+    CURPress,
+    KeyDiffPress,
     KnormPress,
     PyramidKVPress,
     ObservedAttentionPress,
@@ -38,6 +41,9 @@ PRESSES = [
     TOVAPress(0.5),
     ObservedAttentionPress(0.5),  # chunked colsums with traced valid length
     ExpectedAttentionPress(0.5),  # masked query moments + traced-length RoPE
+    PyramidKVPress(0.5, window_size=8, kernel_size=3),  # traced budget pyramid
+    KeyDiffPress(0.5),            # anchor = masked mean over valid keys
+    CapPress(0.5, n_future_positions=16),  # masked anchor/weights/capacity
 ]
 
 
@@ -80,7 +86,7 @@ def test_unsafe_press_rejected(tiny):
     ids = jnp.zeros((1, 64), jnp.int32)
     with pytest.raises(AssertionError, match="bucketed prefill"):
         runner.prefill(
-            params, ids, press=PyramidKVPress(0.5), dtype=jnp.float32,
+            params, ids, press=CURPress(0.5), dtype=jnp.float32,
             valid_len=jnp.asarray(40, jnp.int32),
         )
 
