@@ -169,7 +169,10 @@ class ObservedAttentionPress(ScorerPress):
 
         B, Hkv, S, _ = keys.shape
         if ctx.attn_probs is not None:
-            attn = ctx.attn_probs.astype(jnp.float32)      # (B, Hq, S, S)
+            # Probs columns span the whole cache BUFFER, which may be larger
+            # than the S tokens being compressed (pipeline pre-sizes the
+            # buffer for the answer) — keep the first S columns.
+            attn = ctx.attn_probs[..., :S].astype(jnp.float32)  # (B, Hq, S, S)
             scores = attn.sum(axis=2)                      # (B, Hq, S)
         elif jax.default_backend() == "tpu":
             # Fused Pallas path: logits never leave VMEM (the XLA chunked

@@ -132,3 +132,60 @@ def test_sink_only_press_destroys_early_needles(trained):
     assert baseline > 0.95, baseline
     assert late > 0.85, late
     assert early < 0.4, early
+
+
+# Reference integration bar (tests/integration/test_ruler.py:24-69): the
+# needle must survive light compression for EVERY press family, including
+# over a quantized cache. Ratio 0.1, query-aware.
+import kvpress_tpu as kp
+from kvpress_tpu.presses import (
+    AdaKVPress,
+    ExpectedAttentionPress,
+    KeyDiffPress,
+    KeyRerotationPress,
+    KnormPress,
+    ObservedAttentionPress,
+    RandomPress,
+    TOVAPress,
+)
+
+LOW_RATIO_PRESSES = [
+    ("knorm", lambda: KnormPress(0.1)),
+    ("random", lambda: RandomPress(0.1)),
+    ("streaming", lambda: StreamingLLMPress(0.1, n_sink=2)),
+    ("snapkv", lambda: SnapKVPress(0.1, window_size=4, kernel_size=3)),
+    ("tova", lambda: TOVAPress(0.1)),
+    ("expected", lambda: ExpectedAttentionPress(
+        0.1, n_future_positions=8, n_sink=2)),
+    ("keydiff", lambda: KeyDiffPress(0.1)),
+    ("observed", lambda: ObservedAttentionPress(0.1)),
+    ("adakv_knorm", lambda: AdaKVPress(press=KnormPress(0.1))),
+    ("rerotate_knorm", lambda: KeyRerotationPress(press=KnormPress(0.1))),
+]
+
+
+@pytest.mark.parametrize(
+    "name,mk", LOW_RATIO_PRESSES, ids=[p[0] for p in LOW_RATIO_PRESSES]
+)
+def test_every_press_preserves_needle_at_low_ratio(trained, name, mk):
+    cfg, params, runner = trained
+    acc = _accuracy(cfg, params, runner, mk())
+    assert acc > 0.9, (name, acc)
+
+
+def test_needle_survives_quantized_cache(trained):
+    """Ratio 0.1 over an int8-quantized cache (reference bar's quantized leg)."""
+    cfg, params, runner = trained
+    rng = np.random.default_rng(11)
+    seq, target, _ = make_batch(rng, 128)
+    context, question = seq[:, :CTX], seq[:, -2:]
+    press = SnapKVPress(compression_ratio=0.1, window_size=4, kernel_size=3)
+    _, cache, _ = runner.prefill(
+        params, context, press=press, max_size=SEQ + 2, dtype=jnp.float32,
+        quantized=True, kv_bits=8,
+    )
+    logits, _, _ = Runner.forward(
+        runner, params, question, cache, logits_last_only=True
+    )
+    acc = float((jnp.argmax(logits[:, 0], -1) == target).mean())
+    assert acc > 0.9, acc
