@@ -13,7 +13,6 @@ from .base import LayerCtx, ScorerPress
 
 @dataclasses.dataclass(frozen=True)
 class CURPress(ScorerPress):
-    supports_padding = False  # local-window normalization over static blocks
     num_sinks: int = 4
     leverage_type: Literal["key", "value", "kv_avg", "kv_product"] = "kv_product"
     use_random_leverage: bool = False
@@ -26,10 +25,10 @@ class CURPress(ScorerPress):
         w = self.local_window_size
         pad = (w - S % w) % w
         ep = jnp.pad(e, ((0, 0), (0, 0), (0, pad))).reshape(B, H, -1, w)
-        ep = ep / ep.sum(axis=-1, keepdims=True)
+        ep = ep / jnp.maximum(ep.sum(axis=-1, keepdims=True), 1e-30)
         return ep.reshape(B, H, -1)[:, :, :S]
 
-    def score(self, ctx: LayerCtx, keys, values):
+    def score(self, ctx: LayerCtx, keys, values, valid=None):
         B, H, S, D = keys.shape
         k = keys.astype(jnp.float32)
         v = values.astype(jnp.float32)
@@ -41,6 +40,11 @@ class CURPress(ScorerPress):
             v = v @ G
         k2 = jnp.sum(k * k, axis=-1)
         v2 = jnp.sum(v * v, axis=-1)
+        if valid is not None:
+            # Bucketed prefill: pad tokens contribute nothing to block or
+            # global normalization.
+            k2 = jnp.where(valid[None, None], k2, 0.0)
+            v2 = jnp.where(valid[None, None], v2, 0.0)
         if self.use_local_approximation:
             k2 = self._local_normalize(k2, S)
             v2 = self._local_normalize(v2, S)
@@ -54,6 +58,11 @@ class CURPress(ScorerPress):
             scores = k2 * v2
         else:
             raise ValueError(f"Unknown leverage type: {self.leverage_type}")
-        scores = scores / scores.sum(axis=-1, keepdims=True)
+        scores = scores / jnp.maximum(scores.sum(axis=-1, keepdims=True), 1e-30)
         sink = jnp.arange(S)[None, None] < self.num_sinks
         return jnp.where(sink, 1.0, scores)
+
+    def dynamic_score(self, ctx: LayerCtx, keys, values, length):
+        S = keys.shape[2]
+        valid = jnp.arange(S) < length
+        return self.score(ctx, keys, values, valid=valid)

@@ -11,6 +11,7 @@ import kvpress_tpu as kp
 from kvpress_tpu.presses import (
     CapPress,
     CURPress,
+    LagKVPress,
     KeyDiffPress,
     KnormPress,
     PyramidKVPress,
@@ -44,6 +45,7 @@ PRESSES = [
     PyramidKVPress(0.5, window_size=8, kernel_size=3),  # traced budget pyramid
     KeyDiffPress(0.5),            # anchor = masked mean over valid keys
     CapPress(0.5, n_future_positions=16),  # masked anchor/weights/capacity
+    CURPress(0.5, local_window_size=8),    # pad-free block/global normalizers
 ]
 
 
@@ -86,7 +88,7 @@ def test_unsafe_press_rejected(tiny):
     ids = jnp.zeros((1, 64), jnp.int32)
     with pytest.raises(AssertionError, match="bucketed prefill"):
         runner.prefill(
-            params, ids, press=CURPress(0.5), dtype=jnp.float32,
+            params, ids, press=LagKVPress(0.5, lag_size=8), dtype=jnp.float32,
             valid_len=jnp.asarray(40, jnp.int32),
         )
 
