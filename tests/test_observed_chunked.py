@@ -106,3 +106,20 @@ def test_observed_under_wrapper(tiny):
     logits, _, _ = runner.forward(params, ids[:, -1:], cache,
                                   logits_last_only=True)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_observed_through_pipeline_buffer(tiny):
+    """Regression: the pipeline pre-sizes the cache buffer past the context;
+    the probs path must slice its columns to the S tokens being compressed
+    (previously a broadcast error / wrong normalizer)."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from kvpress_tpu.pipeline import KVPressPipeline
+    from toy_tokenizer import ToyTokenizer
+
+    cfg, params, runner = tiny
+    pipe = KVPressPipeline(runner, params, ToyTokenizer(cfg.vocab_size))
+    ctx = " ".join(f"w{i}" for i in range(60))
+    out = pipe(ctx, question="what ?", max_new_tokens=4,
+               press=ObservedAttentionPress(0.5))
+    assert isinstance(out["answer"], str) and out["answer"]
