@@ -101,17 +101,22 @@ def quantize_kv(x: jax.Array, bits: int = 8) -> tuple[jax.Array, jax.Array]:
     """Per-(token, head) symmetric quantization along head_dim.
 
     bits=8 → int8 payload; bits=4 → two nibbles packed per uint8 (payload
-    last dim D//2), the int4 analogue of the reference's quanto cache."""
+    last dim D//2), the int4 analogue of the reference's quanto cache.
+    int4 packs channel ``c`` (low nibble) with channel ``c + D/2`` (high
+    nibble) — concatenated halves, not interleaved, so the fused decode
+    kernel (ops/decode.py) unpacks with two contiguous half-width dots
+    instead of a lane-interleave relayout Mosaic can't do."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     if bits == 8:
         scale = jnp.maximum(amax / 127.0, 1e-8)
         q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
         return q.astype(jnp.int8), scale
     assert bits == 4 and x.shape[-1] % 2 == 0
+    D2 = x.shape[-1] // 2
     scale = jnp.maximum(amax / 7.0, 1e-8)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -8, 7).astype(jnp.int32)
     q = q + 8                                               # [0, 15]
-    lo, hi = q[..., 0::2], q[..., 1::2]
+    lo, hi = q[..., :D2], q[..., D2:]
     packed = (lo | (hi << 4)).astype(jnp.uint8)
     return packed, scale
 
@@ -119,13 +124,12 @@ def quantize_kv(x: jax.Array, bits: int = 8) -> tuple[jax.Array, jax.Array]:
 def dequantize_kv(payload: jax.Array, scale: jax.Array, bits: int, dtype):
     if bits == 8:
         return (payload.astype(jnp.float32) * scale).astype(dtype)
-    p = payload.astype(jnp.int32)
+    p = payload.astype(jnp.int32) & 0xFF
     lo = (p & 0xF) - 8
     hi = (p >> 4) - 8
-    D2 = payload.shape[-1]
-    out = jnp.zeros(payload.shape[:-1] + (2 * D2,), jnp.float32)
-    out = out.at[..., 0::2].set(lo.astype(jnp.float32))
-    out = out.at[..., 1::2].set(hi.astype(jnp.float32))
+    out = jnp.concatenate(
+        [lo.astype(jnp.float32), hi.astype(jnp.float32)], axis=-1
+    )
     return (out * scale).astype(dtype)
 
 

@@ -108,13 +108,27 @@ class Runner:
     attention_scaling: float
     # "flash": Pallas kernel for multi-token calls (TPU); "xla": jnp reference.
     attn_impl: str = "xla"
+    # Route few-token calls through ops/decode.py (block-skipping, fused
+    # dequant). Only meaningful with attn_impl="flash". Default OFF: at the
+    # flagship b4/32K shape the kernel's (B, Hkv, nb) grid pays per-cell
+    # Mosaic overhead on tiny (G*T)-row matmuls and loses to the XLA dense
+    # path e2e (tools/bench_decode_e2e.py: 94 vs 285 tok/s bf16) — opt in
+    # for quantized/masked caches until the fewer-bigger-cells rework wins.
+    decode_kernel: bool = False
+    decode_block_k: int = 2048
 
     @staticmethod
-    def create(cfg: ModelConfig, attn_impl: str = "auto") -> "Runner":
+    def create(
+        cfg: ModelConfig, attn_impl: str = "auto", decode_kernel: bool = False,
+        decode_block_k: int = 2048,
+    ) -> "Runner":
         _, scaling = compute_inv_freq(cfg)
         if attn_impl == "auto":
             attn_impl = "flash" if jax.default_backend() not in ("cpu",) else "xla"
-        return Runner(cfg=cfg, attention_scaling=scaling, attn_impl=attn_impl)
+        return Runner(
+            cfg=cfg, attention_scaling=scaling, attn_impl=attn_impl,
+            decode_kernel=decode_kernel, decode_block_k=decode_block_k,
+        )
 
     def inv_freq(self) -> jax.Array:
         inv, _ = compute_inv_freq(self.cfg)
@@ -168,10 +182,37 @@ class Runner:
 
         prior_len = cache_layer["length"]
         quantized = cache_layer.get("key_scales") is not None
+
+        scale = (
+            cfg.query_pre_attn_scalar ** -0.5
+            if cfg.query_pre_attn_scalar is not None
+            else cfg.head_dim ** -0.5
+        )
+        window = cfg.sliding_window if cfg.sliding_window is not None else None
+        use_sliding = window is not None
+        return_probs = press is not None and apply_press and press.wants_probs(T)
+
+        # Few-token calls (decode loop, question forward) route to the fused
+        # decode kernel: reads only live KV tiles (block skipping over the
+        # keep-mask) at payload width (int8/int4 dequant fused in) — the
+        # decode-bandwidth win the reference's fake eviction / quanto full
+        # dequant can't have (VERDICT r1 items 1-2).
+        G = cfg.num_heads // cfg.num_kv_heads
+        use_decode_kernel = (
+            self.attn_impl == "flash"
+            and self.decode_kernel
+            and not return_probs
+            and T <= 128
+            and T * G <= 512
+            # bucketed calls: prior = length - T no longer holds
+            and valid_len is None
+        )
+
         if quantized:
-            # int8 storage: quantize the new K/V, store payload+scales, and
-            # dequantize the whole buffer for attention/compression
-            # (reference QuantizedCache interplay, base_press.py:152-157).
+            # int storage: quantize the new K/V and store payload+scales. The
+            # whole buffer is dequantized only when dense K/V are actually
+            # needed (press compression or a non-kernel attention path) —
+            # reference QuantizedCache interplay, base_press.py:152-157.
             from ..cache import dequantize_kv, quantize_kv
 
             qk, k_scale = quantize_kv(k, kv_bits)
@@ -189,8 +230,11 @@ class Runner:
                 cache_layer["value_scales"], v_scale, prior_len, axis=2
             )
             new_len = prior_len + T
-            keys = dequantize_kv(qkeys, key_scales, kv_bits, x.dtype)
-            values = dequantize_kv(qvalues, value_scales, kv_bits, x.dtype)
+            if apply_press or not use_decode_kernel:
+                keys = dequantize_kv(qkeys, key_scales, kv_bits, x.dtype)
+                values = dequantize_kv(qvalues, value_scales, kv_bits, x.dtype)
+            else:
+                keys = values = None          # attention reads the payload
         else:
             keys, values, new_len = append_layer_kv(
                 cache_layer["keys"], cache_layer["values"], prior_len, k, v
@@ -206,33 +250,60 @@ class Runner:
             mask, jnp.ones((B, cfg.num_kv_heads, T), bool), prior_len, axis=2
         )
 
-        scale = (
-            cfg.query_pre_attn_scalar ** -0.5
-            if cfg.query_pre_attn_scalar is not None
-            else cfg.head_dim ** -0.5
+        use_flash = (
+            self.attn_impl == "flash" and not return_probs and T > 1
+            and not use_decode_kernel
         )
-        window = cfg.sliding_window if cfg.sliding_window is not None else None
-        use_sliding = window is not None
-        return_probs = press is not None and apply_press and press.wants_probs(T)
+        if use_decode_kernel:
+            from ..ops.decode import decode_attention
 
-        use_flash = self.attn_impl == "flash" and not return_probs and T > 1
-        if use_flash:
+            if quantized:
+                def _dk(win):
+                    return decode_attention(
+                        q, qkeys, qvalues, new_len, key_scales, value_scales,
+                        mask, bits=kv_bits, sm_scale=scale,
+                        softcap=cfg.logit_softcap, window=win,
+                        block_k=self.decode_block_k,
+                    )
+            else:
+                def _dk(win):
+                    return decode_attention(
+                        q, keys, values, new_len, mask=mask, sm_scale=scale,
+                        softcap=cfg.logit_softcap, window=win,
+                        block_k=self.decode_block_k,
+                    )
+
+            if use_sliding:
+                attn_out = jax.lax.cond(
+                    sliding_flag, lambda: _dk(window), lambda: _dk(None)
+                )
+            else:
+                attn_out = _dk(None)
+            probs = None
+            attn_lse = None
+        elif use_flash:
             from ..ops.flash import flash_attention
+
+            want_lse = (
+                press is not None and apply_press and press.wants_lse(T)
+            )
 
             def _flash(win):
                 return flash_attention(
                     q, keys, values, prior_len, mask,
                     sm_scale=scale, softcap=cfg.logit_softcap, window=win,
+                    return_lse=want_lse,
                 )
 
             if use_sliding:
-                attn_out = jax.lax.cond(
+                res = jax.lax.cond(
                     sliding_flag,
                     lambda: _flash(window),
                     lambda: _flash(None),
                 )
             else:
-                attn_out = _flash(None)
+                res = _flash(None)
+            attn_out, attn_lse = res if want_lse else (res, None)
             probs = None
         else:
             bias = attention_bias(
@@ -251,6 +322,7 @@ class Runner:
                 q, keys, values, bias, scale,
                 softcap=cfg.logit_softcap, return_probs=return_probs,
             )
+            attn_lse = None
 
         new_mask = mask
         new_state = press_state
@@ -268,6 +340,7 @@ class Runner:
                 cfg=cfg,
                 attention_scaling=self.attention_scaling,
                 kv_len=valid_len if phase == "prefill" else None,
+                attn_lse=attn_lse,
             )
             if phase == "prefill":
                 # Prefill into an empty cache: compress over the first T slots.

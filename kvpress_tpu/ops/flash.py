@@ -39,6 +39,7 @@ def _kernel(
     v_ref,                     # (1, 1, bk, D)
     mask_ref,                  # (1, 1, 1, bk) bool
     o_ref,                     # (1, 1, G, bq, D)
+    lse_ref,                   # (1, 1, G*bq, LANES) f32 or None
     m_scr,                     # (G*bq, LANES) f32
     l_scr,                     # (G*bq, LANES) f32
     acc_scr,                   # (G*bq, D) f32
@@ -113,12 +114,18 @@ def _kernel(
         l = l_scr[...][:, :D]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype).reshape(G, bq, D)
+        if lse_ref is not None:
+            lf = l_scr[...]
+            lse_ref[0, 0] = jnp.where(
+                lf > 0.0, m_scr[...] + jnp.log(jnp.maximum(lf, 1e-38)), -jnp.inf
+            )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "sm_scale", "softcap", "window", "block_q", "block_k", "interpret"
+        "sm_scale", "softcap", "window", "block_q", "block_k", "interpret",
+        "return_lse",
     ),
 )
 def flash_attention(
@@ -134,7 +141,9 @@ def flash_attention(
     block_q: int = 256,
     block_k: int = 1024,
     interpret: bool = False,         # CPU-testable interpreter mode
-) -> jax.Array:
+    return_lse: bool = False,        # also return (B, Hq, T) f32 logsumexp —
+                                     # blockwise/ring combination (ring.py)
+):
     B, Hq, T, D = q.shape
     _, Hkv, S, _ = k.shape
     G = Hq // Hkv
@@ -158,19 +167,44 @@ def flash_attention(
 
     if head_mask is None:
         head_mask = jnp.ones((B, Hkv, S), bool)
+    # Pad columns get mask=False: causality alone ('s sits beyond prior+T')
+    # does not cover them when prior > S (ring blocks, ring.py).
     maskp = jnp.pad(
-        head_mask, ((0, 0), (0, 0), (0, Sp - S)), constant_values=True
+        head_mask, ((0, 0), (0, 0), (0, Sp - S)), constant_values=False
     )[:, :, None, :]                      # (B, Hkv, 1, Sp): legal (1, bk) tiles
 
     grid = (B, Hkv, Tp // bq, n_k)
+    n_q = Tp // bq
 
-    kernel = functools.partial(
-        _kernel,
-        G=G, bq=bq, bk=bk, n_k=n_k,
-        sm_scale=sm_scale, softcap=softcap, window=window,
-    )
-    out = pl.pallas_call(
-        kernel,
+    def wrapped(prior_ref, q_r, k_r, v_r, m_r, *rest):
+        if return_lse:
+            o_r, lse_r = rest[0], rest[1]
+            scr = rest[2:]
+        else:
+            o_r, lse_r = rest[0], None
+            scr = rest[1:]
+        _kernel(
+            prior_ref, q_r, k_r, v_r, m_r, o_r, lse_r, *scr,
+            G=G, bq=bq, bk=bk, n_k=n_k,
+            sm_scale=sm_scale, softcap=softcap, window=window,
+        )
+
+    out_shape = [jax.ShapeDtypeStruct((B, Hkv, G, Tp, Dp), q.dtype)]
+    out_specs = [
+        pl.BlockSpec((1, 1, G, bq, Dp), lambda b, h, qi, ki, p: (b, h, 0, qi, 0))
+    ]
+    if return_lse:
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, Hkv, n_q * G * bq, LANES), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, G * bq, LANES), lambda b, h, qi, ki, p: (b, h, qi, 0)
+            )
+        )
+
+    res = pl.pallas_call(
+        wrapped,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -180,19 +214,23 @@ def flash_attention(
                 pl.BlockSpec((1, 1, bk, Dp), lambda b, h, qi, ki, p: (b, h, ki, 0)),
                 pl.BlockSpec((1, 1, 1, bk), lambda b, h, qi, ki, p: (b, h, 0, ki)),
             ],
-            out_specs=pl.BlockSpec(
-                (1, 1, G, bq, Dp), lambda b, h, qi, ki, p: (b, h, 0, qi, 0)
-            ),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((G * bq, LANES), jnp.float32),
                 pltpu.VMEM((G * bq, LANES), jnp.float32),
                 pltpu.VMEM((G * bq, Dp), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, Tp, Dp), q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(jnp.asarray([prior_length], jnp.int32).reshape(1), qp, kp, vp, maskp)
-    return out.reshape(B, Hq, Tp, Dp)[:, :, :T, :D]
+    out = res[0].reshape(B, Hq, Tp, Dp)[:, :, :T, :D]
+    if not return_lse:
+        return out
+    # lse rows are (qi, g, r) nested; lane 0 carries the value.
+    lse = res[1][..., 0].reshape(B, Hkv, n_q, G, bq)
+    lse = lse.transpose(0, 1, 3, 2, 4).reshape(B, Hq, Tp)[:, :, :T]
+    return out, lse

@@ -137,6 +137,9 @@ def _colsum_kernel(
 def observed_colsums_flash(
     q: jax.Array,                    # (B, Hq, S, D) — slot-aligned prefill
     k: jax.Array,                    # (B, Hkv, S, D)
+    lse: Optional[jax.Array] = None,  # (B, Hq, S) f32 — reuse the flash
+    # prefill pass's row logsumexp (flash_attention return_lse) and skip
+    # pass 1 entirely: one MXU sweep instead of two.
     *,
     sm_scale: float,
     softcap: Optional[float] = None,
@@ -161,7 +164,16 @@ def observed_colsums_flash(
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, Sp - S), (0, Dp - D)))
     n_q, n_k = Tq // bq, Sp // bk
 
-    lse = pl.pallas_call(
+    if lse is not None:
+        # Re-lay (B, Hq, S) → the (B, Hkv, n_q*G*bq, 1) row layout pass 2
+        # expects (rows nested (qi, g, r)). Padded rows are masked by
+        # q_slot < S in the kernel; 0 is a safe filler.
+        lse_rows = lse.reshape(B, Hkv, G, S)
+        lse_rows = jnp.pad(lse_rows, ((0, 0), (0, 0), (0, 0), (0, Tq - S)))
+        lse_rows = lse_rows.reshape(B, Hkv, G, n_q, bq).transpose(0, 1, 3, 2, 4)
+        lse = lse_rows.reshape(B, Hkv, n_q * G * bq, 1)
+    else:
+        lse = pl.pallas_call(
         functools.partial(
             _lse_kernel, G=G, bq=bq, bk=bk, n_k=n_k, S=S,
             sm_scale=sm_scale, softcap=softcap,

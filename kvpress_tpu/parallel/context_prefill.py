@@ -25,7 +25,7 @@ from ..config import ModelConfig
 from ..models.llama import Runner, _act, _project_qkv, rms_norm
 from ..presses.base import BasePress, LayerCtx
 from ..rope import apply_rope, rope_cos_sin
-from .ring import ring_self_attention
+from .ring import ring_flash_self_attention, ring_self_attention
 
 
 def _local_forward(
@@ -73,9 +73,17 @@ def _local_forward(
         q = apply_rope(q_pre, cos, sin)
         k = apply_rope(k_pre, cos, sin)
 
-        attn_out = ring_self_attention(
-            q, k, v, axis_name=axis_name, sm_scale=scale
-        )
+        if runner.attn_impl == "flash":
+            # Pallas flash inside the ring step — the only path that fits
+            # 128K-class shards (naive blocks are O(Sl²) f32).
+            attn_out = ring_flash_self_attention(
+                q, k, v, axis_name=axis_name, sm_scale=scale,
+                softcap=cfg.logit_softcap,
+            )
+        else:
+            attn_out = ring_self_attention(
+                q, k, v, axis_name=axis_name, sm_scale=scale
+            )
 
         keys, values = k, v
         length = jnp.asarray(Sl, jnp.int32)

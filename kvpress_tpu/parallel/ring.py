@@ -91,18 +91,104 @@ def ring_self_attention(
     return (acc / l[..., None]).astype(q.dtype)
 
 
+def ring_flash_self_attention(
+    q: jax.Array,                    # (B, Hq, S_local, D)
+    k: jax.Array,                    # (B, Hkv, S_local, D)
+    v: jax.Array,
+    *,
+    axis_name: str,
+    sm_scale: float,
+    causal: bool = True,
+    softcap: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 1024,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Ring attention with the Pallas flash kernel inside each ring step.
+
+    The naive ``ring_self_attention`` materializes a (B, Hq, Sl, Sl) f32
+    logit block per step — ~32 GB/step at the 128K/8-shard north star. Here
+    each step runs ``flash_attention(q_local, k_remote, v_remote)`` with
+    ``prior_length = q_start - k_start`` (slot-index causality shifts the
+    diagonal; blocks wholly in the future are skipped with lax.cond before
+    any DMA), returning the block output + per-row LSE; blocks combine by
+    convex LSE weighting. Peak per-step memory is the kernel's VMEM tiles
+    plus one (B, Hq, Sl, D) f32 accumulator — at 128K/8 shards/Hq=32/D=64
+    that is 512 MB vs the naive path's 32 GB.
+
+    GQA is folded inside the kernel, so K/V rotate at Hkv width (G× less ICI
+    traffic than the repeat-to-Hq XLA path).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    N = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    B, Hq, Sl, D = q.shape
+
+    from ..ops.flash import flash_attention
+
+    q_start = idx * Sl
+
+    def step(carry, step_idx):
+        k_blk, v_blk, out, lse = carry
+        src = (idx - step_idx) % N
+        prior = q_start - src * Sl           # diagonal offset; may be negative
+
+        def attend(_):
+            o_blk, lse_blk = flash_attention(
+                q, k_blk, v_blk, prior,
+                sm_scale=sm_scale, softcap=softcap,
+                block_q=block_q, block_k=block_k,
+                interpret=interpret, return_lse=True,
+            )
+            return o_blk.astype(jnp.float32), lse_blk
+
+        def skip(_):
+            return (
+                jnp.zeros((B, Hq, Sl, D), jnp.float32),
+                jnp.full((B, Hq, Sl), -jnp.inf, jnp.float32),
+            )
+
+        if causal:
+            # Block fully in the future ⇒ nothing attends; skip the kernel.
+            o_blk, lse_blk = jax.lax.cond(prior + Sl - 1 >= 0, attend, skip, None)
+        else:
+            o_blk, lse_blk = attend(None)
+
+        lse_new = jnp.logaddexp(lse, lse_blk)
+        w_old = jnp.where(
+            lse_new == -jnp.inf, 0.0, jnp.exp(lse - lse_new)
+        )
+        w_blk = jnp.where(
+            lse_new == -jnp.inf, 0.0, jnp.exp(lse_blk - lse_new)
+        )
+        out = w_old[..., None] * out + w_blk[..., None] * o_blk
+        perm = [(i, (i + 1) % N) for i in range(N)]
+        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        return (k_blk, v_blk, out, lse_new), None
+
+    out0 = jnp.zeros((B, Hq, Sl, D), jnp.float32)
+    lse0 = jnp.full((B, Hq, Sl), -jnp.inf, jnp.float32)
+    (_, _, out, _), _ = jax.lax.scan(
+        step, (k, v, out0, lse0), jnp.arange(N)
+    )
+    return out.astype(q.dtype)
+
+
 def context_parallel_attention(q, k, v, mesh: Mesh, *, axis: str = "seq",
-                               sm_scale: Optional[float] = None):
+                               sm_scale: Optional[float] = None,
+                               impl: str = "xla"):
     """Convenience wrapper: shard (B,H,S,D) tensors over ``axis`` on the
-    sequence dimension and run ring attention via shard_map."""
+    sequence dimension and run ring attention via shard_map.
+    impl="flash" runs the Pallas kernel inside each ring step."""
     from jax import shard_map
 
     sm_scale = sm_scale if sm_scale is not None else q.shape[-1] ** -0.5
+    ring = ring_flash_self_attention if impl == "flash" else ring_self_attention
     spec = P(None, None, axis, None)
     fn = shard_map(
-        functools.partial(
-            ring_self_attention, axis_name=axis, sm_scale=sm_scale
-        ),
+        functools.partial(ring, axis_name=axis, sm_scale=sm_scale),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,

@@ -51,6 +51,9 @@ class LayerCtx:
     attention_scaling: float = dataclasses.field(metadata=dict(static=True), default=1.0)
     window_size: Optional[jax.Array] = None  # dynamic observation window (Finch)
     kv_len: Optional[jax.Array] = None       # traced valid cache length (decode)
+    attn_lse: Optional[jax.Array] = None     # (B, Hq, S) f32 row logsumexp from
+    # the flash prefill pass (press.wants_lse) — lets colsum scoring skip its
+    # own LSE sweep (ops/observed_colsum.py pass 1).
 
     @property
     def seq_len(self) -> int:
@@ -80,6 +83,12 @@ class BasePress:
         memory) attention path for a ``q_len``-token call. Presses with a
         chunked long-context scorer override this to cap the cost."""
         return self.needs_attn_probs
+
+    def wants_lse(self, q_len: int) -> bool:
+        """Whether the flash prefill pass should also emit per-row logsumexp
+        (ctx.attn_lse) — colsum-scoring presses reuse it to skip their own
+        LSE sweep."""
+        return False
 
     def init_state(self, cfg: ModelConfig, batch: int, seq_len: int,
                    dtype=None):

@@ -164,6 +164,11 @@ class ObservedAttentionPress(ScorerPress):
     def wants_probs(self, q_len: int) -> bool:
         return q_len < self.chunked_threshold
 
+    def wants_lse(self, q_len: int) -> bool:
+        # Above the probs threshold the flash prefill pass emits row LSE so
+        # the colsum kernel skips its own LSE sweep (one MXU pass saved).
+        return not self.wants_probs(q_len)
+
     def score(self, ctx: LayerCtx, keys, values):
         from ..ops.attention import chunked_observed_colsums
 
@@ -177,10 +182,12 @@ class ObservedAttentionPress(ScorerPress):
         elif jax.default_backend() == "tpu":
             # Fused Pallas path: logits never leave VMEM (the XLA chunked
             # sweep is HBM-bound — 11.3s vs 2.1s whole-prefill at 32K/16L).
+            # With ctx.attn_lse from the flash prefill pass, only the colsum
+            # sweep runs.
             from ..ops.observed_colsum import observed_colsums_flash
 
             scores = observed_colsums_flash(
-                ctx.queries, keys,
+                ctx.queries, keys, ctx.attn_lse,
                 sm_scale=ctx.scale, softcap=ctx.cfg.logit_softcap,
             )
         else:

@@ -59,6 +59,32 @@ def test_fused_pallas_colsums_match(S, bq, bk, softcap):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("S,bq,bk", [(50, 16, 128), (200, 64, 128)])
+def test_fused_colsums_with_prefill_lse(S, bq, bk):
+    """Pass 1 skipped: the flash prefill pass's LSE (flash_attention
+    return_lse) feeds the colsum kernel directly — one MXU sweep saved
+    (VERDICT r1 item 5)."""
+    from kvpress_tpu.ops.flash import flash_attention
+    from kvpress_tpu.ops.observed_colsum import observed_colsums_flash
+
+    B, Hq, Hkv, D = 2, 4, 2, 16
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(kq, (B, Hq, S, D))
+    k = jax.random.normal(kk, (B, Hkv, S, D))
+    v = jax.random.normal(kv, (B, Hkv, S, D))
+    _, lse = flash_attention(
+        q, k, v, jnp.asarray(0, jnp.int32), sm_scale=D ** -0.5,
+        block_q=bq, block_k=bk, interpret=True, return_lse=True,
+    )
+    want = chunked_observed_colsums(q, k, D ** -0.5, chunk=16)
+    got = observed_colsums_flash(
+        q, k, lse, sm_scale=D ** -0.5,
+        block_q=bq, block_k=bk, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
 class _ForcedChunked(ObservedAttentionPress):
     chunked_threshold = 0
 

@@ -39,6 +39,23 @@ def test_ring_attention_matches_reference():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_ring_flash_attention_matches_reference():
+    """Flash kernel inside the ring step (interpret mode on CPU) — the path
+    that scales to 128K shards (ring.py ring_flash_self_attention)."""
+    B, Hq, Hkv, S, D = 2, 8, 4, 256, 32
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(ks[0], (B, Hq, S, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, Hkv, S, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, Hkv, S, D), jnp.float32)
+
+    bias = attention_bias(jnp.asarray(0, jnp.int32), S, S)
+    ref, _ = gqa_attention(q, k, v, bias, D**-0.5)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("seq",))
+    out = context_parallel_attention(q, k, v, mesh, axis="seq", impl="flash")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
 def test_tensor_parallel_forward_matches_single_device():
     cfg = kp.tiny_config(num_heads=8, num_kv_heads=4, intermediate_size=256)
     params = kp.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
