@@ -36,9 +36,11 @@ def main():
         jax.random.PRNGKey(1), (BATCH, CTX), 0, cfg.vocab_size
     )
 
-    @functools.partial(jax.jit, static_argnames=("press",))
-    def prefill(params, ids, press=None):
-        _, cache, _ = runner.prefill(params, ids, press=press)
+    @functools.partial(jax.jit, static_argnames=("press", "quantized", "kv_bits"))
+    def prefill(params, ids, press=None, quantized=False, kv_bits=8):
+        _, cache, _ = runner.prefill(
+            params, ids, press=press, quantized=quantized, kv_bits=kv_bits
+        )
         return cache
 
     @jax.jit
@@ -46,8 +48,9 @@ def main():
         logits, cache, _ = runner.forward(params, tok, cache, logits_last_only=True)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
-    def run(press, keep):
-        cache = prefill(params, ids, press=press)
+    def run(press, keep, quantized=False, kv_bits=8):
+        cache = prefill(params, ids, press=press, quantized=quantized,
+                        kv_bits=kv_bits)
         cache = shrink(cache, keep + DECODE_STEPS + 8)
         tok = ids[:, -1:]
         tok, cache = step(params, tok, cache)          # compile + warm
@@ -61,10 +64,14 @@ def main():
 
     press = KnormPress(compression_ratio=RATIO)
     tps_base = run(None, CTX)
-    tps_comp = run(press, press.n_kept(CTX))
+    # Headline: the reference README's showcase config — compression + int4
+    # cache (README.md:166-181), decoded through quant_gqa_attention
+    # (payload-width HBM reads; tools/bench_quant_e2e.py for the bf16/int8/
+    # int4 sweep). Baseline = uncompressed bf16 cache.
+    tps_comp = run(press, press.n_kept(CTX), quantized=True, kv_bits=4)
 
     print(json.dumps({
-        "metric": f"decode_tok_s_1B_b{BATCH}_{CTX//1024}k_ratio{RATIO}",
+        "metric": f"decode_tok_s_1B_b{BATCH}_{CTX//1024}k_ratio{RATIO}_int4",
         "value": round(tps_comp, 2),
         "unit": "tok/s",
         "vs_baseline": round(tps_comp / tps_base, 3),

@@ -132,6 +132,61 @@ def from_torch_model(model, dtype=jnp.float32) -> tuple[dict, ModelConfig]:
     return params, cfg
 
 
+def from_torch_multimodal(model, dtype=jnp.float32):
+    """``Gemma3ForConditionalGeneration`` → (params, cfg, embed_images).
+
+    Mirrors the reference's multimodal entry (base_press.py:191-202: the
+    press hooks ``model.model.language_model.layers`` only, with sliding
+    layers skipped — which our sliding_flag handling already does). The
+    vision tower + projector stay host-side in torch: ``embed_images``
+    returns (n_images, mm_tokens_per_image, E) features to scatter into the
+    text embedding with ``multimodal_embeds``. TPU-first rationale: vision
+    encoding is a one-shot prefill-time step outside the compression loop —
+    the jit boundary stays on the language model where the KV cache lives.
+    """
+    cfg = ModelConfig.from_hf_config(model.config.text_config)
+    sd = {}
+    for k, v in model.state_dict().items():
+        if k.startswith("model.language_model."):
+            sd["model." + k[len("model.language_model."):]] = v
+        elif k == "lm_head.weight":
+            sd[k] = v
+    params = convert_state_dict(sd, cfg, dtype)
+
+    def embed_images(pixel_values) -> np.ndarray:
+        import torch
+
+        with torch.no_grad():
+            feats = model.get_image_features(
+                torch.as_tensor(np.asarray(pixel_values, np.float32))
+            )
+        return _np(feats)
+
+    return params, cfg, embed_images
+
+
+def multimodal_embeds(
+    params: dict, cfg: ModelConfig, ids, image_features, image_token_id: int
+):
+    """(B, S) ids + (n_images, P, E) projected vision features → inputs_embeds.
+
+    ids contain ``image_token_id`` placeholders (the HF processor contract:
+    each image contributes P consecutive placeholder tokens); feature rows are
+    scattered into those positions in order of appearance. Text embeddings are
+    pre-scaled by sqrt(E) (Gemma3ScaledWordEmbedding) because the
+    inputs_embeds path in Runner.forward — like HF's — skips the scaling."""
+    ids = jnp.asarray(ids)
+    x = params["embed"][ids]
+    if cfg.scale_embeddings:
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
+    feats = jnp.asarray(image_features).reshape(-1, x.shape[-1])
+    mask = ids == image_token_id
+    # order-of-appearance row index for every position (garbage where ~mask)
+    row = jnp.cumsum(mask.reshape(-1)).reshape(ids.shape) - 1
+    repl = feats[jnp.clip(row, 0, feats.shape[0] - 1)].astype(x.dtype)
+    return jnp.where(mask[..., None], repl, x)
+
+
 def load_pretrained(path_or_repo: str, dtype=jnp.bfloat16) -> tuple[dict, ModelConfig]:
     """Load from a local HF checkpoint directory of safetensors shards."""
     from safetensors import safe_open

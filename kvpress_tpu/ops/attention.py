@@ -77,6 +77,84 @@ def gqa_attention(
     return out, None
 
 
+def quant_gqa_attention(
+    q: jax.Array,                # (B, Hq, T, D)
+    k_payload: jax.Array,        # (B, Hkv, S, D) int8 | (B, Hkv, S, D//2) u8
+    v_payload: jax.Array,
+    k_scales: jax.Array,         # (B, Hkv, S, 1) f32
+    v_scales: jax.Array,
+    bias: jax.Array,             # (T, S) or (B, Hkv, T, S)
+    scale: float,
+    bits: int,                   # 8 | 4
+    softcap: Optional[float] = None,
+):
+    """GQA attention reading the *quantized* KV payload directly (SURVEY §2
+    native dep 2 — the quanto-int4 replacement, done the XLA way).
+
+    The dequantized buffer never exists: the integer payload feeds the dot
+    as an elementwise-converted operand (XLA fuses converts/shifts into the
+    dot's operand read on TPU, so HBM traffic is payload-width), and the
+    per-(token, head) scale is applied algebraically outside the reduction —
+    ``q·(k_int·s_k) = (q·k_int)·s_k`` on logit columns and
+    ``p·(v_int·s_v) = (p·s_v)·v_int`` on prob rows. int4 payloads pack
+    channel c with c+D/2 (cache.quantize_kv concat-halves layout), so the
+    logits are two half-width dots on the nibble planes, and the int4 value
+    pass computes nibble-plane outputs that concatenate back to D.
+
+    Contrast: the reference gets its int4 decode from quanto's fused CUDA
+    kernels (README.md:166-181); round-1 here dequantized the whole buffer
+    per step (models/llama.py), *costing* bandwidth instead of saving it.
+    """
+    B, Hq, T, D = q.shape
+    Hkv, S = k_payload.shape[1], k_payload.shape[2]
+    G = Hq // Hkv
+    qg = q.reshape(B, Hkv, G, T, D)
+    ks_row = k_scales.reshape(B, Hkv, 1, 1, S)
+    vs_row = v_scales.reshape(B, Hkv, 1, 1, S)
+
+    if bits == 8:
+        logits = jnp.einsum(
+            "bhgtd,bhsd->bhgts", qg, k_payload.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        assert bits == 4
+        D2 = D // 2
+        p8 = k_payload.astype(jnp.int32) & 0xFF
+        k_lo = ((p8 & 0xF) - 8).astype(q.dtype)
+        k_hi = ((p8 >> 4) - 8).astype(q.dtype)
+        logits = jnp.einsum(
+            "bhgtd,bhsd->bhgts", qg[..., :D2], k_lo,
+            preferred_element_type=jnp.float32,
+        ) + jnp.einsum(
+            "bhgtd,bhsd->bhgts", qg[..., D2:], k_hi,
+            preferred_element_type=jnp.float32,
+        )
+    logits = logits * ks_row * scale
+    if softcap is not None:
+        logits = jnp.tanh(logits / softcap) * softcap
+    if bias.ndim == 2:
+        logits = logits + bias[None, None, None]
+    else:
+        logits = logits + bias[:, :, None]
+    probs = jax.nn.softmax(logits, axis=-1)
+    pv = (probs * vs_row).astype(q.dtype)
+    if bits == 8:
+        out = jnp.einsum("bhgts,bhsd->bhgtd", pv, v_payload.astype(q.dtype))
+    else:
+        p8v = v_payload.astype(jnp.int32) & 0xFF
+        v_lo = ((p8v & 0xF) - 8).astype(q.dtype)
+        v_hi = ((p8v >> 4) - 8).astype(q.dtype)
+        out = jnp.concatenate(
+            [
+                jnp.einsum("bhgts,bhsd->bhgtd", pv, v_lo),
+                jnp.einsum("bhgts,bhsd->bhgtd", pv, v_hi),
+            ],
+            axis=-1,
+        )
+    return out.reshape(B, Hq, T, D)
+
+
 def chunked_window_probs_mean(
     q_window: jax.Array,         # (B, Hq, W, D)
     k: jax.Array,                # (B, Hkv, S, D)

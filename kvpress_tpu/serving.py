@@ -1,0 +1,457 @@
+"""Continuous-batching serving engine over compressed KV caches.
+
+The reference has no serving layer — its pipeline answers one request at a
+time (``kvpress/pipeline.py:25-331``, batch hard-coded to 1). On TPU the
+decode step is HBM-bound on *weights* at small batch, so batching is the
+single biggest throughput lever (CLAUDE.md decode analysis); this module
+provides it the XLA way: one fixed-shape jitted decode step over a fixed
+pool of request slots, a host admission loop around it, and per-request
+press-compressed prefills inserted into free slots.
+
+Design (all shapes static under jit):
+
+- ``SlotCache``: stacked buffers ``(L, N_slots, H_kv, C, D)`` with *per-slot*
+  per-layer lengths ``(L, N)``, per-slot logical offsets ``(N,)`` and a
+  keep-mask ``(L, N, H_kv, C)``. This generalizes ``KVCache`` (per-layer
+  scalar length) to ragged slots; appends become per-slot scatters and
+  causality a per-slot length bias — both fuse into the attention.
+- Admission: ``Runner.prefill`` (B=1) with the press, phase="prefill" —
+  identical compression semantics to the pipeline — then the (question)
+  forward, host-side re-bucket to the slot capacity, and a jitted insert
+  (``dynamic_update_slice`` on the slot axis).
+- Decode: one token per live slot per step. Dead slots keep computing
+  (their lanes are ignored and their lengths frozen) — wasted lanes beat a
+  recompile. Steps are issued asynchronously and token fetches lag
+  ``fetch_lag`` steps behind so the host's device_get round-trip (the ~25 ms
+  axon latency) overlaps device compute.
+- Quantized slots: int8 / packed-int4 payloads decode through
+  ``quant_gqa_attention`` (ops/attention.py) — payload-width HBM reads, the
+  dequantized buffer never materializes.
+
+Not supported (asserted): decode-phase presses (per-step compression inside
+the serving loop) and multi-pass presses (KVzip-family need pipeline
+orchestration).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cache import KVCache, quantize_kv, shrink, grow
+from .config import ModelConfig
+from .models.llama import Runner, _act, _project_qkv, rms_norm
+from .ops.attention import NEG_INF, gqa_attention, quant_gqa_attention
+from .presses.base import BasePress
+from .rope import apply_rope, rope_cos_sin
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SlotCache:
+    keys: jax.Array                      # (L, N, H, C, D) | int payload
+    values: jax.Array
+    lengths: jax.Array                   # (L, N) int32
+    offsets: jax.Array                   # (N,) int32 — logical positions
+    mask: jax.Array                      # (L, N, H, C) bool
+    key_scales: Optional[jax.Array] = None   # (L, N, H, C, 1) f32
+    value_scales: Optional[jax.Array] = None
+    bits: int = dataclasses.field(metadata=dict(static=True), default=8)
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[3]
+
+    @property
+    def n_slots(self) -> int:
+        return self.keys.shape[1]
+
+
+def init_slot_cache(
+    cfg: ModelConfig, n_slots: int, capacity: int, dtype=jnp.bfloat16,
+    quantized: bool = False, bits: int = 8,
+) -> SlotCache:
+    L, H, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+    if quantized:
+        pd = D if bits == 8 else D // 2
+        pt = jnp.int8 if bits == 8 else jnp.uint8
+        keys = jnp.zeros((L, n_slots, H, capacity, pd), pt)
+        values = jnp.zeros((L, n_slots, H, capacity, pd), pt)
+        ks = jnp.ones((L, n_slots, H, capacity, 1), jnp.float32)
+        vs = jnp.ones((L, n_slots, H, capacity, 1), jnp.float32)
+    else:
+        keys = jnp.zeros((L, n_slots, H, capacity, D), dtype)
+        values = jnp.zeros((L, n_slots, H, capacity, D), dtype)
+        ks = vs = None
+    return SlotCache(
+        keys=keys, values=values,
+        lengths=jnp.zeros((L, n_slots), jnp.int32),
+        offsets=jnp.zeros((n_slots,), jnp.int32),
+        mask=jnp.ones((L, n_slots, H, capacity), bool),
+        key_scales=ks, value_scales=vs, bits=8 if not quantized else bits,
+    )
+
+
+# --------------------------------------------------------------------- #
+# jitted engine steps
+
+
+@partial(jax.jit, static_argnames=("runner",))
+def _decode_step(
+    params, tokens: jax.Array, sc: SlotCache, live: jax.Array, *,
+    runner: Runner,
+):
+    """One token for every slot: ``tokens (N,) → logits (N, V)``.
+
+    Mirrors Runner._layer_step's decode path (models/llama.py:144-391) with
+    per-slot ragged lengths: appends are batched scatters at each slot's
+    length, causality is the per-slot bias ``k_slot <= length[b]``, and
+    lengths/offsets only advance for live slots.
+    """
+    cfg = runner.cfg
+    N = tokens.shape[0]
+    H, D = cfg.num_kv_heads, cfg.head_dim
+    quantized = sc.key_scales is not None
+
+    x = params["embed"][tokens[:, None]]                  # (N, 1, E)
+    if cfg.scale_embeddings:
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
+    positions = sc.offsets[:, None]                       # (N, 1)
+    inv_freq = runner.inv_freq()
+    scale = (
+        cfg.query_pre_attn_scalar ** -0.5
+        if cfg.query_pre_attn_scalar is not None
+        else cfg.head_dim ** -0.5
+    )
+    C = sc.capacity
+    sliding = jnp.asarray(cfg.sliding_flags())
+    iN = jnp.arange(N)
+    k_slot = jnp.arange(C, dtype=jnp.int32)
+
+    def body(xh, xs):
+        layer, ck, cv, clen, cmask, cks, cvs, sflag = xs
+        h = rms_norm(xh, layer["ln1"], cfg.rms_norm_eps, cfg.rms_one_offset)
+        q_pre, k_pre, v = _project_qkv(layer, cfg, h)
+        cos, sin = rope_cos_sin(inv_freq, positions, runner.attention_scaling)
+        if cfg.rope_local_base_freq is not None:
+            cos_l, sin_l = rope_cos_sin(
+                runner.inv_freq_local(), positions, 1.0
+            )
+            cos = jnp.where(sflag, cos_l, cos)
+            sin = jnp.where(sflag, sin_l, sin)
+        cos, sin = cos[:, None], sin[:, None]
+        q = apply_rope(q_pre, cos, sin)
+        k = apply_rope(k_pre, cos, sin)
+
+        # Append at each slot's own length (scatter over the slot batch).
+        if quantized:
+            pk, sk = quantize_kv(k, sc.bits)
+            pv, sv = quantize_kv(v, sc.bits)
+            ck = ck.at[iN, :, clen].set(pk[:, :, 0].astype(ck.dtype))
+            cv = cv.at[iN, :, clen].set(pv[:, :, 0].astype(cv.dtype))
+            cks = cks.at[iN, :, clen].set(sk[:, :, 0])
+            cvs = cvs.at[iN, :, clen].set(sv[:, :, 0])
+        else:
+            ck = ck.at[iN, :, clen].set(k[:, :, 0].astype(ck.dtype))
+            cv = cv.at[iN, :, clen].set(v[:, :, 0].astype(cv.dtype))
+        cmask = cmask.at[iN, :, clen].set(True)
+
+        # Per-slot slot-index causality + keep-mask (ops/attention.py
+        # docstring) — built lazily; XLA fuses it into the logits.
+        allowed = k_slot[None, :] <= clen[:, None]        # (N, C)
+        if cfg.sliding_window is not None:
+            sl = allowed & (k_slot[None, :] > clen[:, None] - cfg.sliding_window)
+            allowed = jnp.where(sflag, sl, allowed)
+        bias = jnp.where(allowed[:, None, None, :], 0.0, NEG_INF)
+        bias = bias + jnp.where(cmask, 0.0, NEG_INF)[:, :, None, :]
+
+        if quantized:
+            attn = quant_gqa_attention(
+                q, ck, cv, cks, cvs, bias, scale, sc.bits,
+                softcap=cfg.logit_softcap,
+            )
+        else:
+            attn, _ = gqa_attention(
+                q, ck, cv, bias, scale, softcap=cfg.logit_softcap
+            )
+
+        o = attn.transpose(0, 2, 1, 3).reshape(N, 1, -1) @ layer["wo"]
+        if cfg.post_norms:
+            o = rms_norm(o, layer["ln1_post"], cfg.rms_norm_eps,
+                         cfg.rms_one_offset)
+        xh = xh + o
+        h2 = rms_norm(xh, layer["ln2"], cfg.rms_norm_eps, cfg.rms_one_offset)
+        mlp = _act(h2 @ layer["wg"], cfg.act) * (h2 @ layer["wu"])
+        mlp = mlp @ layer["wd"]
+        if cfg.post_norms:
+            mlp = rms_norm(mlp, layer["ln2_post"], cfg.rms_norm_eps,
+                           cfg.rms_one_offset)
+        xh = xh + mlp
+        nlen = jnp.where(live, clen + 1, clen)            # dead slots frozen
+        return xh, (ck, cv, nlen, cmask, cks, cvs)
+
+    xs = (
+        params["layers"], sc.keys, sc.values, sc.lengths, sc.mask,
+        sc.key_scales, sc.value_scales, sliding,
+    )
+    x, (nk, nv, nlen, nmask, nks, nvs) = jax.lax.scan(body, x, xs)
+
+    x = rms_norm(x, params["ln_f"], cfg.rms_norm_eps, cfg.rms_one_offset)
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T
+    logits = (x[:, 0] @ head).astype(jnp.float32)
+    if cfg.logit_softcap:
+        logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
+    nsc = dataclasses.replace(
+        sc, keys=nk, values=nv, lengths=nlen, mask=nmask,
+        key_scales=nks, value_scales=nvs,
+        offsets=jnp.where(live, sc.offsets + 1, sc.offsets),
+    )
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), nsc
+
+
+@partial(jax.jit, static_argnames=("runner",))
+def _question_forward(params, ids, cache, valid_len, *, runner: Runner):
+    """Question tokens against the compressed context (bucketed via
+    valid_len — one compile per question bucket)."""
+    return runner.forward(
+        params, ids, cache, logits_last_only=True, valid_len=valid_len
+    )
+
+
+@jax.jit
+def _insert_slot(sc: SlotCache, pc: KVCache, slot: jax.Array) -> SlotCache:
+    """Write a (L, 1, H, C, D) prefilled request cache into slot ``slot``."""
+    z = jnp.zeros((), jnp.int32)
+
+    def put(dst, src):
+        idx = (z, slot) + (z,) * (dst.ndim - 2)
+        return jax.lax.dynamic_update_slice(dst, src.astype(dst.dtype), idx)
+
+    mask = pc.mask
+    if mask is None:
+        mask = jnp.ones(pc.keys.shape[:-1], bool)
+    new = dict(
+        keys=put(sc.keys, pc.keys),
+        values=put(sc.values, pc.values),
+        mask=put(sc.mask, mask),
+        lengths=jax.lax.dynamic_update_slice(
+            sc.lengths, pc.length[:, None], (z, slot)
+        ),
+        offsets=jax.lax.dynamic_update_slice(
+            sc.offsets, pc.offset[None], (slot,)
+        ),
+    )
+    if sc.key_scales is not None:
+        new["key_scales"] = put(sc.key_scales, pc.key_scales)
+        new["value_scales"] = put(sc.value_scales, pc.value_scales)
+    return dataclasses.replace(sc, **new)
+
+
+# --------------------------------------------------------------------- #
+
+
+@dataclasses.dataclass
+class Request:
+    context_ids: list
+    question_ids: list
+    max_new_tokens: int = 64
+
+
+@dataclasses.dataclass
+class _SlotState:
+    req_idx: int = -1
+    generated: list = dataclasses.field(default_factory=list)
+    budget: int = 0
+    in_flight: int = 0        # steps issued whose tokens aren't fetched yet
+    done_at: Optional[int] = None   # index into generated where eos was seen
+
+
+class ServingEngine:
+    """Fixed-pool continuous batching. ``run(requests)`` drives admission,
+    batched decode and retirement until every request has an answer.
+
+    capacity: per-slot KV budget — compressed context + question +
+    max_new_tokens must fit (asserted at admission).
+    """
+
+    def __init__(
+        self,
+        runner: Runner,
+        params: dict,
+        n_slots: int = 8,
+        capacity: int = 4096,
+        press: Optional[BasePress] = None,
+        quantized: bool = False,
+        kv_bits: int = 8,
+        context_bucket: Optional[int] = None,
+        question_bucket: int = 64,
+        fetch_lag: int = 4,
+        eos_ids: tuple = (),
+    ):
+        if press is not None:
+            assert not press.compresses_decode, (
+                "decode-phase presses are not supported in the serving loop"
+            )
+            assert not getattr(press, "multi_pass", False), (
+                "multi-pass presses need pipeline orchestration"
+            )
+        self.runner = runner
+        self.params = params
+        self.n_slots = n_slots
+        self.capacity = capacity
+        self.press = press
+        self.quantized = quantized
+        self.kv_bits = kv_bits
+        self.context_bucket = context_bucket
+        self.question_bucket = question_bucket
+        self.fetch_lag = max(1, fetch_lag)
+        self.eos_ids = set(int(e) for e in eos_ids)
+        self.dtype = params["embed"].dtype
+        self.sc = init_slot_cache(
+            runner.cfg, n_slots, capacity, dtype=self.dtype,
+            quantized=quantized, bits=kv_bits,
+        )
+        self.tokens = jnp.zeros((n_slots,), jnp.int32)
+        self.live = np.zeros((n_slots,), bool)
+        self.slots = [_SlotState() for _ in range(n_slots)]
+
+    # ---------------- admission ---------------- #
+
+    def _prefill_request(self, req: Request) -> tuple[KVCache, int]:
+        """Press-compressed context prefill + question forward, re-bucketed
+        to the slot capacity. Returns (cache, first_token)."""
+        runner, params = self.runner, self.params
+        ctx = list(req.context_ids)
+        valid = None
+        if self.context_bucket is not None:
+            pad = -(-len(ctx) // self.context_bucket) * self.context_bucket
+            valid = jnp.asarray(len(ctx), jnp.int32)
+            ctx = ctx + [0] * (pad - len(ctx))
+        ids = jnp.asarray(np.asarray(ctx, np.int32))[None]
+        from .pipeline import _prefill
+
+        logits, cache, _ = _prefill(
+            params, ids, valid, runner=runner, press=self.press,
+            quantized=self.quantized, kv_bits=self.kv_bits,
+        )
+
+        q_ids = list(req.question_ids)
+        if q_ids:
+            qb = self.question_bucket
+            qpad = -(-len(q_ids) // qb) * qb
+            qvalid = jnp.asarray(len(q_ids), jnp.int32)
+            qarr = jnp.asarray(np.asarray(q_ids + [0] * (qpad - len(q_ids)),
+                                          np.int32))[None]
+            need = int(jnp.max(cache.length)) + qpad
+            if cache.max_size < need:
+                cache = grow(cache, need - cache.max_size)
+            logits, cache, _ = _question_forward(
+                params, qarr, cache, qvalid, runner=runner
+            )
+
+        kept = int(jnp.max(cache.length))
+        assert kept + req.max_new_tokens + 1 <= self.capacity, (
+            f"request needs {kept + req.max_new_tokens + 1} slots, "
+            f"capacity is {self.capacity} — raise capacity or compress more"
+        )
+        if cache.max_size > self.capacity:
+            cache = shrink(cache, self.capacity)
+        elif cache.max_size < self.capacity:
+            cache = grow(cache, self.capacity - cache.max_size)
+        first = int(jnp.argmax(logits[0, -1]))
+        return cache, first
+
+    def _admit(self, slot: int, req_idx: int, req: Request):
+        cache, first = self._prefill_request(req)
+        self.sc = _insert_slot(self.sc, cache, jnp.asarray(slot, jnp.int32))
+        self.tokens = self.tokens.at[slot].set(first)
+        self.live[slot] = True
+        st = self.slots[slot]
+        st.req_idx = req_idx
+        st.generated = [first]
+        st.budget = req.max_new_tokens
+        st.in_flight = 0
+        st.done_at = 1 if first in self.eos_ids else None
+
+    # ---------------- main loop ---------------- #
+
+    def run(self, requests: list[Request], progress: bool = False) -> list[list[int]]:
+        """Serve every request; returns generated token lists (eos included,
+        post-eos speculative tokens trimmed).
+
+        Liveness: a slot goes dead (no further steps issued for it) as soon
+        as its token budget is fully *issued* or an eos is *observed* at
+        drain time; it is retired — and its slot reusable — once every
+        issued step has drained. The ≤fetch_lag speculative tokens issued
+        between an eos being generated and observed land beyond the answer
+        and are trimmed.
+        """
+        answers: list[Optional[list]] = [None] * len(requests)
+        queue = list(range(len(requests)))
+        pending: list[tuple[jax.Array, np.ndarray]] = []  # (tokens, live snapshot)
+
+        def drain_one():
+            toks, live_snap = pending.pop(0)
+            host = np.asarray(jax.device_get(toks))
+            for s in range(self.n_slots):
+                if not live_snap[s]:
+                    continue
+                st = self.slots[s]
+                st.in_flight -= 1
+                if st.req_idx < 0:
+                    continue
+                st.generated.append(int(host[s]))
+                if st.done_at is None and int(host[s]) in self.eos_ids:
+                    st.done_at = len(st.generated)
+                    self.live[s] = False
+
+        def finish(s: int):
+            st = self.slots[s]
+            n = st.done_at if st.done_at is not None else st.budget
+            answers[st.req_idx] = st.generated[:n]
+            if progress:
+                print(f"finished request {st.req_idx} "
+                      f"({len(answers[st.req_idx])} tokens)", flush=True)
+            self.slots[s] = _SlotState()
+
+        # Loop until every admitted request is *retired* (not merely until
+        # pending drains — the final drain must still be followed by a
+        # retirement sweep).
+        while queue or any(st.req_idx >= 0 for st in self.slots):
+            while len(pending) > self.fetch_lag:
+                drain_one()
+            for s in range(self.n_slots):
+                st = self.slots[s]
+                if st.req_idx >= 0 and not self.live[s] and st.in_flight == 0:
+                    finish(s)
+            for s in range(self.n_slots):
+                if self.slots[s].req_idx < 0 and queue:
+                    idx = queue.pop(0)
+                    self._admit(s, idx, requests[idx])
+                    if progress:
+                        print(f"admitted request {idx} -> slot {s}",
+                              flush=True)
+            if any(self.live):
+                live_dev = jnp.asarray(self.live)
+                self.tokens, self.sc = _decode_step(
+                    self.params, self.tokens, self.sc, live_dev,
+                    runner=self.runner,
+                )
+                snap = self.live.copy()
+                pending.append((self.tokens, snap))
+                for s in range(self.n_slots):
+                    if snap[s]:
+                        st = self.slots[s]
+                        st.in_flight += 1
+                        if len(st.generated) + st.in_flight >= st.budget:
+                            self.live[s] = False   # budget fully issued
+            elif pending:
+                drain_one()
+        return answers

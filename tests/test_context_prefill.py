@@ -119,7 +119,7 @@ def test_distributed_decode_matches_single_device(setup):
     tok = ids[:, -1:]
     offset = jnp.asarray(S, jnp.int32)
     lg_ref, cache, _ = runner.forward(params, tok, cache, logits_last_only=True)
-    lg, shards, offset = context_parallel_decode_step(
+    lg, shards, offset, _ = context_parallel_decode_step(
         params, tok, shards, offset, runner=runner, mesh=mesh
     )
     np.testing.assert_allclose(
@@ -129,7 +129,7 @@ def test_distributed_decode_matches_single_device(setup):
     # greedy next token, step again: the appended K/V live on the last shard
     tok2 = jnp.argmax(lg[:, -1:], axis=-1).astype(jnp.int32)
     lg_ref2, cache, _ = runner.forward(params, tok2, cache, logits_last_only=True)
-    lg2, shards, offset = context_parallel_decode_step(
+    lg2, shards, offset, _ = context_parallel_decode_step(
         params, tok2, shards, offset, runner=runner, mesh=mesh
     )
     np.testing.assert_allclose(
@@ -159,7 +159,7 @@ def test_distributed_decode_2d_matches_single_device(setup):
 
     tok = ids[:, -1:]
     lg_ref, _, _ = runner.forward(params, tok, cache, logits_last_only=True)
-    lg, shards, _ = context_parallel_decode_step(
+    lg, shards, _, _ = context_parallel_decode_step(
         params, tok, shards, jnp.asarray(S, jnp.int32),
         runner=runner, mesh=mesh2, axis="seq", model_axis="model",
     )
@@ -189,3 +189,79 @@ def test_distributed_generate_matches_single_device(setup):
         want.append(tok)
     want = jnp.concatenate(want, axis=1)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_distributed_decode_seq_tp_matches_single_device(setup):
+    """2-device seq mesh where head/ffn counts divide the axis: the decode
+    step runs its dense compute tensor-parallel over the seq axis (weight
+    column slices + q/k/v all_gather) — logits must still equal the
+    single-device reference exactly (parallel/decode.py seq_tp path)."""
+    from kvpress_tpu.parallel.decode import context_parallel_decode_step
+
+    cfg, params, runner, ids, _ = setup
+    mesh2 = Mesh(np.array(jax.devices()[:2]), axis_names=("seq",))
+    press = KnormPress(compression_ratio=0.5)
+    shards = context_parallel_prefill(
+        params, ids, runner=runner, press=press, mesh=mesh2
+    )
+    ref_press = ChunkPress(press=press, chunk_length=S // 2)
+    _, cache, _ = runner.prefill(params, ids, press=ref_press, dtype=jnp.float32)
+
+    tok = ids[:, -1:]
+    offset = jnp.asarray(S, jnp.int32)
+    lg_ref, cache, _ = runner.forward(params, tok, cache, logits_last_only=True)
+    lg, shards, offset, ovf = context_parallel_decode_step(
+        params, tok, shards, offset, runner=runner, mesh=mesh2
+    )
+    assert int(ovf) == 0
+    np.testing.assert_allclose(
+        np.asarray(lg)[:, 0], np.asarray(lg_ref)[:, 0], atol=2e-4, rtol=1e-3
+    )
+    tok2 = jnp.argmax(lg[:, -1:], axis=-1).astype(jnp.int32)
+    lg_ref2, cache, _ = runner.forward(params, tok2, cache, logits_last_only=True)
+    lg2, shards, offset, _ = context_parallel_decode_step(
+        params, tok2, shards, offset, runner=runner, mesh=mesh2
+    )
+    np.testing.assert_allclose(
+        np.asarray(lg2)[:, 0], np.asarray(lg_ref2)[:, 0], atol=2e-4, rtol=1e-3
+    )
+
+
+def test_distributed_decode_overflow_raises_flag_and_grows(setup):
+    """Uncompressed prefill leaves zero tail slack: the first decode step
+    must raise the overflow flag WITHOUT corrupting the last slot (the
+    round-1 silent-clamp bug), and grow_shards + retry must match the
+    single-device reference."""
+    from kvpress_tpu.cache import grow
+    from kvpress_tpu.parallel.decode import (
+        context_parallel_decode_step, grow_shards,
+    )
+
+    cfg, params, runner, ids, _ = setup
+    mesh2 = Mesh(np.array(jax.devices()[:2]), axis_names=("seq",))
+    shards = context_parallel_prefill(
+        params, ids, runner=runner, press=None, mesh=mesh2
+    )
+    keys_before = np.asarray(shards[0]).copy()
+
+    tok = ids[:, -1:]
+    offset = jnp.asarray(S, jnp.int32)
+    _, shards_out, _, ovf = context_parallel_decode_step(
+        params, tok, shards, offset, runner=runner, mesh=mesh2
+    )
+    assert int(ovf) == 1
+    # the full buffers were left untouched (no silent overwrite)
+    np.testing.assert_array_equal(np.asarray(shards_out[0]), keys_before)
+
+    grown = grow_shards(shards, 2, 8)
+    lg, grown, offset2, ovf2 = context_parallel_decode_step(
+        params, tok, grown, offset, runner=runner, mesh=mesh2
+    )
+    assert int(ovf2) == 0
+
+    _, cache, _ = runner.prefill(params, ids, dtype=jnp.float32)
+    cache = grow(cache, 16)
+    lg_ref, _, _ = runner.forward(params, tok, cache, logits_last_only=True)
+    np.testing.assert_allclose(
+        np.asarray(lg)[:, 0], np.asarray(lg_ref)[:, 0], atol=2e-4, rtol=1e-3
+    )

@@ -230,3 +230,65 @@ def test_key_rerotation_under_yarn():
     ours = KeyRerotationPress(press=KnormPress(0.5))
     _, cache, _ = runner.prefill(params, jnp.asarray(ids), press=ours, dtype=jnp.float32)
     _match_sets(ref_kv, cache.keys, cache.values, cache.length, atol=3e-3)
+
+
+def test_gemma3_multimodal_parity():
+    """Gemma3ForConditionalGeneration: vision tower host-side, projected
+    features scattered into inputs_embeds — logits must match the HF
+    multimodal forward (reference compresses this model via
+    base_press.py:191-202; its pipeline feeds HF's merged embeddings)."""
+    import torch
+    from transformers import Gemma3Config, Gemma3ForConditionalGeneration
+    from transformers.models.gemma3 import Gemma3TextConfig
+    from transformers.models.siglip import SiglipVisionConfig
+
+    from kvpress_tpu.models.convert import from_torch_multimodal, multimodal_embeds
+
+    torch.manual_seed(0)
+    vc = SiglipVisionConfig(hidden_size=32, intermediate_size=64,
+                            num_hidden_layers=2, num_attention_heads=2,
+                            image_size=28, patch_size=14, num_channels=3)
+    tc = Gemma3TextConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                          num_hidden_layers=2, num_attention_heads=4,
+                          num_key_value_heads=2, head_dim=16,
+                          max_position_embeddings=512, pad_token_id=0,
+                          sliding_window=8, tie_word_embeddings=False)
+    hf_cfg = Gemma3Config(text_config=tc, vision_config=vc,
+                          mm_tokens_per_image=4, image_token_index=500,
+                          boi_token_index=498, eoi_token_index=499)
+    model = Gemma3ForConditionalGeneration(hf_cfg)
+    model.eval()
+
+    params, cfg, embed_images = from_torch_multimodal(model, dtype=jnp.float32)
+    runner = Runner.create(cfg)
+
+    rng = np.random.default_rng(0)
+    T = 16
+    ids = rng.integers(1, 498, (1, T))
+    ids[0, 3:7] = 500                               # one image: 4 placeholders
+    px = rng.standard_normal((1, 3, 28, 28)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.tensor(ids), pixel_values=torch.tensor(px)
+        ).logits.float().numpy()
+
+    feats = embed_images(px)
+    assert feats.shape == (1, 4, 64)
+    embeds = multimodal_embeds(params, cfg, ids, feats, 500)
+    cache = init_cache(cfg, 1, T, dtype=jnp.float32)
+    logits, _, _ = runner.forward(
+        params, None, cache, inputs_embeds=embeds
+    )
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=2e-3, rtol=2e-3)
+
+    # compression applies through the multimodal prefill path
+    from kvpress_tpu import KnormPress
+
+    _, cache2, _ = runner.prefill(
+        params, None, press=KnormPress(compression_ratio=0.5),
+        dtype=jnp.float32, inputs_embeds=embeds,
+    )
+    full = [l for i, l in enumerate(np.asarray(cache2.length))
+            if cfg.sliding_flags()[i] == 0]
+    assert all(l == T // 2 for l in full)

@@ -103,3 +103,51 @@ def test_pipeline_quantized_cache(tiny):
         out = pipe(ctx, question="what ?", press=KnormPress(0.5),
                    max_new_tokens=4, quantized=True, kv_bits=bits)
         assert isinstance(out["answer"], str)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_quant_gqa_attention_matches_dequant(bits):
+    """quant_gqa_attention(payload) == gqa_attention(dequantized buffer):
+    the fused path must be numerically identical up to dtype rounding —
+    scales applied algebraically outside the dot (ops/attention.py)."""
+    from kvpress_tpu.cache import dequantize_kv
+    from kvpress_tpu.ops.attention import (
+        NEG_INF, attention_bias, gqa_attention, quant_gqa_attention,
+    )
+
+    B, Hq, Hkv, T, S, D = 2, 8, 2, 3, 24, 32
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, Hq, T, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, Hkv, S, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, Hkv, S, D), jnp.float32)
+    pk, sk = quantize_kv(k, bits)
+    pv, sv = quantize_kv(v, bits)
+    head_mask = jax.random.bernoulli(ks[0], 0.8, (B, Hkv, S))
+    bias = attention_bias(jnp.asarray(S - T, jnp.int32), T, S, head_mask=head_mask)
+
+    dk = dequantize_kv(pk, sk, bits, jnp.float32)
+    dv = dequantize_kv(pv, sv, bits, jnp.float32)
+    ref, _ = gqa_attention(q, dk, dv, bias, D**-0.5, softcap=30.0)
+    out = quant_gqa_attention(q, pk, pv, sk, sv, bias, D**-0.5, bits, softcap=30.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_quantized_decode_never_dequantizes_buffer(tiny):
+    """The decode-step jaxpr must not contain a dequantized (S-sized bf16)
+    KV intermediate: the payload feeds attention directly (VERDICT r1 #1)."""
+    cfg, params, runner = tiny
+    ids = jax.random.randint(jax.random.PRNGKey(3), (1, 32), 0, cfg.vocab_size)
+    _, cache, _ = runner.prefill(params, ids, max_size=48, quantized=True)
+    S, D = cache.max_size, cfg.head_dim
+    # A full dequant materializes a float (…, Hkv, S, D) buffer: no convert
+    # producing one may appear anywhere in the lowered HLO.
+    txt = jax.jit(
+        lambda p, t, c: runner.forward(p, t, c, logits_last_only=True)
+    ).lower(params, ids[:, -1:], cache).as_text()
+    needle = f"{cfg.num_kv_heads},{S},{D}"
+    bad = [
+        ln for ln in txt.splitlines()
+        if "convert" in ln and needle in ln
+        and ("f32[" in ln.split("=")[0] or "bf16[" in ln.split("=")[0])
+    ]
+    assert not bad, bad[:3]

@@ -1,0 +1,133 @@
+"""Continuous-batching serving engine: per-request outputs must equal the
+single-request greedy path (prefill + question + decode via Runner.forward),
+including under compression, quantized slots, eos trimming and slot reuse.
+
+The reference has no serving layer (kvpress/pipeline.py is batch-1); the
+per-request contract these tests pin down is the pipeline's."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kvpress_tpu import KnormPress, Runner, init_params, tiny_config
+from kvpress_tpu.cache import grow
+from kvpress_tpu.pipeline import _prefill
+from kvpress_tpu.serving import Request, ServingEngine
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    return cfg, params, Runner.create(cfg)
+
+
+def ref_generate(runner, params, press, ctx, q_ids, n_new, capacity,
+                 quantized=False, kv_bits=8, eos_ids=()):
+    """The serving contract, one request at a time, straight on Runner."""
+    ids = jnp.asarray(np.asarray(ctx, np.int32))[None]
+    logits, cache, _ = _prefill(
+        params, ids, None, runner=runner, press=press,
+        quantized=quantized, kv_bits=kv_bits,
+    )
+    if q_ids:
+        need = int(jnp.max(cache.length)) + len(q_ids)
+        if cache.max_size < need:
+            cache = grow(cache, need - cache.max_size)
+        qarr = jnp.asarray(np.asarray(q_ids, np.int32))[None]
+        logits, cache, _ = runner.forward(
+            params, qarr, cache, logits_last_only=True,
+            valid_len=jnp.asarray(len(q_ids), jnp.int32),
+        )
+    if cache.max_size < int(jnp.max(cache.length)) + n_new + 1:
+        cache = grow(cache, int(jnp.max(cache.length)) + n_new + 1 - cache.max_size)
+    tok = int(jnp.argmax(logits[0, -1]))
+    out = [tok]
+    for _ in range(n_new - 1):
+        if out[-1] in eos_ids:
+            break
+        lg, cache, _ = runner.forward(
+            params, jnp.asarray([[out[-1]]], jnp.int32), cache,
+            logits_last_only=True,
+        )
+        out.append(int(jnp.argmax(lg[0, -1])))
+    if eos_ids and any(t in eos_ids for t in out):
+        out = out[: next(i for i, t in enumerate(out) if t in eos_ids) + 1]
+    return out
+
+
+def _mk_requests(cfg, lengths, n_new=6):
+    rng = np.random.default_rng(0)
+    reqs = []
+    for i, (cl, ql) in enumerate(lengths):
+        ctx = rng.permutation(cfg.vocab_size)[:cl].tolist()
+        q = rng.permutation(cfg.vocab_size)[:ql].tolist()
+        reqs.append(Request(ctx, q, max_new_tokens=n_new))
+    return reqs
+
+
+def test_serving_matches_single_request(tiny):
+    cfg, params, runner = tiny
+    press = KnormPress(compression_ratio=0.5)
+    reqs = _mk_requests(cfg, [(32, 4), (48, 8), (24, 4), (40, 4), (32, 8)])
+    eng = ServingEngine(
+        runner, params, n_slots=2, capacity=64, press=press,
+        question_bucket=4, fetch_lag=2,
+    )
+    answers = eng.run(reqs)
+    for req, got in zip(reqs, answers):
+        want = ref_generate(
+            runner, params, press, req.context_ids, req.question_ids,
+            req.max_new_tokens, 64,
+        )
+        assert got == want
+
+
+def test_serving_more_requests_than_slots_reuses(tiny):
+    """8 requests through 2 slots — retirement + re-admission."""
+    cfg, params, runner = tiny
+    reqs = _mk_requests(cfg, [(16 + 4 * i, 4) for i in range(8)], n_new=4)
+    eng = ServingEngine(runner, params, n_slots=2, capacity=64,
+                        question_bucket=4, fetch_lag=3)
+    answers = eng.run(reqs)
+    assert all(a is not None and len(a) == 4 for a in answers)
+    for req, got in zip(reqs, answers):
+        want = ref_generate(runner, params, None, req.context_ids,
+                            req.question_ids, 4, 64)
+        assert got == want
+
+
+def test_serving_eos_trims_speculative(tiny):
+    cfg, params, runner = tiny
+    req = _mk_requests(cfg, [(32, 4)], n_new=12)[0]
+    free = ref_generate(runner, params, None, req.context_ids,
+                        req.question_ids, 12, 64)
+    eos = free[3]  # force an eos mid-stream
+    eng = ServingEngine(runner, params, n_slots=2, capacity=64,
+                        question_bucket=4, fetch_lag=4, eos_ids=(eos,))
+    got = eng.run([req])[0]
+    want = free[: free.index(eos) + 1]
+    assert got == want
+    assert len(got) < 12  # speculative tail trimmed
+
+
+def test_serving_quantized_slots(tiny):
+    cfg, params, runner = tiny
+    reqs = _mk_requests(cfg, [(32, 4), (24, 4)], n_new=5)
+    eng = ServingEngine(runner, params, n_slots=2, capacity=64,
+                        quantized=True, kv_bits=8, question_bucket=4)
+    answers = eng.run(reqs)
+    for req, got in zip(reqs, answers):
+        want = ref_generate(runner, params, None, req.context_ids,
+                            req.question_ids, 5, 64, quantized=True)
+        assert got == want
+
+
+def test_serving_capacity_assert(tiny):
+    cfg, params, runner = tiny
+    req = _mk_requests(cfg, [(60, 4)], n_new=32)[0]
+    eng = ServingEngine(runner, params, n_slots=1, capacity=64,
+                        question_bucket=4)
+    with pytest.raises(AssertionError, match="capacity"):
+        eng.run([req])
