@@ -1,25 +1,20 @@
-.PHONY: test style bench dryrun
+.PHONY: test style lint bench dryrun serve-bench
 
 test:
 	python -m pytest tests/ -q
 
-style:
+# Reference parity: `make style` mirrors /root/reference/Makefile's
+# flake8+mypy gate with the stdlib AST linter (the image ships no flake8/
+# mypy/ruff and installs are not permitted). SPDX headers: non-goal.
+style: lint
 	python -m compileall -q kvpress_tpu evaluation tools examples
-	python - <<'EOF'
-	import ast, pathlib, sys
-	bad = []
-	for p in pathlib.Path("kvpress_tpu").rglob("*.py"):
-	    try:
-	        ast.parse(p.read_text())
-	    except SyntaxError as e:
-	        bad.append(f"{p}: {e}")
-	sys.exit(1 if bad else 0)
-	EOF
+
+lint:
+	python tools/lint.py
 
 bench:
 	python bench.py
 
 dryrun:
-	JAX_PLATFORMS= XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 	python -c "import jax; jax.config.update('jax_platforms','cpu'); \
 	from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"

@@ -85,7 +85,6 @@ def configure_press(config: EvaluationConfig):
         CAMPress, DecodingPress, DMSPress, KVzapPress, LUKVPress,
         QFilterPress, ScorerPress, ThinKPress,
     )
-    from kvpress_tpu.presses.wrappers import WrappedScorerMixin
 
     press = PRESS_REGISTRY[config.press_name]
     if press is None:

@@ -104,7 +104,9 @@ def retrieval_zh_score(prediction, ground_truth, **kw) -> float:
 
 def count_score(prediction, ground_truth, **kw) -> float:
     numbers = re.findall(r"\d+", prediction)
-    return float(sum(1.0 for n in numbers if n == str(ground_truth)) / len(numbers)) if numbers else 0.0
+    if not numbers:
+        return 0.0
+    return float(sum(1.0 for n in numbers if n == str(ground_truth)) / len(numbers))
 
 
 def code_sim_score(prediction, ground_truth, **kw) -> float:

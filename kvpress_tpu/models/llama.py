@@ -13,8 +13,7 @@ model is a single `lax.scan` — compile-friendly and trivially shardable.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

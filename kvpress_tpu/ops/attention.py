@@ -212,6 +212,55 @@ def chunked_window_probs_mean(
     return cols.reshape(B, Hq, S)
 
 
+def window_probs_mean_from_lse(
+    q_window: jax.Array,         # (B, Hq, W, D) — last-W post-RoPE queries
+    k: jax.Array,                # (B, Hkv, S, D)
+    lse_window: jax.Array,       # (B, Hq, W) f32 — row logsumexp from the
+                                 # flash prefill pass (ctx.attn_lse tail)
+    scale: float,
+    prior_length: jax.Array,     # () int32 — causal offset of the first row
+    softcap: Optional[float] = None,
+    chunk: int = 4096,
+) -> jax.Array:
+    """Column means over the window, (B, Hq, S), in ONE sweep over K.
+
+    ``chunked_window_probs_mean`` needs two passes (running max/sum, then
+    normalized columns). When the prefill ran through the flash kernel its
+    row logsumexp is already exact — probs are simply ``exp(s·scale − lse)``,
+    so the second pass (and the extra K read) disappears. ``softcap`` must
+    match the attention that produced the lse (Gemma logit softcap), else the
+    recomputed logits would not correspond to it."""
+    B, Hq, W, D = q_window.shape
+    Hkv, S = k.shape[1], k.shape[2]
+    G = Hq // Hkv
+    qg = q_window.reshape(B, Hkv, G, W, D)
+    lse = lse_window.reshape(B, Hkv, G, W)
+    Sp = -(-S // chunk) * chunk
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+    n_chunks = Sp // chunk
+    kc = kp.reshape(B, Hkv, n_chunks, chunk, D).transpose(2, 0, 1, 3, 4)
+    q_slot = prior_length + jnp.arange(W, dtype=jnp.int32)[:, None]
+
+    def step(_, xs):
+        k_chunk, c = xs
+        s = jnp.einsum(
+            "bhgtd,bhsd->bhgts", qg, k_chunk.astype(qg.dtype),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if softcap is not None:
+            s = jnp.tanh(s / softcap) * softcap
+        k_slot = c * chunk + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+        allowed = (k_slot <= q_slot) & (k_slot < S)
+        p = jnp.where(
+            allowed[None, None, None], jnp.exp(s - lse[..., None]), 0.0
+        )
+        return None, p.mean(axis=-2)                      # (B, Hkv, G, chunk)
+
+    _, cols = jax.lax.scan(step, None, (kc, jnp.arange(n_chunks)))
+    cols = cols.transpose(1, 2, 3, 0, 4).reshape(B, Hkv, G, Sp)[..., :S]
+    return cols.reshape(B, Hq, S)
+
+
 def chunked_observed_colsums(
     queries: jax.Array,          # (B, Hq, S, D) — all post-RoPE prefill queries
     keys: jax.Array,             # (B, Hkv, S, D)

@@ -20,7 +20,6 @@ pages with double-buffered manual DMA, and a persistent page table.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

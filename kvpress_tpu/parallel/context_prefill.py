@@ -21,7 +21,6 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..config import ModelConfig
 from ..models.llama import Runner, _act, _project_qkv, rms_norm
 from ..presses.base import BasePress, LayerCtx
 from ..rope import apply_rope, rope_cos_sin

@@ -324,6 +324,77 @@ class KVPressPipeline:
             return {"answer": answers[0]}
         return {"answers": answers}
 
+    def batch(
+        self,
+        contexts: list[str],
+        questions: Optional[list[Optional[str]]] = None,
+        press: Optional[BasePress] = None,
+        max_new_tokens: int = 50,
+        answer_prefix: str = "",
+        max_context_length: Optional[int] = None,
+        enable_thinking: bool = False,
+        n_slots: int = 8,
+        capacity: Optional[int] = None,
+        quantized: bool = False,
+        kv_bits: int = 8,
+        context_bucket: Optional[int] = None,
+        question_bucket: int = 64,
+    ) -> list[str]:
+        """Serve many (context, question) requests through the continuous-
+        batching engine (serving.py): per-request press-compressed prefill,
+        one fixed-shape jitted decode step over ``n_slots`` slots, admission
+        as slots retire. Per-request semantics are the single ``__call__``
+        contract (greedy decoding); the reference pipeline has no batched
+        surface at all (kvpress/pipeline.py is batch-1 — on TPU the decode
+        step is weight-HBM-bound at small batch, so batching is the main
+        throughput lever).
+
+        ``capacity`` (per-slot KV budget) defaults to compressed longest
+        context + bucketed question + generation room.
+        """
+        from .serving import Request, ServingEngine
+
+        if questions is None:
+            questions = [None] * len(contexts)
+        assert len(questions) == len(contexts)
+        reqs = []
+        for ctx, q in zip(contexts, questions):
+            context_ids, q_ids = self.preprocess(
+                ctx, [q] if q else [""], answer_prefix, max_context_length,
+                enable_thinking,
+            )
+            reqs.append(Request(context_ids, q_ids[0], max_new_tokens))
+        if capacity is None:
+            longest = max(len(r.context_ids) for r in reqs)
+            if context_bucket is not None:
+                longest = -(-longest // context_bucket) * context_bucket
+            kept = (
+                press.max_kept(longest, self.runner.cfg)
+                if press is not None else longest
+            )
+            max_q = max(len(r.question_ids) for r in reqs)
+            capacity = (
+                kept
+                + -(-max(max_q, 1) // question_bucket) * question_bucket
+                + max_new_tokens + 1
+            )
+        eos = tuple(e for e in self._eos() if e >= 0)
+        eng = ServingEngine(
+            self.runner, self.params,
+            n_slots=max(1, min(n_slots, len(reqs))),
+            capacity=capacity, press=press,
+            quantized=quantized, kv_bits=kv_bits,
+            context_bucket=context_bucket, question_bucket=question_bucket,
+            eos_ids=eos,
+        )
+        outs = eng.run(reqs)
+        answers = []
+        for toks in outs:
+            answers.append(
+                self.tokenizer.decode(list(toks), skip_special_tokens=True)
+            )
+        return answers
+
     # ------------------------------------------------------------------ #
 
     def _run_kvzip(self, cache: KVCache, context_ids, press, max_new_tokens):

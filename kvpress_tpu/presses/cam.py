@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import window_attention_probs
-from .base import LayerCtx, topk_keep
 from .decoding import NEG_INF, DecodingPress
 from .snapkv import group_mean
 

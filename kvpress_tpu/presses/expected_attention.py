@@ -18,7 +18,6 @@ import jax.numpy as jnp
 
 from ..rope import mean_rotation_matrix
 from .base import LayerCtx, ScorerPress
-from .snapkv import group_mean
 
 
 @dataclasses.dataclass(frozen=True)

@@ -17,7 +17,6 @@ trace-static, so the subsampled-key attention compiles to fixed shapes.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

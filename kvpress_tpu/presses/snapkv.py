@@ -53,12 +53,19 @@ class SnapKVPress(ScorerPress):
         prior = jnp.asarray(S - window_size, jnp.int32)
         return window_attention_probs(q_win, keys, ctx.scale, prior)
 
-    # Above this length the W×S probs matrix is replaced by a chunked two-pass
-    # column-mean (O(W·chunk) memory — the 128K enabler).
+    # Above this length the W×S probs matrix is replaced by a chunked
+    # column-mean (O(W·chunk) memory — the 128K enabler): one sweep when the
+    # flash prefill's row LSE is available (wants_lse → ctx.attn_lse), two
+    # otherwise.
     chunked_threshold = 8192
 
+    def wants_lse(self, q_len: int) -> bool:
+        return q_len >= self.chunked_threshold
+
     def score(self, ctx: LayerCtx, keys, values):
-        from ..ops.attention import chunked_window_probs_mean
+        from ..ops.attention import (
+            chunked_window_probs_mean, window_probs_mean_from_lse,
+        )
 
         B, Hkv, S, _ = keys.shape
         W = self.window_size
@@ -66,6 +73,13 @@ class SnapKVPress(ScorerPress):
         if ctx.attn_probs is not None:
             attn = ctx.attn_probs[..., S - W :, : S - W].astype(jnp.float32)
             scores = attn.mean(axis=-2)                   # (B, Hq, S-W)
+        elif ctx.attn_lse is not None:
+            scores = window_probs_mean_from_lse(
+                ctx.queries[:, :, S - W :], keys,
+                ctx.attn_lse[:, :, S - W :], ctx.scale,
+                jnp.asarray(S - W, jnp.int32),
+                softcap=ctx.cfg.logit_softcap,
+            )[..., : S - W]
         elif S >= self.chunked_threshold:
             scores = chunked_window_probs_mean(
                 ctx.queries[:, :, S - W :], keys, ctx.scale,

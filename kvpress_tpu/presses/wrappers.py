@@ -11,13 +11,11 @@ monkey-patch (attention_patch.py:43-87) with something strictly cheaper.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ModelConfig
 from ..rope import rotate_half
 from .base import BasePress, LayerCtx, ScorerPress, topk_keep
 

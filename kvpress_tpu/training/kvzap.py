@@ -23,7 +23,6 @@ import optax
 
 from ..config import ModelConfig
 from ..presses.base import BasePress, LayerCtx
-from ..presses.snapkv import group_mean
 
 
 # --------------------------------------------------------------------------- #

@@ -16,7 +16,6 @@ from kvpress_tpu.presses import (
     KnormPress,
     PyramidKVPress,
     ObservedAttentionPress,
-    RandomPress,
     SnapKVPress,
     StreamingLLMPress,
     TOVAPress,

@@ -5,15 +5,13 @@ the tiny model pipeline."""
 import json
 import sys
 
-import numpy as np
 import pandas as pd
-import pytest
 import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo/evaluation")
 
-from kvpress_tpu import KnormPress, Runner, init_params, tiny_config
+from kvpress_tpu import Runner, init_params, tiny_config
 from kvpress_tpu.pipeline import KVPressPipeline
 from toy_tokenizer import ToyTokenizer
 

@@ -8,7 +8,6 @@ import jax.numpy as jnp
 
 import kvpress_tpu as kp
 from kvpress_tpu.cache import masked_fraction
-from kvpress_tpu.models.convert import from_torch_model
 from kvpress_tpu.pipeline import KVPressPipeline
 from kvpress_tpu.presses import (
     FastKVzipPress,
@@ -18,7 +17,7 @@ from kvpress_tpu.presses import (
 )
 from kvpress_tpu.presses.fastkvzip import gate_scores
 
-from reference_oracle import load_reference, tiny_torch_model
+from reference_oracle import load_reference
 from toy_tokenizer import ToyTokenizer
 
 

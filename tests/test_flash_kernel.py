@@ -1,7 +1,6 @@
 """Flash-attention kernel correctness on CPU via Pallas interpret mode (the
 same kernel runs compiled on TPU; tools/ scripts re-validate on chip)."""
 
-import functools
 
 import numpy as np
 import pytest

@@ -10,7 +10,6 @@ import kvpress_tpu as kp
 from kvpress_tpu.models.convert import from_torch_model
 from kvpress_tpu.presses import DMSPress, KVzapPress
 from kvpress_tpu.training import collect_scores, train_linear, train_mlp
-from kvpress_tpu.training.kvzap import KVzipScoreCollector
 
 from reference_oracle import load_reference, tiny_torch_model
 

@@ -2,7 +2,6 @@
 with identical repeat ids), DuoAttention mask parity, and
 ExpectedAttentionStats behavior."""
 
-import dataclasses
 
 import numpy as np
 import pytest

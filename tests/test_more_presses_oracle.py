@@ -4,7 +4,6 @@ unseeded torch Gaussians, so exact parity is not defined)."""
 
 import numpy as np
 import pytest
-import jax
 import jax.numpy as jnp
 
 import kvpress_tpu as kp

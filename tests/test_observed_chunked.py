@@ -149,3 +149,75 @@ def test_observed_through_pipeline_buffer(tiny):
     out = pipe(ctx, question="what ?", max_new_tokens=4,
                press=ObservedAttentionPress(0.5))
     assert isinstance(out["answer"], str) and out["answer"]
+
+
+def test_window_probs_mean_from_lse_matches_chunked():
+    """Single-sweep LSE-reuse window column means == the two-pass chunked
+    path == the dense probs mean (SnapKV long-context scoring)."""
+    from kvpress_tpu.ops.attention import (
+        chunked_window_probs_mean, window_attention_probs,
+        window_probs_mean_from_lse,
+    )
+
+    B, Hq, Hkv, S, W, D = 1, 4, 2, 96, 8, 16
+    ks = jax.random.split(jax.random.PRNGKey(0), 2)
+    q_all = jax.random.normal(ks[0], (B, Hq, S, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, Hkv, S, D), jnp.float32)
+    scale = D**-0.5
+    prior = jnp.asarray(S - W, jnp.int32)
+    q_win = q_all[:, :, S - W:]
+
+    # exact row lse of the window rows (what the flash pass emits)
+    G = Hq // Hkv
+    qg = q_win.reshape(B, Hkv, G, W, D)
+    s = jnp.einsum("bhgtd,bhsd->bhgts", qg, k) * scale
+    slot_q = prior + jnp.arange(W)[:, None]
+    allowed = jnp.arange(S)[None, :] <= slot_q
+    s = jnp.where(allowed[None, None, None], s, -jnp.inf)
+    lse = jax.nn.logsumexp(s, axis=-1).reshape(B, Hq, W)
+
+    got = window_probs_mean_from_lse(q_win, k, lse, scale, prior, chunk=32)
+    want2 = chunked_window_probs_mean(q_win, k, scale, prior, chunk=32)
+    want_dense = window_attention_probs(q_win, k, scale, prior).mean(axis=-2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want2),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want_dense),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_snapkv_score_lse_branch_matches_default():
+    """SnapKVPress.score with ctx.attn_lse == score without (the branch the
+    flash prefill enables at >=chunked_threshold)."""
+    from kvpress_tpu import tiny_config
+    from kvpress_tpu.presses.base import LayerCtx
+    from kvpress_tpu.presses.snapkv import SnapKVPress
+
+    cfg = tiny_config()
+    B, Hq, Hkv, S, D = 1, cfg.num_heads, cfg.num_kv_heads, 64, cfg.head_dim
+    ks = jax.random.split(jax.random.PRNGKey(1), 2)
+    q_all = jax.random.normal(ks[0], (B, Hq, S, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, Hkv, S, D), jnp.float32)
+    v = jnp.zeros_like(k)
+    press = SnapKVPress(compression_ratio=0.5, window_size=8)
+    scale = D**-0.5
+
+    G = Hq // Hkv
+    qg = q_all.reshape(B, Hkv, G, S, D)
+    s = jnp.einsum("bhgtd,bhsd->bhgts", qg, k) * scale
+    allowed = jnp.arange(S)[None, :] <= jnp.arange(S)[:, None]
+    s = jnp.where(allowed[None, None, None], s, -jnp.inf)
+    lse = jax.nn.logsumexp(s, axis=-1).reshape(B, Hq, S)
+
+    def mkctx(attn_lse):
+        return LayerCtx(
+            layer_idx=jnp.asarray(0), hidden=jnp.zeros((B, S, cfg.hidden_size)),
+            queries=q_all, queries_prerope=q_all, keys_prerope=k,
+            positions=jnp.arange(S)[None], attn_probs=None, layer_params={},
+            inv_freq=jnp.ones((D // 2,)), cfg=cfg, attention_scaling=1.0,
+            attn_lse=attn_lse,
+        )
+
+    want = press.score(mkctx(None), k, v)
+    got = press.score(mkctx(lse), k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)

@@ -1,10 +1,8 @@
 """Pipeline behavior: compression logging semantics, multi-question cache
 rollback, decode-vs-generate equivalence (reference tests/test_pipeline.py)."""
 
-import dataclasses
 import logging
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest

@@ -1,7 +1,6 @@
 """Basic press semantics: compressed lengths, top-k keep invariant, no-op at
 ratio 0 (reference tests/test_press_call.py, tests/presses/test_presses.py:143-162)."""
 
-import dataclasses
 
 import numpy as np
 import jax
@@ -12,7 +11,6 @@ from kvpress_tpu import (
     KnormPress,
     RandomPress,
     Runner,
-    ScorerPress,
     StreamingLLMPress,
     init_params,
     tiny_config,

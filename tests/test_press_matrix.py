@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 
 import kvpress_tpu as kp
-from kvpress_tpu.cache import masked_fraction, valid_mask
+from kvpress_tpu.cache import masked_fraction
 from kvpress_tpu.presses import (
     AdaKVPress,
     CapPress,

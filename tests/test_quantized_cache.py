@@ -112,7 +112,7 @@ def test_quant_gqa_attention_matches_dequant(bits):
     scales applied algebraically outside the dot (ops/attention.py)."""
     from kvpress_tpu.cache import dequantize_kv
     from kvpress_tpu.ops.attention import (
-        NEG_INF, attention_bias, gqa_attention, quant_gqa_attention,
+        attention_bias, gqa_attention, quant_gqa_attention,
     )
 
     B, Hq, Hkv, T, S, D = 2, 8, 2, 3, 24, 32

@@ -137,7 +137,6 @@ def test_sink_only_press_destroys_early_needles(trained):
 # Reference integration bar (tests/integration/test_ruler.py:24-69): the
 # needle must survive light compression for EVERY press family, including
 # over a quantized cache. Ratio 0.1, query-aware.
-import kvpress_tpu as kp
 from kvpress_tpu.presses import (
     AdaKVPress,
     ExpectedAttentionPress,

@@ -131,3 +131,24 @@ def test_serving_capacity_assert(tiny):
                         question_bucket=4)
     with pytest.raises(AssertionError, match="capacity"):
         eng.run([req])
+
+
+def test_pipeline_batch_matches_call():
+    """KVPressPipeline.batch == per-request __call__ (greedy), including
+    mixed context lengths and slot contention."""
+    from kvpress_tpu import init_params, tiny_config
+    from kvpress_tpu.pipeline import KVPressPipeline
+    from toy_tokenizer import ToyTokenizer
+
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    pipe = KVPressPipeline(Runner.create(cfg), params, ToyTokenizer(cfg.vocab_size))
+    press = KnormPress(compression_ratio=0.5)
+
+    contexts = [" ".join(f"w{i}x{j}" for i in range(24 + 8 * j)) for j in range(4)]
+    questions = [f"what is w3x{j} ?" for j in range(4)]
+    got = pipe.batch(contexts, questions, press=press, max_new_tokens=6,
+                     n_slots=2, question_bucket=4)
+    for ctx, q, g in zip(contexts, questions, got):
+        want = pipe(ctx, question=q, press=press, max_new_tokens=6)["answer"]
+        assert g == want

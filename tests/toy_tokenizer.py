@@ -22,7 +22,11 @@ class ToyTokenizer:
             return self.bos_token_id
         if tok == self.eos_token:
             return self.eos_token_id
-        i = 3 + (hash(tok) % (self.vocab_size - 3))
+        import zlib
+
+        # deterministic across processes (str hash is PYTHONHASHSEED-random;
+        # batched-vs-single argmax near-ties would make tests flaky per run)
+        i = 3 + (zlib.crc32(tok.encode()) % (self.vocab_size - 3))
         self._id2tok.setdefault(i, tok)
         return i
 

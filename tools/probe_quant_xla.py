@@ -83,9 +83,11 @@ def main():
 
     print(f"bf16  slope {slope_ms(chain_bf16, (q, k, v)):7.3f} ms/call",
           flush=True)
-    print(f"int8  slope {slope_ms(functools.partial(chain_q, bits=8), (q, qk8, qv8, sk8, sv8)):7.3f} ms/call",
+    i8 = slope_ms(functools.partial(chain_q, bits=8), (q, qk8, qv8, sk8, sv8))
+    print(f"int8  slope {i8:7.3f} ms/call",
           flush=True)
-    print(f"int4  slope {slope_ms(functools.partial(chain_q, bits=4), (q, qk4, qv4, sk4, sv4)):7.3f} ms/call",
+    i4 = slope_ms(functools.partial(chain_q, bits=4), (q, qk4, qv4, sk4, sv4))
+    print(f"int4  slope {i4:7.3f} ms/call",
           flush=True)
 
 

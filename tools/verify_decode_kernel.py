@@ -14,7 +14,6 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from kvpress_tpu.cache import dequantize_kv, quantize_kv
 from kvpress_tpu.ops.attention import attention_bias, gqa_attention
