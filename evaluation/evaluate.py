@@ -47,6 +47,10 @@ class EvaluationConfig:
     needle_depth: int = 50
     query_aware: bool = False
     context_bucket: Optional[int] = None   # pad contexts to this bucket (padding-safe presses)
+    # reference --fp8 counterpart (evaluate.py:370): TPU has no fp8 MXU, so
+    # "fp8" means int8 weights read directly by the dots (models.llama._lin);
+    # fp8 *checkpoints* dequantize at load (convert.py weight_scale_inv).
+    fp8: bool = False
     seed: int = 42
     output_dir: str = "./results"
     press_artifact: Optional[str] = None         # qfilter/kvzap/lukv artifact
@@ -166,7 +170,15 @@ class EvaluationRunner:
         from kvpress_tpu.pipeline import KVPressPipeline
 
         logger.info("Loading model pipeline for %s", self.config.model)
-        return KVPressPipeline.from_pretrained(self.config.model)
+        pipe = KVPressPipeline.from_pretrained(self.config.model)
+        if self.config.fp8:
+            from kvpress_tpu.models.llama import quantize_params_int8
+
+            logger.info("fp8 flag: int8 weight quantization enabled (TPU path).")
+            pipe = dataclasses.replace(
+                pipe, params=quantize_params_int8(pipe.params)
+            )
+        return pipe
 
     def _load_and_prepare_dataset(self):
         cfg = self.config

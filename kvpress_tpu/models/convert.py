@@ -23,7 +23,10 @@ def _np(t):
     if hasattr(t, "detach"):
         t = t.detach().to("cpu")
         import torch
-        if t.dtype == torch.bfloat16:
+        if t.dtype == torch.bfloat16 or "float8" in str(t.dtype):
+            # fp8 checkpoints (reference evaluate.py:370 FineGrainedFP8Config)
+            # are ingested by upcasting: v5e has no fp8 MXU — the runtime
+            # memory story is weight-int8 (models.llama.quantize_params_int8).
             t = t.float()
         return t.numpy()
     return np.asarray(t)
@@ -42,7 +45,22 @@ def convert_state_dict(
         return jnp.asarray(np.stack([maker(i) for i in range(L)]), dtype)
 
     def linear(i, name):
-        return get(f"model.layers.{i}.{name}.weight").T  # (in, out)
+        w = get(f"model.layers.{i}.{name}.weight")
+        # Fine-grained fp8 checkpoints carry 128x128 block inverse scales;
+        # dequantize at conversion (fp8 payload was upcast by _np already).
+        for scale_key in (f"model.layers.{i}.{name}.weight_scale_inv",
+                          f"model.layers.{i}.{name}.weight_scale"):
+            if has(scale_key):
+                s = get(scale_key)
+                if s.ndim == 2 and s.shape != w.shape:       # block scales
+                    br = -(-w.shape[0] // s.shape[0])
+                    bc = -(-w.shape[1] // s.shape[1])
+                    s = np.repeat(np.repeat(s, br, 0), bc, 1)[
+                        : w.shape[0], : w.shape[1]
+                    ]
+                w = w * s
+                break
+        return w.T  # (in, out)
 
     pfx = "model.layers.0.self_attn."
     fused_qkv = has(pfx + "qkv_proj.weight")

@@ -80,13 +80,45 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.float32) -> dict:
     return params
 
 
+def _lin(h: jax.Array, layer: dict, name: str) -> jax.Array:
+    """h @ layer[name], reading int8-quantized weights directly when present.
+
+    Weight-int8 is the TPU-native counterpart of the reference's FP8 models
+    (evaluate.py:370-372, FineGrainedFP8Config): v5e has no fp8 MXU, but XLA
+    fuses the int8→bf16 convert into the dot's operand read (measured on the
+    KV path, tools/probe_quant_xla.py), so int8 weights halve the weight HBM
+    traffic that bounds decode. Scales are per-output-channel:
+    ``w ≈ w_int8 * scale[None, :]`` and ``(h @ w_int8) * scale``."""
+    w = layer[name]
+    scale = layer.get(name + "_scale")
+    if scale is None:
+        return h @ w
+    return (h @ w.astype(h.dtype)) * scale.astype(h.dtype)
+
+
+def quantize_params_int8(params: dict) -> dict:
+    """Per-output-channel int8 quantization of the layer matmuls (embed /
+    lm_head / norms stay bf16). Output params run through the same Runner —
+    ``_lin`` dequantizes inside the dot."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in ("wq", "wk", "wv", "wo", "wg", "wu", "wd"):
+        w = layers[name].astype(jnp.float32)                 # (L, in, out)
+        amax = jnp.max(jnp.abs(w), axis=1, keepdims=True)    # (L, 1, out)
+        scale = jnp.maximum(amax / 127.0, 1e-8)
+        layers[name] = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+        layers[name + "_scale"] = scale.astype(jnp.float32)
+    out["layers"] = layers
+    return out
+
+
 def _project_qkv(layer: dict, cfg: ModelConfig, h: jax.Array):
     """h (B,S,E) → q (B,Hq,S,D), k/v (B,Hkv,S,D); pre-RoPE, post qk-norm."""
     B, S, _ = h.shape
     Hq, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    q = h @ layer["wq"]
-    k = h @ layer["wk"]
-    v = h @ layer["wv"]
+    q = _lin(h, layer, "wq")
+    k = _lin(h, layer, "wk")
+    v = _lin(h, layer, "wv")
     if cfg.attention_bias:
         q = q + layer["bq"]
         k = k + layer["bk"]
@@ -115,11 +147,17 @@ class Runner:
     # for quantized/masked caches until the fewer-bigger-cells rework wins.
     decode_kernel: bool = False
     decode_block_k: int = 2048
+    # Per-head-length decode attention (ops/decode_headwise.py) for caches
+    # with per-head live prefixes (AdaKV/Duo/KVzip compact=True): each
+    # (b, h) cell walks only its own prefix blocks — HBM traffic Σ_h len_h
+    # instead of H·max_len. Only meaningful with attn_impl="flash"; applies
+    # to single-token bf16 decode on non-sliding models.
+    headwise_kernel: bool = False
 
     @staticmethod
     def create(
         cfg: ModelConfig, attn_impl: str = "auto", decode_kernel: bool = False,
-        decode_block_k: int = 2048,
+        decode_block_k: int = 2048, headwise_kernel: bool = False,
     ) -> "Runner":
         _, scaling = compute_inv_freq(cfg)
         if attn_impl == "auto":
@@ -127,6 +165,7 @@ class Runner:
         return Runner(
             cfg=cfg, attention_scaling=scaling, attn_impl=attn_impl,
             decode_kernel=decode_kernel, decode_block_k=decode_block_k,
+            headwise_kernel=headwise_kernel,
         )
 
     def inv_freq(self) -> jax.Array:
@@ -206,6 +245,19 @@ class Runner:
             # bucketed calls: prior = length - T no longer holds
             and valid_len is None
         )
+        # Per-head-prefix decode kernel: T=1 only (appended tokens absorbed
+        # into an all-True prefix would defeat its tail-causality handling).
+        use_headwise = (
+            self.attn_impl == "flash"
+            and self.headwise_kernel
+            and not use_decode_kernel
+            and not return_probs
+            and not apply_press
+            and not quantized
+            and T == 1
+            and valid_len is None
+            and not use_sliding
+        )
 
         if quantized:
             # int storage: quantize the new K/V and store payload+scales. The
@@ -262,7 +314,20 @@ class Runner:
             self.attn_impl == "flash" and not return_probs and T > 1
             and not use_decode_kernel
         )
-        if use_decode_kernel:
+        if use_headwise:
+            from ..ops.decode_headwise import (
+                decode_attention_headwise, prefix_tail_from_mask,
+            )
+
+            pfx, t_start, t_len = prefix_tail_from_mask(mask, new_len)
+            attn_out = decode_attention_headwise(
+                q, keys, values, pfx, t_start, t_len,
+                sm_scale=scale, softcap=cfg.logit_softcap,
+                block_k=self.decode_block_k,
+            )
+            probs = None
+            attn_lse = None
+        elif use_decode_kernel:
             from ..ops.decode import decode_attention
 
             if quantized:
@@ -396,14 +461,14 @@ class Runner:
             out_keys, out_values = keys, values
             out_scales = dict(key_scales=None, value_scales=None)
 
-        o = attn_out.transpose(0, 2, 1, 3).reshape(B, T, -1) @ layer["wo"]
+        o = _lin(attn_out.transpose(0, 2, 1, 3).reshape(B, T, -1), layer, "wo")
         if cfg.post_norms:
             o = rms_norm(o, layer["ln1_post"], cfg.rms_norm_eps, cfg.rms_one_offset)
         x = x + o
 
         h2 = rms_norm(x, layer["ln2"], cfg.rms_norm_eps, cfg.rms_one_offset)
-        mlp = _act(h2 @ layer["wg"], cfg.act) * (h2 @ layer["wu"])
-        mlp = mlp @ layer["wd"]
+        mlp = _act(_lin(h2, layer, "wg"), cfg.act) * _lin(h2, layer, "wu")
+        mlp = _lin(mlp, layer, "wd")
         if cfg.post_norms:
             mlp = rms_norm(mlp, layer["ln2_post"], cfg.rms_norm_eps, cfg.rms_one_offset)
         x = x + mlp

@@ -1,0 +1,281 @@
+"""Per-head-length decode attention (VERDICT r1 item 2).
+
+After per-head compaction (AdaKV/Duo/KVzip `compact=True`,
+wrappers.compact_headwise) each (batch, kv-head) owns a LIVE PREFIX of its
+own length; decode appends land in a shared tail region above the max
+prefix. The live set per head is therefore two dense ranges:
+
+    [0, prefix_len[b, h])  ∪  [tail_start, tail_start + tail_len)
+
+Dense XLA decode attention reads the full max-length buffer for every head
+and masks — paying HBM bandwidth for dead slots. The round-1 paged kernel
+(ops/decode_attention.py) proved block TABLES can't win: scattered masks
+leave every page live, and a (B, Hkv, n_blocks) grid drowns in per-cell
+Mosaic overhead on tiny (G·T)-row matmuls (CLAUDE.md). This kernel exploits
+the *structure* instead:
+
+  - grid is just (B, Hkv) — a few dozen cells, each long-lived;
+  - each cell walks ONLY its head's live blocks with a manually
+    double-buffered HBM→VMEM DMA pipeline (traced trip count from the
+    scalar-prefetched prefix lengths — no tables, no argsort);
+  - online softmax in registers through the `fori_loop` carry.
+
+Per-head HBM traffic is Σ_h prefix_len[h] instead of H·max_len — the decode
+bandwidth win the reference's fake eviction (attention_patch.py:47)
+structurally cannot have.
+
+Mosaic constraints that shaped this implementation (all hit on chip):
+  - sliced HBM→VMEM DMAs need 128 lanes, so D<128 heads are PAIRED: K/V are
+    viewed (free reshape) as (S/P, D·P) with P=128/D; the kernel runs P
+    half-width dots on the lane slices (verified exact on chip) and keeps
+    softmax columns in part-major order — softmax is order-invariant, only
+    the global-slot mask math needs the permutation.
+  - dynamic DMA starts must be provably tile-aligned: tail blocks align down
+    to bk and `pl.multiple_of` asserts it; masking is in global coordinates.
+  - 2D→3D reshapes are unsupported shape casts: outputs store per-group 2D
+    slices.
+
+The prefix/tail representation is derived from the keep-mask by
+``prefix_tail_from_mask`` — exact for caches produced by per-head compaction
+followed by decode appends; callers gate on that cache shape.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -2.0e38
+LANES = 128
+
+
+def prefix_tail_from_mask(mask: jax.Array, length: jax.Array):
+    """(B, H, S) keep-mask + () length → (prefix_lens (B,H), tail_start (),
+    tail_len ()).
+
+    Exact when each head's live set is a leading prefix plus the shared
+    appended range [tail_start, length) — the invariant maintained by
+    compact_headwise caches under decode appends."""
+    B, H, S = mask.shape
+    col = jnp.arange(S, dtype=jnp.int32)
+    m = mask & (col[None, None] < length)
+    # first dead slot per head == prefix length (argmax reduce, NOT cumprod —
+    # cumulative ops lower to sequential scans on TPU)
+    first_dead = jnp.argmax(~m, axis=-1).astype(jnp.int32)         # (B, H)
+    all_live = jnp.all(m, axis=-1)
+    prefix_lens = jnp.where(all_live, length, first_dead)
+    extra = m & (col[None, None] >= prefix_lens[..., None])
+    tail_start = jnp.min(jnp.where(extra, col[None, None], length))
+    tail_start = jnp.minimum(tail_start.astype(jnp.int32), length)
+    tail_len = (length - tail_start).astype(jnp.int32)
+    return prefix_lens, tail_start, tail_len
+
+
+def _kernel(
+    # scalar prefetch
+    pref_ref,                  # (B*H,) int32 per-head prefix lengths
+    tail_ref,                  # (2,) int32: tail_start, tail_len
+    # inputs
+    q_ref,                     # (1, 1, G, T, D) VMEM
+    k_hbm,                     # (B, H, Sp/P, D*P) ANY (HBM) — paired rows
+    v_hbm,
+    # outputs
+    o_ref,                     # (1, 1, G, T, D)
+    # scratch
+    kbuf, vbuf,                # (2, bk/P, 128) VMEM
+    sems,                      # DMA semaphores (2, 2)
+    *,
+    G: int,
+    T: int,
+    D: int,
+    P: int,                    # slots paired per 128-lane row
+    bk: int,                   # block size in SLOTS (bk/P rows)
+    sm_scale: float,
+    softcap: Optional[float],
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    H = pl.num_programs(1)
+    prefix_len = pref_ref[b * H + h]
+    tail_start = tail_ref[0]
+    tail_len = tail_ref[1]
+    bk2 = bk // P
+
+    n_pref = pl.cdiv(prefix_len, bk)
+    # Tail DMA blocks align DOWN to bk (Mosaic must prove tile-divisibility
+    # of the dynamic start); live-range masking is in global coordinates.
+    tail_blk0 = (tail_start // bk) * bk
+    tail_end = tail_start + tail_len
+    n_tail = jnp.where(tail_len > 0, pl.cdiv(tail_end - tail_blk0, bk), 0)
+    total = n_pref + n_tail
+
+    q = q_ref[0, 0].reshape(G * T, D)
+
+    def blk_start(i):          # in slots; always a multiple of bk
+        in_pref = i < n_pref
+        s = jnp.where(in_pref, i * bk, tail_blk0 + (i - n_pref) * bk)
+        return pl.multiple_of(s, bk)
+
+    def dma(slot, i, buf, hbm, sem_idx):
+        row0 = pl.multiple_of(blk_start(i) // P, bk2)
+        return pltpu.make_async_copy(
+            hbm.at[b, h, pl.ds(row0, bk2)],
+            buf.at[slot],
+            sems.at[slot, sem_idx],
+        )
+
+    @pl.when(total > 0)
+    def _run():
+        dma(0, 0, kbuf, k_hbm, 0).start()
+        dma(0, 0, vbuf, v_hbm, 1).start()
+
+        # softmax columns are part-major: col c of the (G*T, bk) block is
+        # part p = c // bk2, row r = c % bk2 → global slot start + P*r + p.
+        rows_t = jax.lax.broadcasted_iota(jnp.int32, (G * T, bk), 0) % T
+        cols = jax.lax.broadcasted_iota(jnp.int32, (G * T, bk), 1)
+        part = cols // bk2
+        slot_in_blk = P * (cols % bk2) + part
+
+        def body(i, carry):
+            m_run, l_run, acc = carry
+            slot = i % 2
+
+            @pl.when(i + 1 < total)
+            def _prefetch():
+                dma((i + 1) % 2, i + 1, kbuf, k_hbm, 0).start()
+                dma((i + 1) % 2, i + 1, vbuf, v_hbm, 1).start()
+
+            dma(slot, i, kbuf, k_hbm, 0).wait()
+            dma(slot, i, vbuf, v_hbm, 1).wait()
+
+            k = kbuf[slot]                                  # (bk2, 128)
+            parts = [
+                jax.lax.dot_general(
+                    q, k[:, p * D:(p + 1) * D], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for p in range(P)
+            ]
+            s = parts[0] if P == 1 else jnp.concatenate(parts, axis=1)
+            s = s * sm_scale                                # (G*T, bk)
+            if softcap is not None:
+                s = jnp.tanh(s / softcap) * softcap
+
+            # Scalar-predicated vector selects don't legalize in Mosaic —
+            # express the prefix/tail cases as scalar bounds + one vector
+            # range test. Prefix: [0, prefix_len). Tail: [tail_start,
+            # tail_end) ∧ causal row limit (row t is global tail_end - T + t).
+            in_pref = i < n_pref
+            lo = jnp.where(in_pref, 0, tail_start)
+            hi = jnp.where(in_pref, prefix_len, tail_end)
+            row_base = jnp.where(in_pref, jnp.int32(2**30), tail_end - T)
+            gcol = blk_start(i) + slot_in_blk               # global slot ids
+            allowed = (gcol >= lo) & (gcol < hi) & (gcol <= row_base + rows_t)
+            s = jnp.where(allowed, s, NEG_INF)
+
+            m_blk = jnp.max(s, axis=1, keepdims=True)       # (G*T, 1)
+            m_new = jnp.maximum(m_run, m_blk)
+            alpha = jnp.exp(m_run - m_new)
+            p_full = jnp.exp(s - m_new)
+            l_new = l_run * alpha + jnp.sum(p_full, axis=1, keepdims=True)
+            v = vbuf[slot]
+            pv = p_full.astype(v.dtype)
+            acc = acc * alpha
+            for p in range(P):
+                acc = acc + jax.lax.dot(
+                    pv[:, p * bk2:(p + 1) * bk2], v[:, p * D:(p + 1) * D],
+                    preferred_element_type=jnp.float32,
+                )
+            return m_new, l_new, acc
+
+        m0 = jnp.full((G * T, 1), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((G * T, 1), jnp.float32)
+        acc0 = jnp.zeros((G * T, D), jnp.float32)
+        _, l, acc = jax.lax.fori_loop(0, total, body, (m0, l0, acc0))
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        out = (acc * l_inv).astype(o_ref.dtype)              # (G*T, D)
+        # 2D→3D reshape is an unsupported Mosaic shape cast — store per-group
+        # 2D slices instead (same gotcha as ops/observed_colsum.py).
+        for g in range(G):
+            o_ref[0, 0, g] = out[g * T:(g + 1) * T]
+
+    @pl.when(total == 0)
+    def _empty():
+        for g in range(G):
+            o_ref[0, 0, g] = jnp.zeros((T, D), o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "softcap", "block_k", "interpret"),
+)
+def decode_attention_headwise(
+    q: jax.Array,                    # (B, Hq, T, D), T small
+    k: jax.Array,                    # (B, Hkv, S, D)
+    v: jax.Array,
+    prefix_lens: jax.Array,          # (B, Hkv) int32
+    tail_start: jax.Array,           # () int32
+    tail_len: jax.Array,             # () int32
+    *,
+    sm_scale: float,
+    softcap: Optional[float] = None,
+    block_k: int = 1024,
+    interpret: bool = False,
+):
+    B, Hq, T, D = q.shape
+    _, Hkv, S, _ = k.shape
+    G = Hq // Hkv
+    assert LANES % D == 0 or D % LANES == 0, f"unsupported head_dim {D}"
+    P = max(1, LANES // D)
+    bk = max(min(block_k, S), LANES)
+    bk = -(-bk // (8 * P)) * (8 * P)     # rows multiple of sublane tile
+
+    # Pad S so any aligned block below S fits entirely; padded slots are
+    # masked by the global-coordinate limit math.
+    Sp = (-(-S // bk) + 1) * bk
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+    # Pair P consecutive slots per 128-lane row (free row-major reshape).
+    kp = kp.reshape(B, Hkv, Sp // P, D * P)
+    vp = vp.reshape(B, Hkv, Sp // P, D * P)
+    qg = q.reshape(B, Hkv, G, T, D)
+
+    grid = (B, Hkv)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, G=G, T=T, D=D, P=P, bk=bk,
+            sm_scale=sm_scale, softcap=softcap,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, G, T, D), lambda b, h, p0, p1: (b, h, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, G, T, D), lambda b, h, p0, p1: (b, h, 0, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, bk // P, D * P), k.dtype),
+                pltpu.VMEM((2, bk // P, D * P), v.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, T, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(
+        prefix_lens.reshape(-1).astype(jnp.int32),
+        jnp.stack([tail_start, tail_len]).astype(jnp.int32),
+        qg, kp, vp,
+    )
+    return out.reshape(B, Hq, T, D)

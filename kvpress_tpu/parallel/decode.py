@@ -39,11 +39,13 @@ def _local_decode(
     lengths: jax.Array,                # (L,) local per-layer valid lengths
     masks: jax.Array,                  # (L, B, H_local, Sl) local keep-masks
     offset: jax.Array,                 # () int32 — logical position of tok
-    runner: Runner,
-    axis_name: str,
+    press_state,                       # per-layer press state pytree (or dummy)
+    runner: Runner = None,
+    axis_name: str = "seq",
     model_axis: Optional[str] = None,
     model_size: int = 1,
     seq_tp: bool = False,
+    press=None,
 ):
     import dataclasses
 
@@ -85,7 +87,7 @@ def _local_decode(
 
     def body(carry, xs):
         xh = carry
-        layer, k_loc, v_loc, length, mask = xs
+        layer, k_loc, v_loc, length, mask, lid, pstate = xs
         h = rms_norm(xh, layer["ln1"], cfg.rms_norm_eps, cfg.rms_one_offset)
         if seq_tp:
             # 1D-seq decode would otherwise run the full dense compute on
@@ -190,10 +192,37 @@ def _local_decode(
         if cfg.post_norms:
             mlp = rms_norm(mlp, layer["ln2_post"], cfg.rms_norm_eps, cfg.rms_one_offset)
         xh = xh + mlp
-        return xh, (k_loc, v_loc, length_n, mask_n, overflow)
 
-    x, (keys, values, lengths, masks, overflows) = jax.lax.scan(
-        body, x, (params["layers"], keys, values, lengths, masks)
+        nstate = pstate
+        if press is not None:
+            # Shard-local decode-phase compression (reference DecodingPress,
+            # decoding_press.py — here each shard compresses ITS slice, so
+            # press targets are per-shard budgets; sync_state keeps the step
+            # counters replicated across shards).
+            from ..presses.base import LayerCtx
+
+            ctx = LayerCtx(
+                layer_idx=lid,
+                hidden=h,
+                queries=q,
+                queries_prerope=q_pre,
+                keys_prerope=k_pre,
+                positions=positions,
+                attn_probs=None,
+                layer_params=layer,
+                inv_freq=inv_freq,
+                cfg=cfg,
+                attention_scaling=runner.attention_scaling,
+            )
+            k_loc, v_loc, length_n, mask_n, nstate = press.decode_compress(
+                ctx, k_loc, v_loc, length_n, mask_n, pstate, sync_state=True
+            )
+        return xh, (k_loc, v_loc, length_n, mask_n, overflow, nstate)
+
+    layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+    x, (keys, values, lengths, masks, overflows, press_state) = jax.lax.scan(
+        body, x,
+        (params["layers"], keys, values, lengths, masks, layer_ids, press_state),
     )
     # Replicate the flag (it is only raised on the last shard).
     overflow = jax.lax.pmax(jnp.any(overflows).astype(jnp.int32), axis_name)
@@ -204,11 +233,11 @@ def _local_decode(
     logits = (x @ head).astype(jnp.float32)
     if cfg.logit_softcap:
         logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
-    return logits, keys, values, lengths, masks, overflow
+    return logits, keys, values, lengths, masks, overflow, press_state
 
 
 @functools.partial(
-    jax.jit, static_argnames=("runner", "mesh", "axis", "model_axis")
+    jax.jit, static_argnames=("runner", "mesh", "axis", "model_axis", "press")
 )
 def context_parallel_decode_step(
     params: dict,
@@ -220,6 +249,8 @@ def context_parallel_decode_step(
     mesh: Mesh,
     axis: str = "seq",
     model_axis: Optional[str] = None,
+    press=None,                         # DecodingPress-family: shard-local
+    press_state=None,                   # press.init_state(cfg, B, 1) pytree
 ):
     """One decode step against sequence-sharded KV. Returns
     (logits (B, 1, V), updated shards, offset+1, overflow () int32). Pair
@@ -237,7 +268,14 @@ def context_parallel_decode_step(
     tiny q/k/v and two psums per layer) whenever head/ffn counts divide the
     axis size — decode is weight-HBM-bound, so this cuts per-device weight
     reads n×; without it every shard would replicate the full dense compute
-    (VERDICT r1 weak 4)."""
+    (VERDICT r1 weak 4).
+
+    ``press`` (DecodingPress family) applies decode-phase compression
+    SHARD-LOCALLY: each shard's slice is compressed against the press's
+    targets, i.e. ``target_size`` is a per-shard budget (the distributed
+    analogue of the prefill side's shard-local/ChunkPress semantics). Thread
+    ``press_state`` through successive steps; it stays replicated
+    (sync_state resets the counters identically on every shard)."""
     keys, values, lengths, masks = shards
     model_size = mesh.shape[model_axis] if model_axis is not None else 1
     mp = model_axis
@@ -275,20 +313,28 @@ def context_parallel_decode_step(
         P(None, None, mp, axis) if mp is not None else P(None, None, None, axis)
     )
     len_spec = P(axis) if mp is None else P((mp, axis))
+    if press_state is None:
+        # scan xs must be a pytree of arrays — dummy per-layer zeros when no
+        # press rides along
+        press_state = jnp.zeros((runner.cfg.num_layers,), jnp.int32)
+    state_spec = jax.tree_util.tree_map(lambda _: P(), press_state)
     fn = shard_map(
         functools.partial(
             _local_decode, runner=runner, axis_name=axis,
             model_axis=model_axis, model_size=model_size, seq_tp=seq_tp,
+            press=press,
         ),
         mesh=mesh,
-        in_specs=(params_spec, P(), kv_spec, kv_spec, len_spec, mask_spec, P()),
-        out_specs=(P(), kv_spec, kv_spec, len_spec, mask_spec, P()),
+        in_specs=(params_spec, P(), kv_spec, kv_spec, len_spec, mask_spec,
+                  P(), state_spec),
+        out_specs=(P(), kv_spec, kv_spec, len_spec, mask_spec, P(), state_spec),
         check_vma=False,
     )
-    logits, keys, values, lengths, masks, overflow = fn(
-        params, tok, keys, values, lengths, masks, offset
+    logits, keys, values, lengths, masks, overflow, press_state = fn(
+        params, tok, keys, values, lengths, masks, offset, press_state
     )
-    return logits, (keys, values, lengths, masks), offset + 1, overflow
+    return (logits, (keys, values, lengths, masks), offset + 1, overflow,
+            press_state)
 
 
 def grow_shards(shards, n_shards: int, extra: int):
@@ -327,6 +373,7 @@ def context_parallel_generate(
     runner: Runner,
     mesh: Mesh,
     press=None,
+    decode_press=None,                  # DecodingPress-family, shard-local
     axis: str = "seq",
     model_axis: Optional[str] = None,
     max_new_tokens: int = 32,
@@ -335,6 +382,9 @@ def context_parallel_generate(
     """Compress-then-generate entirely on the mesh: context-parallel prefill
     (shard-local compression), then greedy decode with the split-KV combine —
     the KV cache never leaves its shards. Returns (B, <=max_new_tokens) ids.
+
+    ``decode_press`` compresses DURING generation, shard-locally (its
+    target_size is a per-shard budget — see context_parallel_decode_step).
 
     The first generated token is produced from the last context token
     re-projected against the sharded cache (matching the single-device
@@ -350,19 +400,25 @@ def context_parallel_generate(
     tok = ids[:, -1:]
     out = []
     n_seq = mesh.shape[axis]
+    dstate = (
+        decode_press.init_state(runner.cfg, ids.shape[0], 1)
+        if decode_press is not None else None
+    )
     for _ in range(max_new_tokens):
         prev = shards
-        logits, shards, offset2, overflow = context_parallel_decode_step(
+        logits, shards, offset2, overflow, dstate = context_parallel_decode_step(
             params, tok, shards, offset,
             runner=runner, mesh=mesh, axis=axis, model_axis=model_axis,
+            press=decode_press, press_state=dstate,
         )
         if int(overflow):
             # Tail buffer exhausted: the step neither stored the token's K/V
             # nor attended it — grow every shard and redo the step exactly.
             shards = grow_shards(prev, n_seq, max(32, max_new_tokens))
-            logits, shards, offset2, overflow = context_parallel_decode_step(
+            logits, shards, offset2, overflow, dstate = context_parallel_decode_step(
                 params, tok, shards, offset,
                 runner=runner, mesh=mesh, axis=axis, model_axis=model_axis,
+                press=decode_press, press_state=dstate,
             )
             assert not int(overflow)
         offset = offset2

@@ -31,8 +31,47 @@ def make_mesh(
     return Mesh(arr, axis_names=("data", "model"))
 
 
+def make_mesh_hybrid(
+    dcn: int = 1, data: int = 1, model: int = 1, devices: Optional[list] = None
+) -> Mesh:
+    """Multi-host ("dcn", "data", "model") mesh (SURVEY §2.8 DCN story).
+
+    The DCN axis is OUTERMOST and carries only data parallelism: at serving
+    time each DCN group handles its own batch shard (zero cross-host
+    collectives on the inference path); at training time only the gradient
+    psum crosses DCN — exactly the scaling-book hybrid recipe (FSDP/TP over
+    ICI inside a slice, DP over DCN between slices). Model/tensor axes stay
+    inside a slice so their per-layer all-reduces ride ICI.
+
+    On real multi-slice topologies, build with
+    ``mesh_utils.create_hybrid_device_mesh((data, model), (dcn, 1))`` so
+    device order respects the physical DCN granularity; on a single host (or
+    the virtual CPU mesh used in tests) a plain reshape is equivalent.
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = dcn * data * model
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    if dcn > 1 and getattr(devices[0], "platform", "") == "tpu":
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (data, model), (dcn, 1), devices=devices[:n]
+        )
+        arr = arr.reshape(dcn, data, model)
+    else:
+        arr = np.asarray(devices[:n]).reshape(dcn, data, model)
+    return Mesh(arr, axis_names=("dcn", "data", "model"))
+
+
+def _batch_axes(mesh: Mesh):
+    """Batch shards over every data-like axis present ("dcn" outermost)."""
+    return tuple(a for a in ("dcn", "data") if a in mesh.axis_names) or (None,)
+
+
 def param_shardings(mesh: Mesh, params: dict) -> dict:
-    """NamedSharding pytree matching the stacked param layout."""
+    """NamedSharding pytree matching the stacked param layout (params are
+    replicated across "dcn"/"data" — inference; a training FSDP axis would
+    shard them further)."""
     def ns(*spec):
         return NamedSharding(mesh, P(*spec))
 
@@ -69,13 +108,14 @@ def cache_shardings(mesh: Mesh, cache: KVCache) -> KVCache:
     def ns(*spec):
         return NamedSharding(mesh, P(*spec))
 
-    kv = ns(None, "data", "model", None, None)
+    batch = _batch_axes(mesh)
+    kv = ns(None, batch, "model", None, None)
     return KVCache(
         keys=kv,
         values=kv,
         length=ns(None),
         offset=ns(),
-        mask=None if cache.mask is None else ns(None, "data", "model", None),
+        mask=None if cache.mask is None else ns(None, batch, "model", None),
         key_scales=None if cache.key_scales is None else kv,
         value_scales=None if cache.value_scales is None else kv,
     )
@@ -90,7 +130,7 @@ def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
 
 
 def data_sharding(mesh: Mesh):
-    return NamedSharding(mesh, P("data", None))
+    return NamedSharding(mesh, P(_batch_axes(mesh), None))
 
 
 def validate_tp(cfg: ModelConfig, model_parallel: int) -> None:

@@ -76,7 +76,12 @@ class DecodingPress(BasePress):
 
     # ---------------------------------------------------------------------- #
 
-    def decode_compress(self, ctx, keys, values, length, mask, state=None):
+    def decode_compress(self, ctx, keys, values, length, mask, state=None,
+                        sync_state=False):
+        """``sync_state=True`` (distributed decode, parallel/decode.py) resets
+        the step/buffer counters on every interval hit regardless of whether
+        THIS shard compressed — state stays bit-identical across shards, so
+        it can be carried replicated through the shard_map."""
         T = ctx.hidden.shape[1]
         S = keys.shape[2]
         buf = state["buffer"]
@@ -94,7 +99,8 @@ class DecodingPress(BasePress):
 
         n_top = min(self.target_bound(ctx, buf_size), S)
         target = self.target_value(ctx, length)
-        do = (steps >= self.compression_interval) & (length > target)
+        interval_hit = steps >= self.compression_interval
+        do = interval_hit & (length > target)
 
         def compress(args):
             keys, values, mask = args
@@ -120,8 +126,9 @@ class DecodingPress(BasePress):
         keys, values, new_len, mask = jax.lax.cond(
             do, compress, skip, (keys, values, mask)
         )
-        steps = jnp.where(do, 0, steps)
-        buf_len = jnp.where(do, 0, buf_len)
+        reset = interval_hit if sync_state else do
+        steps = jnp.where(reset, 0, steps)
+        buf_len = jnp.where(reset, 0, buf_len)
         new_state = {"buffer": buf, "buf_len": buf_len, "steps": steps}
         return keys, values, new_len, mask, new_state
 

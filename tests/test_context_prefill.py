@@ -119,7 +119,7 @@ def test_distributed_decode_matches_single_device(setup):
     tok = ids[:, -1:]
     offset = jnp.asarray(S, jnp.int32)
     lg_ref, cache, _ = runner.forward(params, tok, cache, logits_last_only=True)
-    lg, shards, offset, _ = context_parallel_decode_step(
+    lg, shards, offset, _, _ = context_parallel_decode_step(
         params, tok, shards, offset, runner=runner, mesh=mesh
     )
     np.testing.assert_allclose(
@@ -129,7 +129,7 @@ def test_distributed_decode_matches_single_device(setup):
     # greedy next token, step again: the appended K/V live on the last shard
     tok2 = jnp.argmax(lg[:, -1:], axis=-1).astype(jnp.int32)
     lg_ref2, cache, _ = runner.forward(params, tok2, cache, logits_last_only=True)
-    lg2, shards, offset, _ = context_parallel_decode_step(
+    lg2, shards, offset, _, _ = context_parallel_decode_step(
         params, tok2, shards, offset, runner=runner, mesh=mesh
     )
     np.testing.assert_allclose(
@@ -159,7 +159,7 @@ def test_distributed_decode_2d_matches_single_device(setup):
 
     tok = ids[:, -1:]
     lg_ref, _, _ = runner.forward(params, tok, cache, logits_last_only=True)
-    lg, shards, _, _ = context_parallel_decode_step(
+    lg, shards, _, _, _ = context_parallel_decode_step(
         params, tok, shards, jnp.asarray(S, jnp.int32),
         runner=runner, mesh=mesh2, axis="seq", model_axis="model",
     )
@@ -210,7 +210,7 @@ def test_distributed_decode_seq_tp_matches_single_device(setup):
     tok = ids[:, -1:]
     offset = jnp.asarray(S, jnp.int32)
     lg_ref, cache, _ = runner.forward(params, tok, cache, logits_last_only=True)
-    lg, shards, offset, ovf = context_parallel_decode_step(
+    lg, shards, offset, ovf, _ = context_parallel_decode_step(
         params, tok, shards, offset, runner=runner, mesh=mesh2
     )
     assert int(ovf) == 0
@@ -219,7 +219,7 @@ def test_distributed_decode_seq_tp_matches_single_device(setup):
     )
     tok2 = jnp.argmax(lg[:, -1:], axis=-1).astype(jnp.int32)
     lg_ref2, cache, _ = runner.forward(params, tok2, cache, logits_last_only=True)
-    lg2, shards, offset, _ = context_parallel_decode_step(
+    lg2, shards, offset, _, _ = context_parallel_decode_step(
         params, tok2, shards, offset, runner=runner, mesh=mesh2
     )
     np.testing.assert_allclose(
@@ -246,7 +246,7 @@ def test_distributed_decode_overflow_raises_flag_and_grows(setup):
 
     tok = ids[:, -1:]
     offset = jnp.asarray(S, jnp.int32)
-    _, shards_out, _, ovf = context_parallel_decode_step(
+    _, shards_out, _, ovf, _ = context_parallel_decode_step(
         params, tok, shards, offset, runner=runner, mesh=mesh2
     )
     assert int(ovf) == 1
@@ -254,7 +254,7 @@ def test_distributed_decode_overflow_raises_flag_and_grows(setup):
     np.testing.assert_array_equal(np.asarray(shards_out[0]), keys_before)
 
     grown = grow_shards(shards, 2, 8)
-    lg, grown, offset2, ovf2 = context_parallel_decode_step(
+    lg, grown, offset2, ovf2, _ = context_parallel_decode_step(
         params, tok, grown, offset, runner=runner, mesh=mesh2
     )
     assert int(ovf2) == 0
@@ -265,3 +265,58 @@ def test_distributed_decode_overflow_raises_flag_and_grows(setup):
     np.testing.assert_allclose(
         np.asarray(lg)[:, 0], np.asarray(lg_ref)[:, 0], atol=2e-4, rtol=1e-3
     )
+
+
+def test_distributed_decode_press(setup):
+    """DecodingPress through the distributed decode step: shard-local
+    compression (per-shard targets) bounds each shard's length; a no-op
+    target (larger than content) leaves generation identical to pressless."""
+    from kvpress_tpu.parallel.decode import context_parallel_decode_step
+    from kvpress_tpu.presses import DecodingPress
+
+    cfg, params, runner, ids, _ = setup
+    mesh2 = Mesh(np.array(jax.devices()[:2]), axis_names=("seq",))
+
+    def generate(decode_press, n=10):
+        shards = context_parallel_prefill(
+            params, ids, runner=runner, press=None, mesh=mesh2
+        )
+        # leave room for appends on the last shard
+        from kvpress_tpu.parallel.decode import grow_shards
+        shards = grow_shards(shards, 2, 16)
+        offset = jnp.asarray(S, jnp.int32)
+        tok = ids[:, -1:]
+        dstate = (
+            decode_press.init_state(runner.cfg, ids.shape[0], 1)
+            if decode_press is not None else None
+        )
+        toks = []
+        for _ in range(n):
+            lg, shards, offset, ovf, dstate = context_parallel_decode_step(
+                params, tok, shards, offset, runner=runner, mesh=mesh2,
+                press=decode_press, press_state=dstate,
+            )
+            assert int(ovf) == 0
+            tok = jnp.argmax(lg[:, -1:], axis=-1).astype(jnp.int32)
+            toks.append(int(tok[0, 0]))
+        return toks, np.asarray(shards[2]).reshape(2, cfg.num_layers)
+
+    base, lengths_base = generate(None)
+
+    # no-op press (target bigger than any shard content): exact equality
+    noop = DecodingPress(
+        base_press=KnormPress(), compression_interval=3, target_size=512,
+        hidden_states_buffer_size=4,
+    )
+    same, _ = generate(noop)
+    assert same == base
+
+    # real press: shard lengths bounded by per-shard target (+ appends since
+    # the last interval hit)
+    press = DecodingPress(
+        base_press=KnormPress(), compression_interval=4, target_size=24,
+        hidden_states_buffer_size=4,
+    )
+    toks, lengths = generate(press)
+    assert all(np.isfinite(t) for t in toks)
+    assert (lengths <= 24 + 4).all(), lengths

@@ -96,3 +96,49 @@ def test_cache_sharding_roundtrip():
     cache = init_cache(cfg, 2, 64, dtype=jnp.float32)
     sharded = shard_cache(cache, mesh)
     assert sharded.keys.sharding.spec == P(None, "data", "model", None, None)
+
+
+def test_hybrid_dcn_mesh_matches_single_device():
+    """("dcn", "data", "model") hybrid mesh (multi-host recipe, SURVEY §2.8):
+    prefill+press+decode over dcn=2 x data=2 x model=2 equals single-device.
+    DCN carries only the batch axis — the per-layer all-reduces stay on
+    ("model",), i.e. inside a slice on real hardware."""
+    from kvpress_tpu.parallel.mesh import make_mesh_hybrid
+
+    cfg = kp.tiny_config(num_heads=4, num_kv_heads=2, intermediate_size=128)
+    params = kp.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    runner = kp.Runner.create(cfg, attn_impl="xla")
+    ids = jax.random.randint(jax.random.PRNGKey(1), (4, 32), 0, cfg.vocab_size)
+    press = kp.KnormPress(compression_ratio=0.5)
+
+    logits_ref, cache_ref, _ = runner.prefill(
+        params, ids, press=press, dtype=jnp.float32, compute_logits=True
+    )
+
+    mesh = make_mesh_hybrid(dcn=2, data=2, model=2)
+    assert mesh.axis_names == ("dcn", "data", "model")
+    sp = shard_params(params, mesh)
+    si = jax.device_put(ids, data_sharding(mesh))
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("press",))
+    def prefill(params, ids, press):
+        return runner.prefill(
+            params, ids, press=press, dtype=jnp.float32, compute_logits=True
+        )
+
+    with mesh:
+        logits_h, cache_h, _ = prefill(sp, si, press)
+        # decode a token on the mesh too
+        tok = jnp.argmax(logits_h[:, -1:], axis=-1).astype(jnp.int32)
+        lg_h, _, _ = runner.forward(params, tok, cache_h, logits_last_only=True)
+    tok_ref = jnp.argmax(logits_ref[:, -1:], axis=-1).astype(jnp.int32)
+    lg_ref, _, _ = runner.forward(params, tok_ref, cache_ref, logits_last_only=True)
+    np.testing.assert_allclose(
+        np.asarray(logits_h), np.asarray(logits_ref), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(lg_h), np.asarray(lg_ref), atol=2e-4, rtol=1e-3
+    )
+    assert cache_h.keys.sharding.spec[1] == ("dcn", "data")

@@ -151,3 +151,70 @@ def test_quantized_decode_never_dequantizes_buffer(tiny):
         and ("f32[" in ln.split("=")[0] or "bf16[" in ln.split("=")[0])
     ]
     assert not bad, bad[:3]
+
+
+def test_weight_int8_logit_parity(tiny):
+    """quantize_params_int8: logits close to bf16 weights; same Runner code
+    path (the TPU counterpart of the reference's FP8 models,
+    evaluate.py:370-372)."""
+    from kvpress_tpu.models.llama import quantize_params_int8
+
+    cfg, params, runner = tiny
+    qparams = quantize_params_int8(params)
+    assert qparams["layers"]["wq"].dtype == jnp.int8
+    ids = jax.random.randint(jax.random.PRNGKey(5), (1, 32), 0, cfg.vocab_size)
+    lg, cache, _ = runner.prefill(params, ids, compute_logits=True,
+                                  dtype=jnp.float32)
+    lg_q, cache_q, _ = runner.prefill(qparams, ids, compute_logits=True,
+                                      dtype=jnp.float32)
+    ref = np.abs(np.asarray(lg)).max()
+    assert np.abs(np.asarray(lg) - np.asarray(lg_q)).max() < 0.05 * ref
+    # decode works against the quantized-weight model
+    logits, cache_q, _ = runner.forward(
+        qparams, ids[:, -1:], cache_q, logits_last_only=True
+    )
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_fp8_checkpoint_conversion():
+    """fp8 safetensors (weight + 128x128 weight_scale_inv blocks) dequantize
+    at conversion to the same params a bf16 checkpoint would give."""
+    import torch
+
+    from transformers import AutoModelForCausalLM, LlamaConfig
+
+    from kvpress_tpu.models.convert import convert_state_dict, from_torch_model
+
+    torch.manual_seed(0)
+    model = AutoModelForCausalLM.from_config(LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, tie_word_embeddings=False))
+    model.eval()
+    params_ref, cfg = from_torch_model(model, dtype=jnp.float32)
+
+    # fake-fp8 the linears: block scales of 32x32, payload = w / scale in f8
+    sd = dict(model.state_dict())
+    fp8_sd = {}
+    for k, v in sd.items():
+        if k.endswith(".weight") and ".proj" in k:
+            w = v.float()
+            BR = BC = 32
+            r = -(-w.shape[0] // BR) * BR
+            c = -(-w.shape[1] // BC) * BC
+            wp = torch.zeros(r, c)
+            wp[: w.shape[0], : w.shape[1]] = w
+            blocks = wp.reshape(r // BR, BR, c // BC, BC)
+            amax = blocks.abs().amax(dim=(1, 3), keepdim=True).clamp(min=1e-8)
+            scale = amax / 448.0                       # e4m3 max
+            payload = (blocks / scale).reshape(r, c)[: w.shape[0], : w.shape[1]]
+            fp8_sd[k] = payload.to(torch.float8_e4m3fn)
+            fp8_sd[k + "_scale_inv"] = scale.reshape(r // BR, c // BC)
+        else:
+            fp8_sd[k] = v
+    params_fp8 = convert_state_dict(fp8_sd, cfg, jnp.float32)
+    for name in ("wq", "wo", "wd"):
+        ref = np.asarray(params_ref["layers"][name])
+        got = np.asarray(params_fp8["layers"][name])
+        # fp8 payload rounding only
+        assert np.abs(ref - got).max() < 0.1 * np.abs(ref).max() + 1e-4
