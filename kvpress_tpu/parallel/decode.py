@@ -337,6 +337,132 @@ def context_parallel_decode_step(
             press_state)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("runner", "mesh", "axis", "model_axis", "press",
+                     "max_new_tokens", "eos_id"),
+)
+def context_parallel_generate_fused(
+    params: dict,
+    tok: jax.Array,                     # (B, 1) first decode input token
+    shards,
+    offset: jax.Array,                  # () int32 logical position of tok
+    *,
+    runner: Runner,
+    mesh: Mesh,
+    axis: str = "seq",
+    model_axis: Optional[str] = None,
+    press=None,
+    press_state=None,
+    max_new_tokens: int = 32,
+    eos_id: Optional[int] = None,
+):
+    """Greedy-decode ``max_new_tokens`` in ONE dispatch: the per-token loop is
+    a ``lax.scan`` *inside* the shard_map, so the host issues a single program
+    instead of one per token — on a real pod the per-step host dispatch
+    (~1 ms, CLAUDE.md) otherwise dominates short-context decode.
+
+    Returns (tokens (B, max_new_tokens), shards, offset+N, overflow, state).
+    Rows that hit ``eos_id`` keep emitting ``eos_id``; their K/V appends
+    continue (cannot be skipped under jit) but are never read by the returned
+    tokens. The tail buffer must hold all N appends — callers pre-grow
+    (``ensure_tail_capacity``); on overflow the remaining appends are dropped
+    and the flag is returned (never a silent overwrite).
+    """
+    keys, values, lengths, masks = shards
+    model_size = mesh.shape[model_axis] if model_axis is not None else 1
+    mp = model_axis
+    cfg = runner.cfg
+    n_seq = mesh.shape[axis]
+    seq_tp = (
+        model_axis is None
+        and n_seq > 1
+        and cfg.num_heads % n_seq == 0
+        and cfg.num_kv_heads % n_seq == 0
+        and cfg.intermediate_size % n_seq == 0
+    )
+
+    def layer_spec(name):
+        col_sharded = {"wq", "wk", "wv", "wg", "wu", "bq", "bk", "bv"}
+        row_sharded = {"wo", "wd"}
+        if mp is not None and name in col_sharded:
+            return P(None, None, mp) if name.startswith("w") else P(None, mp)
+        if mp is not None and name in row_sharded:
+            return P(None, mp, None)
+        return P()
+
+    params_spec = {
+        "embed": P(),
+        "ln_f": P(),
+        "layers": {k: layer_spec(k) for k in params["layers"]},
+    }
+    if "lm_head" in params:
+        params_spec["lm_head"] = P()
+    kv_spec = (
+        P(None, None, mp, axis, None) if mp is not None
+        else P(None, None, None, axis, None)
+    )
+    mask_spec = (
+        P(None, None, mp, axis) if mp is not None else P(None, None, None, axis)
+    )
+    len_spec = P(axis) if mp is None else P((mp, axis))
+    if press_state is None:
+        press_state = jnp.zeros((runner.cfg.num_layers,), jnp.int32)
+    state_spec = jax.tree_util.tree_map(lambda _: P(), press_state)
+
+    def local(params, tok, keys, values, lengths, masks, offset, pstate):
+        def step(carry, _):
+            tok, keys, values, lengths, masks, off, pstate, done = carry
+            logits, keys, values, lengths, masks, ovf, pstate = _local_decode(
+                params, tok, keys, values, lengths, masks, off, pstate,
+                runner=runner, axis_name=axis, model_axis=model_axis,
+                model_size=model_size, seq_tp=seq_tp, press=press,
+            )
+            ntok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+            if eos_id is not None:
+                ntok = jnp.where(done[:, None], jnp.int32(eos_id), ntok)
+                done = done | (ntok[:, 0] == eos_id)
+            carry = (ntok, keys, values, lengths, masks, off + 1, pstate, done)
+            return carry, (ntok[:, 0], ovf)
+
+        done0 = jnp.zeros((tok.shape[0],), bool)
+        carry0 = (tok, keys, values, lengths, masks, offset, pstate, done0)
+        carry, (toks, ovfs) = jax.lax.scan(
+            step, carry0, None, length=max_new_tokens
+        )
+        _, keys, values, lengths, masks, off, pstate, _ = carry
+        return (toks.T, keys, values, lengths, masks, off,
+                jnp.max(ovfs), pstate)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(params_spec, P(), kv_spec, kv_spec, len_spec, mask_spec,
+                  P(), state_spec),
+        out_specs=(P(), kv_spec, kv_spec, len_spec, mask_spec, P(), P(),
+                   state_spec),
+        check_vma=False,
+    )
+    toks, keys, values, lengths, masks, offset, overflow, press_state = fn(
+        params, tok, keys, values, lengths, masks, offset, press_state
+    )
+    return (toks, (keys, values, lengths, masks), offset, overflow,
+            press_state)
+
+
+def ensure_tail_capacity(shards, n_shards: int, extra: int):
+    """Grow shard tail buffers (host-side, one small transfer) so ``extra``
+    appends fit on the last shard without overflow. No-op when slack exists."""
+    import numpy as np
+
+    lengths = np.asarray(shards[2]).reshape(-1)
+    Sl = shards[0].shape[3] // n_shards       # per-shard slots (global seq dim)
+    need = int(lengths.max()) + extra - Sl
+    if need <= 0:
+        return shards
+    return grow_shards(shards, n_shards, need)
+
+
 def grow_shards(shards, n_shards: int, extra: int):
     """Extend every shard's tail buffer by ``extra`` slots (zero-filled, mask
     False). The seq-sharded global buffer interleaves shards contiguously, so
@@ -378,10 +504,15 @@ def context_parallel_generate(
     model_axis: Optional[str] = None,
     max_new_tokens: int = 32,
     eos_id: Optional[int] = None,
+    fused: bool = False,
 ):
     """Compress-then-generate entirely on the mesh: context-parallel prefill
     (shard-local compression), then greedy decode with the split-KV combine —
     the KV cache never leaves its shards. Returns (B, <=max_new_tokens) ids.
+
+    ``fused=True`` runs the whole token loop in one dispatch
+    (context_parallel_generate_fused) after pre-growing the tail buffers —
+    use on real pods where per-step host dispatch dominates.
 
     ``decode_press`` compresses DURING generation, shard-locally (its
     target_size is a per-shard budget — see context_parallel_decode_step).
@@ -404,6 +535,22 @@ def context_parallel_generate(
         decode_press.init_state(runner.cfg, ids.shape[0], 1)
         if decode_press is not None else None
     )
+    if fused:
+        shards = ensure_tail_capacity(shards, n_seq, max_new_tokens + 1)
+        toks, shards, offset, overflow, dstate = context_parallel_generate_fused(
+            params, tok, shards, offset,
+            runner=runner, mesh=mesh, axis=axis, model_axis=model_axis,
+            press=decode_press, press_state=dstate,
+            max_new_tokens=max_new_tokens, eos_id=eos_id,
+        )
+        assert not int(overflow)
+        if eos_id is not None:
+            # match the host loop's contract: stop after the first eos row-0
+            arr = list(toks[0])
+            if eos_id in [int(t) for t in arr]:
+                n = [int(t) for t in arr].index(eos_id) + 1
+                return toks[:, :n]
+        return toks
     for _ in range(max_new_tokens):
         prev = shards
         logits, shards, offset2, overflow, dstate = context_parallel_decode_step(

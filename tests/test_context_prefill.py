@@ -320,3 +320,39 @@ def test_distributed_decode_press(setup):
     toks, lengths = generate(press)
     assert all(np.isfinite(t) for t in toks)
     assert (lengths <= 24 + 4).all(), lengths
+
+
+def test_fused_generate_matches_host_loop(setup):
+    """context_parallel_generate(fused=True): the whole token loop in one
+    dispatch (lax.scan inside the shard_map) equals the host loop token for
+    token — plain and with a shard-local DecodingPress riding along."""
+    from kvpress_tpu.parallel.decode import context_parallel_generate
+    from kvpress_tpu.presses import DecodingPress
+
+    cfg, params, runner, ids, mesh = setup
+    press = KnormPress(compression_ratio=0.5)
+
+    # 12 > the per-shard tail slack left by the press (8): exercises
+    # ensure_tail_capacity's pre-grow, not just the existing slack
+    host = context_parallel_generate(
+        params, ids, runner=runner, press=press, mesh=mesh, max_new_tokens=12
+    )
+    fused = context_parallel_generate(
+        params, ids, runner=runner, press=press, mesh=mesh, max_new_tokens=12,
+        fused=True,
+    )
+    np.testing.assert_array_equal(np.asarray(host), np.asarray(fused))
+
+    dpress = DecodingPress(
+        base_press=KnormPress(), compression_interval=3, target_size=12,
+        hidden_states_buffer_size=4,
+    )
+    host_p = context_parallel_generate(
+        params, ids, runner=runner, press=press, decode_press=dpress,
+        mesh=mesh, max_new_tokens=8,
+    )
+    fused_p = context_parallel_generate(
+        params, ids, runner=runner, press=press, decode_press=dpress,
+        mesh=mesh, max_new_tokens=8, fused=True,
+    )
+    np.testing.assert_array_equal(np.asarray(host_p), np.asarray(fused_p))
