@@ -38,6 +38,25 @@ Mosaic constraints that shaped this implementation (all hit on chip):
 The prefix/tail representation is derived from the keep-mask by
 ``prefix_tail_from_mask`` — exact for caches produced by per-head compaction
 followed by decode appends; callers gate on that cache shape.
+
+STATUS (measured on chip, tools/bench_headwise_e2e.py, 16L 1B, 32K ctx,
+AdaKV(Knorm) ratio = evicted fraction): exact everywhere, but it does NOT
+beat per-head compaction + host ``shrink`` through dense XLA at any point of
+the sweep — e2e ms/step (mask-only / compact-dense / compact-headwise):
+
+    b1 0.875:  7.17 / 4.41 /  7.20      b1 0.5:  7.20 /  5.80 / 13.68
+    b4 0.875: 36.62 / 6.50 / 20.87      b4 0.5: 36.83 / 14.98 / 56.33
+
+Why: after compaction+shrink the buffer is already 83-93% live, so per-head
+prefixes save ≤17% of the bytes the dense path reads, while the sequential
+(B, Hkv) Pallas grid pays per-cell overhead dense XLA doesn't. The kernel
+does beat MASK-ONLY dense at heavy masking (20.9 vs 36.6 ms at b4/0.875),
+but compaction dominates both — so the production path for scattered
+head-wise masks is ``compact=True`` + ``shrink`` (5.6x over mask-only at
+b4/0.875), and this kernel stays opt-in (``Runner(headwise_kernel=True)``)
+for cache layouts that cannot be compacted/shrunk (e.g. slots shared with
+longer live heads under extreme skew). VERDICT r1 item 2 is closed by the
+compaction path, with this kernel as the measured-negative alternative.
 """
 
 from __future__ import annotations

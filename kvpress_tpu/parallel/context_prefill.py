@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..models.llama import Runner, _act, _project_qkv, rms_norm
+from ..models.llama import Runner, _act, _lin, _project_qkv, rms_norm
 from ..presses.base import BasePress, LayerCtx
 from ..rope import apply_rope, rope_cos_sin
 from .ring import ring_flash_self_attention, ring_self_attention
@@ -105,15 +105,15 @@ def _local_forward(
                 ctx, keys, values, length, mask, None
             )
 
-        o = attn_out.transpose(0, 2, 1, 3).reshape(B, Sl, -1) @ layer["wo"]
+        o = _lin(attn_out.transpose(0, 2, 1, 3).reshape(B, Sl, -1), layer, "wo")
         if model_axis is not None:
             o = jax.lax.psum(o, model_axis)          # combine head shards
         if cfg.post_norms:
             o = rms_norm(o, layer["ln1_post"], cfg.rms_norm_eps, cfg.rms_one_offset)
         xh = xh + o
         h2 = rms_norm(xh, layer["ln2"], cfg.rms_norm_eps, cfg.rms_one_offset)
-        mlp = _act(h2 @ layer["wg"], cfg.act) * (h2 @ layer["wu"])
-        mlp = mlp @ layer["wd"]
+        mlp = _act(_lin(h2, layer, "wg"), cfg.act) * _lin(h2, layer, "wu")
+        mlp = _lin(mlp, layer, "wd")
         if model_axis is not None:
             mlp = jax.lax.psum(mlp, model_axis)      # combine ffn shards
         if cfg.post_norms:
@@ -148,19 +148,12 @@ def context_parallel_prefill(
     model_size = mesh.shape[model_axis] if model_axis is not None else 1
     mp = model_axis
 
-    def layer_spec(name):
-        col_sharded = {"wq", "wk", "wv", "wg", "wu", "bq", "bk", "bv"}
-        row_sharded = {"wo", "wd"}
-        if mp is not None and name in col_sharded:
-            return P(None, None, mp) if name.startswith("w") else P(None, mp)
-        if mp is not None and name in row_sharded:
-            return P(None, mp, None)
-        return P()
+    from .mesh import layer_param_specs
 
     params_spec = {
         "embed": P(),
         "ln_f": P(),
-        "layers": {k: layer_spec(k) for k in params["layers"]},
+        "layers": layer_param_specs(params["layers"], mp),
     }
     if "lm_head" in params:
         params_spec["lm_head"] = P()

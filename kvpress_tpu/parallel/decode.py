@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..models.llama import Runner, _act, _project_qkv, rms_norm
+from ..models.llama import Runner, _act, _lin, _project_qkv, rms_norm
 from ..ops.attention import NEG_INF
 from ..rope import apply_rope, rope_cos_sin
 
@@ -105,6 +105,11 @@ def _local_decode(
             for b in ("bq", "bk", "bv"):
                 if b in layer:
                     sub[b] = _rows(layer[b], n_shards)
+            for w in ("wq", "wk", "wv"):
+                # int8-weight scales are per-output-channel — slice with the
+                # weight's column block (quantize_params_int8)
+                if w + "_scale" in layer:
+                    sub[w + "_scale"] = _cols(layer[w + "_scale"], n_shards)
             sub_cfg = dataclasses.replace(
                 cfg, num_heads=Hq // n_shards, num_kv_heads=Hkv // n_shards
             )
@@ -167,11 +172,15 @@ def _local_decode(
             # head block × its wo row block, partial-summed across the axis.
             Hq_l = Hq // n_shards
             attn_l = jax.lax.dynamic_slice_in_dim(attn, idx * Hq_l, Hq_l, axis=1)
-            wo_l = _rows(layer["wo"], n_shards)
-            o = attn_l.transpose(0, 2, 1, 3).reshape(B, 1, -1) @ wo_l
+            sub_o = {"wo": _rows(layer["wo"], n_shards)}
+            if "wo_scale" in layer:
+                # per-output-channel scale commutes with the psum (row split
+                # keeps the output dim whole) — same scale on every shard
+                sub_o["wo_scale"] = layer["wo_scale"]
+            o = _lin(attn_l.transpose(0, 2, 1, 3).reshape(B, 1, -1), sub_o, "wo")
             o = jax.lax.psum(o, axis_name)
         else:
-            o = attn.transpose(0, 2, 1, 3).reshape(B, 1, -1) @ layer["wo"]
+            o = _lin(attn.transpose(0, 2, 1, 3).reshape(B, 1, -1), layer, "wo")
         if model_axis is not None:
             o = jax.lax.psum(o, model_axis)
         if cfg.post_norms:
@@ -179,14 +188,22 @@ def _local_decode(
         xh = xh + o
         h2 = rms_norm(xh, layer["ln2"], cfg.rms_norm_eps, cfg.rms_one_offset)
         if seq_tp:
-            wg_l = _cols(layer["wg"], n_shards)
-            wu_l = _cols(layer["wu"], n_shards)
-            wd_l = _rows(layer["wd"], n_shards)
-            mlp = (_act(h2 @ wg_l, cfg.act) * (h2 @ wu_l)) @ wd_l
+            sub_m = {
+                "wg": _cols(layer["wg"], n_shards),
+                "wu": _cols(layer["wu"], n_shards),
+                "wd": _rows(layer["wd"], n_shards),
+            }
+            for w in ("wg", "wu"):
+                if w + "_scale" in layer:
+                    sub_m[w + "_scale"] = _cols(layer[w + "_scale"], n_shards)
+            if "wd_scale" in layer:
+                sub_m["wd_scale"] = layer["wd_scale"]
+            mlp = _act(_lin(h2, sub_m, "wg"), cfg.act) * _lin(h2, sub_m, "wu")
+            mlp = _lin(mlp, sub_m, "wd")
             mlp = jax.lax.psum(mlp, axis_name)
         else:
-            mlp = _act(h2 @ layer["wg"], cfg.act) * (h2 @ layer["wu"])
-            mlp = mlp @ layer["wd"]
+            mlp = _act(_lin(h2, layer, "wg"), cfg.act) * _lin(h2, layer, "wu")
+            mlp = _lin(mlp, layer, "wd")
         if model_axis is not None:
             mlp = jax.lax.psum(mlp, model_axis)
         if cfg.post_norms:
@@ -289,19 +306,12 @@ def context_parallel_decode_step(
         and cfg.intermediate_size % n_seq == 0
     )
 
-    def layer_spec(name):
-        col_sharded = {"wq", "wk", "wv", "wg", "wu", "bq", "bk", "bv"}
-        row_sharded = {"wo", "wd"}
-        if mp is not None and name in col_sharded:
-            return P(None, None, mp) if name.startswith("w") else P(None, mp)
-        if mp is not None and name in row_sharded:
-            return P(None, mp, None)
-        return P()
+    from .mesh import layer_param_specs
 
     params_spec = {
         "embed": P(),
         "ln_f": P(),
-        "layers": {k: layer_spec(k) for k in params["layers"]},
+        "layers": layer_param_specs(params["layers"], mp),
     }
     if "lm_head" in params:
         params_spec["lm_head"] = P()
@@ -382,19 +392,12 @@ def context_parallel_generate_fused(
         and cfg.intermediate_size % n_seq == 0
     )
 
-    def layer_spec(name):
-        col_sharded = {"wq", "wk", "wv", "wg", "wu", "bq", "bk", "bv"}
-        row_sharded = {"wo", "wd"}
-        if mp is not None and name in col_sharded:
-            return P(None, None, mp) if name.startswith("w") else P(None, mp)
-        if mp is not None and name in row_sharded:
-            return P(None, mp, None)
-        return P()
+    from .mesh import layer_param_specs
 
     params_spec = {
         "embed": P(),
         "ln_f": P(),
-        "layers": {k: layer_spec(k) for k in params["layers"]},
+        "layers": layer_param_specs(params["layers"], mp),
     }
     if "lm_head" in params:
         params_spec["lm_head"] = P()

@@ -68,6 +68,30 @@ def _batch_axes(mesh: Mesh):
     return tuple(a for a in ("dcn", "data") if a in mesh.axis_names) or (None,)
 
 
+def layer_param_specs(layer_params: dict, mp) -> dict:
+    """shard_map PartitionSpecs for the stacked per-layer params, with heads/
+    ffn over model axis ``mp`` (None → replicated). Handles int8-weight
+    ``*_scale`` entries (quantize_params_int8): a scale is (L, 1, out), so it
+    follows its weight's OUTPUT-dim sharding — sharded with column-parallel
+    weights (wq/wk/wv/wg/wu), replicated with row-parallel ones (wo/wd)."""
+    col_sharded = {"wq", "wk", "wv", "wg", "wu", "bq", "bk", "bv"}
+    row_sharded = {"wo", "wd"}
+
+    def spec(name):
+        if mp is None:
+            return P()
+        base = name[:-6] if name.endswith("_scale") else name
+        if base in col_sharded:
+            if name.endswith("_scale") or name.startswith("w"):
+                return P(None, None, mp)
+            return P(None, mp)
+        if base in row_sharded:
+            return P() if name.endswith("_scale") else P(None, mp, None)
+        return P()
+
+    return {k: spec(k) for k in layer_params}
+
+
 def param_shardings(mesh: Mesh, params: dict) -> dict:
     """NamedSharding pytree matching the stacked param layout (params are
     replicated across "dcn"/"data" — inference; a training FSDP axis would
@@ -93,10 +117,20 @@ def param_shardings(mesh: Mesh, params: dict) -> dict:
         "q_norm": ns(None, None),
         "k_norm": ns(None, None),
     }
+    def rule(k):
+        if k in layer_rules:
+            return layer_rules[k]
+        if k.endswith("_scale"):        # int8-weight scales follow the
+            base = k[:-6]               # weight's output-dim sharding
+            if base in ("wo", "wd"):
+                return ns(None, None, None)
+            return ns(None, None, "model")
+        return ns()
+
     out = {
         "embed": ns(None, "model"),
         "ln_f": ns(None),
-        "layers": {k: layer_rules[k] for k in params["layers"]},
+        "layers": {k: rule(k) for k in params["layers"]},
     }
     if "lm_head" in params:
         out["lm_head"] = ns(None, "model")

@@ -45,7 +45,7 @@ import numpy as np
 
 from .cache import KVCache, quantize_kv, shrink, grow
 from .config import ModelConfig
-from .models.llama import Runner, _act, _project_qkv, rms_norm
+from .models.llama import Runner, _act, _lin, _project_qkv, rms_norm
 from .ops.attention import NEG_INF, gqa_attention, quant_gqa_attention
 from .presses.base import BasePress
 from .rope import apply_rope, rope_cos_sin
@@ -180,14 +180,14 @@ def _decode_step(
                 q, ck, cv, bias, scale, softcap=cfg.logit_softcap
             )
 
-        o = attn.transpose(0, 2, 1, 3).reshape(N, 1, -1) @ layer["wo"]
+        o = _lin(attn.transpose(0, 2, 1, 3).reshape(N, 1, -1), layer, "wo")
         if cfg.post_norms:
             o = rms_norm(o, layer["ln1_post"], cfg.rms_norm_eps,
                          cfg.rms_one_offset)
         xh = xh + o
         h2 = rms_norm(xh, layer["ln2"], cfg.rms_norm_eps, cfg.rms_one_offset)
-        mlp = _act(h2 @ layer["wg"], cfg.act) * (h2 @ layer["wu"])
-        mlp = mlp @ layer["wd"]
+        mlp = _act(_lin(h2, layer, "wg"), cfg.act) * _lin(h2, layer, "wu")
+        mlp = _lin(mlp, layer, "wd")
         if cfg.post_norms:
             mlp = rms_norm(mlp, layer["ln2_post"], cfg.rms_norm_eps,
                            cfg.rms_one_offset)

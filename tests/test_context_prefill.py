@@ -356,3 +356,38 @@ def test_fused_generate_matches_host_loop(setup):
         mesh=mesh, max_new_tokens=8, fused=True,
     )
     np.testing.assert_array_equal(np.asarray(host_p), np.asarray(fused_p))
+
+
+def test_distributed_paths_int8_weights(setup):
+    """Int8 weights through context-parallel prefill + distributed decode
+    (1D seq-as-TP path included: weight-column slices must carry their
+    per-channel scale slices) equal the single-device int8 forward."""
+    from kvpress_tpu.models.llama import quantize_params_int8
+    from kvpress_tpu.parallel.decode import context_parallel_decode_step
+
+    cfg, params, runner, ids, mesh = setup
+    qparams = quantize_params_int8(params)
+
+    shards = context_parallel_prefill(
+        qparams, ids, runner=runner, press=None, mesh=mesh
+    )
+    _, cache, _ = runner.prefill(qparams, ids, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(shards[0]), np.asarray(cache.keys), atol=2e-4, rtol=1e-3
+    )
+
+    from kvpress_tpu.cache import grow
+    from kvpress_tpu.parallel.decode import grow_shards
+    # uncompressed prefill leaves no append slack on EITHER side
+    shards = grow_shards(shards, N, 4)
+    cache = grow(cache, 4)
+    tok = ids[:, -1:]
+    lg_ref, _, _ = runner.forward(qparams, tok, cache, logits_last_only=True)
+    lg, _, _, ovf, _ = context_parallel_decode_step(
+        qparams, tok, shards, jnp.asarray(S, jnp.int32),
+        runner=runner, mesh=mesh,
+    )
+    assert int(ovf) == 0
+    np.testing.assert_allclose(
+        np.asarray(lg)[:, 0], np.asarray(lg_ref)[:, 0], atol=2e-4, rtol=1e-3
+    )

@@ -152,3 +152,22 @@ def test_pipeline_batch_matches_call():
     for ctx, q, g in zip(contexts, questions, got):
         want = pipe(ctx, question=q, press=press, max_new_tokens=6)["answer"]
         assert g == want
+
+
+def test_serving_int8_weights(tiny):
+    """Int8 weights (quantize_params_int8) through the serving loop equal the
+    single-request path with the SAME int8 params — the engine's dense
+    matmuls must read the per-channel scales (models.llama._lin)."""
+    from kvpress_tpu.models.llama import quantize_params_int8
+
+    cfg, params, runner = tiny
+    qparams = quantize_params_int8(params)
+    press = KnormPress(compression_ratio=0.5)
+    reqs = _mk_requests(cfg, [(32, 4), (40, 8)], n_new=5)
+    eng = ServingEngine(runner, qparams, n_slots=2, capacity=64, press=press,
+                        question_bucket=4, fetch_lag=2)
+    answers = eng.run(reqs)
+    for req, got in zip(reqs, answers):
+        want = ref_generate(runner, qparams, press, req.context_ids,
+                            req.question_ids, 5, 64)
+        assert got == want
