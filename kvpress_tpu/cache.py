@@ -41,6 +41,11 @@ class KVCache:
     # Quantization width: 8 = int8 payload, 4 = two nibbles packed per uint8
     # (payload last dim = D//2). Static pytree metadata.
     bits: int = dataclasses.field(metadata=dict(static=True), default=8)
+    # () bool — raised by Runner.forward when an append would not fit in
+    # max_size (the write CLAMPS and overwrites tail slots — results from
+    # that step on are invalid). Check after decode loops; ``grow`` first to
+    # reserve room. None (host-constructed caches) reads as False.
+    overflowed: Optional[jax.Array] = None
 
     @property
     def is_quantized(self) -> bool:
@@ -94,6 +99,7 @@ def init_cache(
         key_scales=ks,
         value_scales=vs,
         bits=bits,
+        overflowed=jnp.zeros((), bool),
     )
 
 

@@ -553,11 +553,18 @@ class Runner:
             body, x, xs
         )
 
+        # Raise the overflow flag when the append cannot fit: the write above
+        # CLAMPED its start and overwrote tail slots — never silently (the
+        # single-device analogue of the distributed decode overflow flag).
+        ovf = jnp.max(cache.length) + T > S_buf
+        if cache.overflowed is not None:
+            ovf = ovf | cache.overflowed
         new_cache = dataclasses.replace(
             cache,
             keys=nkeys, values=nvalues, length=nlens, mask=nmasks,
             key_scales=nks, value_scales=nvs,
             offset=cache.offset + (T if valid_len is None else valid_len),
+            overflowed=ovf,
         )
 
         logits = None

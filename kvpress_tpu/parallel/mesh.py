@@ -152,6 +152,7 @@ def cache_shardings(mesh: Mesh, cache: KVCache) -> KVCache:
         mask=None if cache.mask is None else ns(None, batch, "model", None),
         key_scales=None if cache.key_scales is None else kv,
         value_scales=None if cache.value_scales is None else kv,
+        overflowed=None if cache.overflowed is None else ns(),
     )
 
 

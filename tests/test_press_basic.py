@@ -112,3 +112,28 @@ def test_streaming_llm_keeps_sink_and_recent(tiny):
         np.testing.assert_allclose(
             got[np.lexsort(got.T)], exp[np.lexsort(exp.T)], atol=1e-6
         )
+
+
+def test_decode_overflow_flag():
+    """Appending into a full cache raises cache.overflowed (the write clamps
+    and overwrites tail slots — single-device analogue of the distributed
+    decode overflow flag); growing first keeps it False."""
+    import kvpress_tpu as kp
+    from kvpress_tpu.cache import grow
+
+    cfg = kp.tiny_config()
+    params = kp.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    runner = kp.Runner.create(cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 16), 0, cfg.vocab_size)
+    _, cache, _ = runner.prefill(params, ids, dtype=jnp.float32)
+    assert not bool(cache.overflowed)
+    assert cache.max_size == 16
+
+    tok = ids[:, -1:]
+    _, full, _ = runner.forward(params, tok, cache, logits_last_only=True)
+    assert bool(full.overflowed)                   # no room: flag raised
+    _, again, _ = runner.forward(params, tok, full, logits_last_only=True)
+    assert bool(again.overflowed)                  # and it sticks
+
+    _, ok, _ = runner.forward(params, tok, grow(cache, 4), logits_last_only=True)
+    assert not bool(ok.overflowed)
