@@ -48,30 +48,36 @@ def main():
         logits, cache, _ = runner.forward(params, tok, cache, logits_last_only=True)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
-    def run(press, keep, quantized=False, kv_bits=8):
-        cache = prefill(params, ids, press=press, quantized=quantized,
+    def run(press, keep, quantized=False, kv_bits=8, wparams=None):
+        wparams = params if wparams is None else wparams
+        cache = prefill(wparams, ids, press=press, quantized=quantized,
                         kv_bits=kv_bits)
         cache = shrink(cache, keep + DECODE_STEPS + 8)
         tok = ids[:, -1:]
-        tok, cache = step(params, tok, cache)          # compile + warm
+        tok, cache = step(wparams, tok, cache)          # compile + warm
         jax.device_get(tok)
         t0 = time.perf_counter()
         for _ in range(DECODE_STEPS):
-            tok, cache = step(params, tok, cache)
+            tok, cache = step(wparams, tok, cache)
         jax.device_get(tok)                             # chain forces execution
         dt = time.perf_counter() - t0
         return BATCH * DECODE_STEPS / dt
 
     press = KnormPress(compression_ratio=RATIO)
     tps_base = run(None, CTX)
-    # Headline: the reference README's showcase config — compression + int4
-    # cache (README.md:166-181), decoded through quant_gqa_attention
-    # (payload-width HBM reads; tools/bench_quant_e2e.py for the bf16/int8/
-    # int4 sweep). Baseline = uncompressed bf16 cache.
-    tps_comp = run(press, press.n_kept(CTX), quantized=True, kv_bits=4)
+    # Headline: the full compression stack — Knorm 0.5 + int4 KV cache
+    # decoded through quant_gqa_attention (payload-width HBM reads;
+    # reference README.md:166-181 quanto counterpart) + int8 weights (the
+    # reference's FP8-model flag, evaluate.py:370-372; tools/
+    # bench_weight_int8.py for the component sweep). Baseline = bf16
+    # weights + uncompressed bf16 cache.
+    from kvpress_tpu.models.llama import quantize_params_int8
+
+    tps_comp = run(press, press.n_kept(CTX), quantized=True, kv_bits=4,
+                   wparams=quantize_params_int8(params))
 
     print(json.dumps({
-        "metric": f"decode_tok_s_1B_b{BATCH}_{CTX//1024}k_ratio{RATIO}_int4",
+        "metric": f"decode_tok_s_1B_b{BATCH}_{CTX//1024}k_ratio{RATIO}_int4_wint8",
         "value": round(tps_comp, 2),
         "unit": "tok/s",
         "vs_baseline": round(tps_comp / tps_base, 3),

@@ -188,3 +188,26 @@ def test_needle_survives_quantized_cache(trained):
     )
     acc = float((jnp.argmax(logits[:, 0], -1) == target).mean())
     assert acc > 0.9, acc
+
+
+def test_needle_survives_int8_weights(trained):
+    """The bench headline stacks Knorm + int4 KV + int8 WEIGHTS — verify the
+    weight quantization leg preserves retrieval (reference FP8-model flag,
+    evaluate.py:370-372), on top of compression + the quantized cache."""
+    from kvpress_tpu.models.llama import quantize_params_int8
+
+    cfg, params, runner = trained
+    qparams = quantize_params_int8(params)
+    rng = np.random.default_rng(13)
+    seq, target, _ = make_batch(rng, 128)
+    context, question = seq[:, :CTX], seq[:, -2:]
+    press = SnapKVPress(compression_ratio=0.1, window_size=4, kernel_size=3)
+    _, cache, _ = runner.prefill(
+        qparams, context, press=press, max_size=SEQ + 2, dtype=jnp.float32,
+        quantized=True, kv_bits=4,
+    )
+    logits, _, _ = Runner.forward(
+        runner, qparams, question, cache, logits_last_only=True
+    )
+    acc = float((jnp.argmax(logits[:, 0], -1) == target).mean())
+    assert acc > 0.9, acc
