@@ -289,6 +289,19 @@ class Runner:
             if needs_dense:
                 keys = dequantize_kv(qkeys, key_scales, kv_bits, x.dtype)
                 values = dequantize_kv(qvalues, value_scales, kv_bits, x.dtype)
+                # The current block attends (and is scored on) its ORIGINAL
+                # bf16 values — quantization is storage-only for the pass
+                # that produced the tokens, exactly the reference's
+                # QuantizedCache.update semantics (past dequantized, current
+                # fresh). Also keeps the single-device prefill bit-consistent
+                # with the context-parallel one (ring attention on fresh k/v,
+                # quantize at store).
+                keys = jax.lax.dynamic_update_slice_in_dim(
+                    keys, k.astype(keys.dtype), prior_len, axis=2
+                )
+                values = jax.lax.dynamic_update_slice_in_dim(
+                    values, v.astype(values.dtype), prior_len, axis=2
+                )
             else:
                 # Attention reads the payload directly (decode kernel or
                 # quant_gqa_attention) — the dequantized buffer never exists,

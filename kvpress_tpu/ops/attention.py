@@ -108,29 +108,9 @@ def quant_gqa_attention(
     B, Hq, T, D = q.shape
     Hkv, S = k_payload.shape[1], k_payload.shape[2]
     G = Hq // Hkv
-    qg = q.reshape(B, Hkv, G, T, D)
-    ks_row = k_scales.reshape(B, Hkv, 1, 1, S)
-    vs_row = v_scales.reshape(B, Hkv, 1, 1, S)
-
-    if bits == 8:
-        logits = jnp.einsum(
-            "bhgtd,bhsd->bhgts", qg, k_payload.astype(q.dtype),
-            preferred_element_type=jnp.float32,
-        )
-    else:
-        assert bits == 4
-        D2 = D // 2
-        p8 = k_payload.astype(jnp.int32) & 0xFF
-        k_lo = ((p8 & 0xF) - 8).astype(q.dtype)
-        k_hi = ((p8 >> 4) - 8).astype(q.dtype)
-        logits = jnp.einsum(
-            "bhgtd,bhsd->bhgts", qg[..., :D2], k_lo,
-            preferred_element_type=jnp.float32,
-        ) + jnp.einsum(
-            "bhgtd,bhsd->bhgts", qg[..., D2:], k_hi,
-            preferred_element_type=jnp.float32,
-        )
-    logits = logits * ks_row * scale
+    qg = q.reshape(B, Hkv, G * T, D)
+    logits = quant_qk_logits(qg, k_payload, k_scales, bits)
+    logits = logits.reshape(B, Hkv, G, T, S) * scale
     if softcap is not None:
         logits = jnp.tanh(logits / softcap) * softcap
     if bias.ndim == 2:
@@ -138,21 +118,73 @@ def quant_gqa_attention(
     else:
         logits = logits + bias[:, :, None]
     probs = jax.nn.softmax(logits, axis=-1)
-    pv = (probs * vs_row).astype(q.dtype)
-    if bits == 8:
-        out = jnp.einsum("bhgts,bhsd->bhgtd", pv, v_payload.astype(q.dtype))
-    else:
-        p8v = v_payload.astype(jnp.int32) & 0xFF
-        v_lo = ((p8v & 0xF) - 8).astype(q.dtype)
-        v_hi = ((p8v >> 4) - 8).astype(q.dtype)
-        out = jnp.concatenate(
-            [
-                jnp.einsum("bhgts,bhsd->bhgtd", pv, v_lo),
-                jnp.einsum("bhgts,bhsd->bhgtd", pv, v_hi),
-            ],
-            axis=-1,
-        )
+    out = quant_pv_out(
+        probs.reshape(B, Hkv, G * T, S), v_payload, v_scales, bits, q.dtype
+    )
     return out.reshape(B, Hq, T, D)
+
+
+def quant_qk_logits(
+    qg: jax.Array,               # (B, Hkv, R, D) — R = folded (group, time)
+    k_payload: jax.Array,        # (B, Hkv, S, D) int8 | (B, Hkv, S, D//2) u8
+    k_scales: jax.Array,         # (B, Hkv, S, 1) f32
+    bits: int,
+) -> jax.Array:
+    """q·K logits against the quantized payload, per-token scales applied
+    algebraically outside the reduction (``q·(k_int·s) = (q·k_int)·s``) —
+    the integer payload feeds the dot as an elementwise-converted operand,
+    so HBM traffic is payload-width. Returns (B, Hkv, R, S) f32,
+    unscaled by sm_scale. Shared by quant_gqa_attention and the distributed
+    split-KV decode (parallel/decode.py)."""
+    B, H, R, D = qg.shape
+    S = k_payload.shape[2]
+    ks_row = k_scales.reshape(B, H, 1, S)
+    if bits == 8:
+        logits = jnp.einsum(
+            "bhrd,bhsd->bhrs", qg, k_payload.astype(qg.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        assert bits == 4
+        D2 = D // 2
+        p8 = k_payload.astype(jnp.int32) & 0xFF
+        k_lo = ((p8 & 0xF) - 8).astype(qg.dtype)
+        k_hi = ((p8 >> 4) - 8).astype(qg.dtype)
+        logits = jnp.einsum(
+            "bhrd,bhsd->bhrs", qg[..., :D2], k_lo,
+            preferred_element_type=jnp.float32,
+        ) + jnp.einsum(
+            "bhrd,bhsd->bhrs", qg[..., D2:], k_hi,
+            preferred_element_type=jnp.float32,
+        )
+    return logits * ks_row
+
+
+def quant_pv_out(
+    probs: jax.Array,            # (B, Hkv, R, S) f32
+    v_payload: jax.Array,
+    v_scales: jax.Array,         # (B, Hkv, S, 1) f32
+    bits: int,
+    dtype,
+) -> jax.Array:
+    """probs·V against the quantized payload (``p·(v_int·s) = (p·s)·v_int``).
+    Returns (B, Hkv, R, D). int4 packs channel c with c+D/2 (concat-halves,
+    cache.quantize_kv), so the nibble-plane outputs concatenate back to D."""
+    B, H, R, S = probs.shape
+    vs_row = v_scales.reshape(B, H, 1, S)
+    pv = (probs * vs_row).astype(dtype)
+    if bits == 8:
+        return jnp.einsum("bhrs,bhsd->bhrd", pv, v_payload.astype(dtype))
+    p8v = v_payload.astype(jnp.int32) & 0xFF
+    v_lo = ((p8v & 0xF) - 8).astype(dtype)
+    v_hi = ((p8v >> 4) - 8).astype(dtype)
+    return jnp.concatenate(
+        [
+            jnp.einsum("bhrs,bhsd->bhrd", pv, v_lo),
+            jnp.einsum("bhrs,bhsd->bhrd", pv, v_hi),
+        ],
+        axis=-1,
+    )
 
 
 def chunked_window_probs_mean(

@@ -35,6 +35,8 @@ def _local_forward(
     axis_name: str,
     model_axis: Optional[str] = None,
     model_size: int = 1,
+    quantized: bool = False,
+    kv_bits: int = 8,
 ):
     cfg = runner.cfg
     if model_size > 1:
@@ -119,8 +121,23 @@ def _local_forward(
         if cfg.post_norms:
             mlp = rms_norm(mlp, layer["ln2_post"], cfg.rms_norm_eps, cfg.rms_one_offset)
         xh = xh + mlp
+        if quantized:
+            # Quantized STORAGE only (attention above ran on the fresh bf16
+            # projections): per-token payload+scales, identical math to the
+            # single-device quantized cache — quantize_kv is per-(token,
+            # head), so shard-local quantization == global quantization.
+            from ..cache import quantize_kv
+
+            pk, sk = quantize_kv(keys, kv_bits)
+            pv, sv = quantize_kv(values, kv_bits)
+            return xh, (pk, pv, length, mask, sk, sv)
         return xh, (keys, values, length, mask)
 
+    if quantized:
+        x, (keys, values, lengths, masks, ks, vs) = jax.lax.scan(
+            body, x, (params["layers"], layer_ids)
+        )
+        return keys, values, lengths, masks, ks, vs
     x, (keys, values, lengths, masks) = jax.lax.scan(
         body, x, (params["layers"], layer_ids)
     )
@@ -128,7 +145,9 @@ def _local_forward(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("runner", "press", "mesh", "axis", "model_axis")
+    jax.jit,
+    static_argnames=("runner", "press", "mesh", "axis", "model_axis",
+                     "quantized", "kv_bits"),
 )
 def context_parallel_prefill(
     params: dict,
@@ -139,12 +158,20 @@ def context_parallel_prefill(
     mesh: Mesh,
     axis: str = "seq",
     model_axis: Optional[str] = None,
+    quantized: bool = False,
+    kv_bits: int = 8,
 ):
     """Returns per-layer (keys, values, lengths, masks) with the sequence
     dimension sharded over ``axis`` and (optionally) heads/ffn sharded over
     ``model_axis`` — 2D sp×tp: ring attention over ICI on the sequence axis,
     one psum per attention/MLP block on the model axis. Each shard's valid
-    prefix holds its locally-kept entries."""
+    prefix holds its locally-kept entries.
+
+    ``quantized=True`` stores int8 (``kv_bits=8``) or packed-int4 payloads
+    plus per-token scales — the tuple gains (key_scales, value_scales) and
+    pairs with the quantized distributed decode (parallel/decode.py). At the
+    128K north star this composes the two big levers: sequence parallelism
+    for the prefill and payload-width HBM reads for decode."""
     model_size = mesh.shape[model_axis] if model_axis is not None else 1
     mp = model_axis
 
@@ -165,19 +192,23 @@ def context_parallel_prefill(
         P(None, None, mp, axis) if mp is not None else P(None, None, None, axis)
     )
 
+    out_specs = (
+        kv_spec,                           # keys   (L,B,H,S,D) | payload
+        kv_spec,                           # values
+        P(axis) if mp is None else P((mp, axis)),  # per-shard lengths
+        mask_spec,                         # masks
+    )
+    if quantized:
+        out_specs = out_specs + (kv_spec, kv_spec)     # per-token scales
     fn = shard_map(
         functools.partial(
             _local_forward, runner=runner, press=press, axis_name=axis,
             model_axis=model_axis, model_size=model_size,
+            quantized=quantized, kv_bits=kv_bits,
         ),
         mesh=mesh,
         in_specs=(params_spec, P(None, axis)),
-        out_specs=(
-            kv_spec,                           # keys   (L,B,H,S,D)
-            kv_spec,                           # values
-            P(axis) if mp is None else P((mp, axis)),  # per-shard lengths
-            mask_spec,                         # masks
-        ),
+        out_specs=out_specs,
         check_vma=False,
     )
     return fn(params, ids)

@@ -40,12 +40,14 @@ def _local_decode(
     masks: jax.Array,                  # (L, B, H_local, Sl) local keep-masks
     offset: jax.Array,                 # () int32 — logical position of tok
     press_state,                       # per-layer press state pytree (or dummy)
+    scales=None,                       # (key_scales, value_scales) if quantized
     runner: Runner = None,
     axis_name: str = "seq",
     model_axis: Optional[str] = None,
     model_size: int = 1,
     seq_tp: bool = False,
     press=None,
+    kv_bits: int = 8,
 ):
     import dataclasses
 
@@ -85,9 +87,15 @@ def _local_decode(
         x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
     positions = jnp.broadcast_to(offset[None, None], (B, 1)).astype(jnp.int32)
 
+    quantized = scales is not None
+
     def body(carry, xs):
         xh = carry
-        layer, k_loc, v_loc, length, mask, lid, pstate = xs
+        if quantized:
+            layer, k_loc, v_loc, length, mask, lid, pstate, ks_l, vs_l = xs
+        else:
+            layer, k_loc, v_loc, length, mask, lid, pstate = xs
+            ks_l = vs_l = None
         h = rms_norm(xh, layer["ln1"], cfg.rms_norm_eps, cfg.rms_one_offset)
         if seq_tp:
             # 1D-seq decode would otherwise run the full dense compute on
@@ -130,11 +138,24 @@ def _local_decode(
         # shards (grow_shards) and retry.
         can_write = length < Sl
         slot = jnp.minimum(length, Sl - 1)
+        if quantized:
+            from ..cache import quantize_kv
+
+            k_store, sk = quantize_kv(k_new, kv_bits)
+            v_store, sv = quantize_kv(v, kv_bits)
+            ks_app = jax.lax.dynamic_update_slice_in_dim(
+                ks_l, sk, slot, axis=2
+            )
+            vs_app = jax.lax.dynamic_update_slice_in_dim(
+                vs_l, sv, slot, axis=2
+            )
+        else:
+            k_store, v_store = k_new, v
         k_app = jax.lax.dynamic_update_slice_in_dim(
-            k_loc, k_new.astype(k_loc.dtype), slot, axis=2
+            k_loc, k_store.astype(k_loc.dtype), slot, axis=2
         )
         v_app = jax.lax.dynamic_update_slice_in_dim(
-            v_loc, v.astype(v_loc.dtype), slot, axis=2
+            v_loc, v_store.astype(v_loc.dtype), slot, axis=2
         )
         m_app = jax.lax.dynamic_update_slice_in_dim(
             mask, jnp.ones((B, cfg.num_kv_heads, 1), bool), slot, axis=2
@@ -142,6 +163,9 @@ def _local_decode(
         write = is_last & can_write
         k_loc = jnp.where(write, k_app, k_loc)
         v_loc = jnp.where(write, v_app, v_loc)
+        if quantized:
+            ks_l = jnp.where(write, ks_app, ks_l)
+            vs_l = jnp.where(write, vs_app, vs_l)
         mask_n = jnp.where(write, m_app, mask)
         length_n = jnp.where(write, length + 1, length)
         overflow = is_last & ~can_write
@@ -149,9 +173,17 @@ def _local_decode(
         # Shard-local softmax partials, then the split-KV combine:
         # m_g = pmax(m_s);  out = psum(exp(s - m_g) @ V) / psum(sum exp(s - m_g))
         qg = q.reshape(B, cfg.num_kv_heads, G, cfg.head_dim)
-        s = jnp.einsum(
-            "bhgd,bhsd->bhgs", qg, k_loc, preferred_element_type=jnp.float32
-        ) * scale
+        if quantized:
+            # Payload-width HBM reads on every shard (quant_gqa_attention's
+            # algebra, split-KV style): scales factor out of the reductions.
+            from ..ops.attention import quant_pv_out, quant_qk_logits
+
+            s = quant_qk_logits(qg, k_loc, ks_l, kv_bits) * scale
+        else:
+            s = jnp.einsum(
+                "bhgd,bhsd->bhgs", qg, k_loc,
+                preferred_element_type=jnp.float32,
+            ) * scale
         if cfg.logit_softcap is not None:
             s = jnp.tanh(s / cfg.logit_softcap) * cfg.logit_softcap
         valid = mask_n & (jnp.arange(Sl)[None, None] < length_n)
@@ -160,8 +192,12 @@ def _local_decode(
         m_g = jax.lax.pmax(m_s, axis_name)
         p = jnp.exp(s - m_g[..., None])
         l_s = jnp.sum(p, axis=-1)
-        acc_s = jnp.einsum("bhgs,bhsd->bhgd", p.astype(v_loc.dtype), v_loc,
-                           preferred_element_type=jnp.float32)
+        if quantized:
+            acc_s = quant_pv_out(p, v_loc, vs_l, kv_bits, xh.dtype)
+            acc_s = acc_s.astype(jnp.float32)
+        else:
+            acc_s = jnp.einsum("bhgs,bhsd->bhgd", p.astype(v_loc.dtype), v_loc,
+                               preferred_element_type=jnp.float32)
         l_g = jax.lax.psum(l_s, axis_name)
         acc_g = jax.lax.psum(acc_s, axis_name)
         attn = (acc_g / jnp.maximum(l_g, 1e-30)[..., None]).astype(xh.dtype)
@@ -234,13 +270,32 @@ def _local_decode(
             k_loc, v_loc, length_n, mask_n, nstate = press.decode_compress(
                 ctx, k_loc, v_loc, length_n, mask_n, pstate, sync_state=True
             )
+        if quantized:
+            return xh, (k_loc, v_loc, length_n, mask_n, overflow, nstate,
+                        ks_l, vs_l)
         return xh, (k_loc, v_loc, length_n, mask_n, overflow, nstate)
 
     layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
-    x, (keys, values, lengths, masks, overflows, press_state) = jax.lax.scan(
-        body, x,
-        (params["layers"], keys, values, lengths, masks, layer_ids, press_state),
-    )
+    if quantized:
+        assert press is None, (
+            "decode-phase presses over quantized shards are not supported "
+            "(they score/gather bf16 keys) — decode bf16, or compress in "
+            "prefill only"
+        )
+        key_scales, value_scales = scales
+        x, (keys, values, lengths, masks, overflows, press_state,
+            key_scales, value_scales) = jax.lax.scan(
+            body, x,
+            (params["layers"], keys, values, lengths, masks, layer_ids,
+             press_state, key_scales, value_scales),
+        )
+        scales = (key_scales, value_scales)
+    else:
+        x, (keys, values, lengths, masks, overflows, press_state) = jax.lax.scan(
+            body, x,
+            (params["layers"], keys, values, lengths, masks, layer_ids,
+             press_state),
+        )
     # Replicate the flag (it is only raised on the last shard).
     overflow = jax.lax.pmax(jnp.any(overflows).astype(jnp.int32), axis_name)
     if model_axis is not None:
@@ -250,7 +305,7 @@ def _local_decode(
     logits = (x @ head).astype(jnp.float32)
     if cfg.logit_softcap:
         logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
-    return logits, keys, values, lengths, masks, overflow, press_state
+    return logits, keys, values, lengths, masks, overflow, press_state, scales
 
 
 @functools.partial(
@@ -292,8 +347,20 @@ def context_parallel_decode_step(
     targets, i.e. ``target_size`` is a per-shard budget (the distributed
     analogue of the prefill side's shard-local/ChunkPress semantics). Thread
     ``press_state`` through successive steps; it stays replicated
-    (sync_state resets the counters identically on every shard)."""
-    keys, values, lengths, masks = shards
+    (sync_state resets the counters identically on every shard).
+
+    Quantized shards (the 6-tuple from ``context_parallel_prefill(...,
+    quantized=True)``) decode with payload-width HBM reads on every shard
+    (int8 / packed-int4 detected from the payload dtype); appends are
+    quantized in place. Not composable with ``press``."""
+    if len(shards) == 6:
+        keys, values, lengths, masks, key_scales, value_scales = shards
+        scales = (key_scales, value_scales)
+        kv_bits = 4 if keys.dtype == jnp.uint8 else 8
+    else:
+        keys, values, lengths, masks = shards
+        scales = None
+        kv_bits = 8
     model_size = mesh.shape[model_axis] if model_axis is not None else 1
     mp = model_axis
     cfg = runner.cfg
@@ -328,23 +395,28 @@ def context_parallel_decode_step(
         # press rides along
         press_state = jnp.zeros((runner.cfg.num_layers,), jnp.int32)
     state_spec = jax.tree_util.tree_map(lambda _: P(), press_state)
+    scales_spec = None if scales is None else (kv_spec, kv_spec)
     fn = shard_map(
         functools.partial(
             _local_decode, runner=runner, axis_name=axis,
             model_axis=model_axis, model_size=model_size, seq_tp=seq_tp,
-            press=press,
+            press=press, kv_bits=kv_bits,
         ),
         mesh=mesh,
         in_specs=(params_spec, P(), kv_spec, kv_spec, len_spec, mask_spec,
-                  P(), state_spec),
-        out_specs=(P(), kv_spec, kv_spec, len_spec, mask_spec, P(), state_spec),
+                  P(), state_spec, scales_spec),
+        out_specs=(P(), kv_spec, kv_spec, len_spec, mask_spec, P(), state_spec,
+                   scales_spec),
         check_vma=False,
     )
-    logits, keys, values, lengths, masks, overflow, press_state = fn(
-        params, tok, keys, values, lengths, masks, offset, press_state
+    logits, keys, values, lengths, masks, overflow, press_state, scales = fn(
+        params, tok, keys, values, lengths, masks, offset, press_state, scales
     )
-    return (logits, (keys, values, lengths, masks), offset + 1, overflow,
-            press_state)
+    out_shards = (
+        (keys, values, lengths, masks) if scales is None
+        else (keys, values, lengths, masks) + tuple(scales)
+    )
+    return logits, out_shards, offset + 1, overflow, press_state
 
 
 @functools.partial(
@@ -379,7 +451,14 @@ def context_parallel_generate_fused(
     (``ensure_tail_capacity``); on overflow the remaining appends are dropped
     and the flag is returned (never a silent overwrite).
     """
-    keys, values, lengths, masks = shards
+    if len(shards) == 6:
+        keys, values, lengths, masks, key_scales, value_scales = shards
+        scales = (key_scales, value_scales)
+        kv_bits = 4 if keys.dtype == jnp.uint8 else 8
+    else:
+        keys, values, lengths, masks = shards
+        scales = None
+        kv_bits = 8
     model_size = mesh.shape[model_axis] if model_axis is not None else 1
     mp = model_axis
     cfg = runner.cfg
@@ -412,45 +491,53 @@ def context_parallel_generate_fused(
     if press_state is None:
         press_state = jnp.zeros((runner.cfg.num_layers,), jnp.int32)
     state_spec = jax.tree_util.tree_map(lambda _: P(), press_state)
+    scales_spec = None if scales is None else (kv_spec, kv_spec)
 
-    def local(params, tok, keys, values, lengths, masks, offset, pstate):
+    def local(params, tok, keys, values, lengths, masks, offset, pstate, scs):
         def step(carry, _):
-            tok, keys, values, lengths, masks, off, pstate, done = carry
-            logits, keys, values, lengths, masks, ovf, pstate = _local_decode(
-                params, tok, keys, values, lengths, masks, off, pstate,
+            tok, keys, values, lengths, masks, off, pstate, done, scs = carry
+            (logits, keys, values, lengths, masks, ovf, pstate,
+             scs) = _local_decode(
+                params, tok, keys, values, lengths, masks, off, pstate, scs,
                 runner=runner, axis_name=axis, model_axis=model_axis,
                 model_size=model_size, seq_tp=seq_tp, press=press,
+                kv_bits=kv_bits,
             )
             ntok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
             if eos_id is not None:
                 ntok = jnp.where(done[:, None], jnp.int32(eos_id), ntok)
                 done = done | (ntok[:, 0] == eos_id)
-            carry = (ntok, keys, values, lengths, masks, off + 1, pstate, done)
+            carry = (ntok, keys, values, lengths, masks, off + 1, pstate,
+                     done, scs)
             return carry, (ntok[:, 0], ovf)
 
         done0 = jnp.zeros((tok.shape[0],), bool)
-        carry0 = (tok, keys, values, lengths, masks, offset, pstate, done0)
+        carry0 = (tok, keys, values, lengths, masks, offset, pstate, done0, scs)
         carry, (toks, ovfs) = jax.lax.scan(
             step, carry0, None, length=max_new_tokens
         )
-        _, keys, values, lengths, masks, off, pstate, _ = carry
+        _, keys, values, lengths, masks, off, pstate, _, scs = carry
         return (toks.T, keys, values, lengths, masks, off,
-                jnp.max(ovfs), pstate)
+                jnp.max(ovfs), pstate, scs)
 
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(params_spec, P(), kv_spec, kv_spec, len_spec, mask_spec,
-                  P(), state_spec),
+                  P(), state_spec, scales_spec),
         out_specs=(P(), kv_spec, kv_spec, len_spec, mask_spec, P(), P(),
-                   state_spec),
+                   state_spec, scales_spec),
         check_vma=False,
     )
-    toks, keys, values, lengths, masks, offset, overflow, press_state = fn(
-        params, tok, keys, values, lengths, masks, offset, press_state
+    (toks, keys, values, lengths, masks, offset, overflow, press_state,
+     scales) = fn(
+        params, tok, keys, values, lengths, masks, offset, press_state, scales
     )
-    return (toks, (keys, values, lengths, masks), offset, overflow,
-            press_state)
+    out_shards = (
+        (keys, values, lengths, masks) if scales is None
+        else (keys, values, lengths, masks) + tuple(scales)
+    )
+    return toks, out_shards, offset, overflow, press_state
 
 
 def ensure_tail_capacity(shards, n_shards: int, extra: int):
@@ -468,9 +555,10 @@ def ensure_tail_capacity(shards, n_shards: int, extra: int):
 
 def grow_shards(shards, n_shards: int, extra: int):
     """Extend every shard's tail buffer by ``extra`` slots (zero-filled, mask
-    False). The seq-sharded global buffer interleaves shards contiguously, so
-    padding must go inside each shard's block, not at the global end."""
-    keys, values, lengths, masks = shards
+    False, scales 1.0). The seq-sharded global buffer interleaves shards
+    contiguously, so padding must go inside each shard's block, not at the
+    global end. Accepts the bf16 4-tuple or the quantized 6-tuple."""
+    keys, values, lengths, masks = shards[:4]
 
     def pad_block(a, fill):
         # (..., n*Sl, ...) on the seq dim → (..., n, Sl, ...) → pad → back.
@@ -487,12 +575,15 @@ def grow_shards(shards, n_shards: int, extra: int):
         )
         return a.reshape(out_shape)
 
-    return (
+    out = (
         pad_block(keys, 0),
         pad_block(values, 0),
         lengths,
         pad_block(masks, False),
     )
+    if len(shards) == 6:
+        out = out + (pad_block(shards[4], 1.0), pad_block(shards[5], 1.0))
+    return out
 
 
 def context_parallel_generate(
@@ -508,6 +599,8 @@ def context_parallel_generate(
     max_new_tokens: int = 32,
     eos_id: Optional[int] = None,
     fused: bool = False,
+    quantized: bool = False,            # int8/int4 KV shards end to end
+    kv_bits: int = 8,
 ):
     """Compress-then-generate entirely on the mesh: context-parallel prefill
     (shard-local compression), then greedy decode with the split-KV combine —
@@ -525,9 +618,13 @@ def context_parallel_generate(
     pipeline's uncompressed-question decode contract)."""
     from .context_prefill import context_parallel_prefill
 
+    if quantized:
+        assert decode_press is None, (
+            "decode-phase presses over quantized shards are unsupported"
+        )
     shards = context_parallel_prefill(
         params, ids, runner=runner, press=press, mesh=mesh,
-        axis=axis, model_axis=model_axis,
+        axis=axis, model_axis=model_axis, quantized=quantized, kv_bits=kv_bits,
     )
     S = ids.shape[1]
     offset = jnp.asarray(S, jnp.int32)

@@ -391,3 +391,64 @@ def test_distributed_paths_int8_weights(setup):
     np.testing.assert_allclose(
         np.asarray(lg)[:, 0], np.asarray(lg_ref)[:, 0], atol=2e-4, rtol=1e-3
     )
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_quantized_shards_match_single_device(setup, bits):
+    """Quantized distributed path (int8/int4 payload shards, payload-width
+    reads in the split-KV decode) == the single-device quantized cache.
+    StreamingLLM keeps by position, so both paths keep identical sets and
+    quantize identical values (requantization of a dequantized payload is
+    exact: the amax channel pins the scale)."""
+    from kvpress_tpu.parallel.decode import (
+        context_parallel_decode_step, context_parallel_generate,
+    )
+    from kvpress_tpu.presses import StreamingLLMPress
+
+    cfg, params, runner, ids, mesh = setup
+    press = StreamingLLMPress(compression_ratio=0.5, n_sink=2)
+
+    shards = context_parallel_prefill(
+        params, ids, runner=runner, press=press, mesh=mesh,
+        quantized=True, kv_bits=bits,
+    )
+    assert len(shards) == 6
+    assert shards[0].dtype == (jnp.uint8 if bits == 4 else jnp.int8)
+
+    ref_press = ChunkPress(press=press, chunk_length=S // N)
+    _, cache, _ = runner.prefill(
+        params, ids, press=ref_press, dtype=jnp.float32,
+        quantized=True, kv_bits=bits,
+    )
+
+    tok = ids[:, -1:]
+    offset = jnp.asarray(S, jnp.int32)
+    lg_ref, cache, _ = runner.forward(params, tok, cache, logits_last_only=True)
+    lg, shards, offset, ovf, _ = context_parallel_decode_step(
+        params, tok, shards, offset, runner=runner, mesh=mesh,
+    )
+    assert int(ovf) == 0
+    assert len(shards) == 6
+    np.testing.assert_allclose(
+        np.asarray(lg)[:, 0], np.asarray(lg_ref)[:, 0], atol=3e-4, rtol=2e-3
+    )
+    # second step: the appended K/V went through the quantized append path
+    tok2 = jnp.argmax(lg[:, -1:], axis=-1).astype(jnp.int32)
+    lg_ref2, cache, _ = runner.forward(params, tok2, cache, logits_last_only=True)
+    lg2, shards, offset, _, _ = context_parallel_decode_step(
+        params, tok2, shards, offset, runner=runner, mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lg2)[:, 0], np.asarray(lg_ref2)[:, 0], atol=3e-4, rtol=2e-3
+    )
+
+    # fused generate over quantized shards == host loop
+    host = context_parallel_generate(
+        params, ids, runner=runner, press=press, mesh=mesh,
+        max_new_tokens=6, quantized=True, kv_bits=bits,
+    )
+    fused = context_parallel_generate(
+        params, ids, runner=runner, press=press, mesh=mesh,
+        max_new_tokens=6, quantized=True, kv_bits=bits, fused=True,
+    )
+    np.testing.assert_array_equal(np.asarray(host), np.asarray(fused))

@@ -39,10 +39,17 @@ def main():
     press = KnormPress(compression_ratio=0.5)
     capacity = press.n_kept(CTX) + NEW + 8
 
-    for n_slots in (1, 8):
+    from kvpress_tpu.models.llama import quantize_params_int8
+
+    cases = [
+        ("bf16      n_slots=1", 1, params, False, 8),
+        ("bf16      n_slots=8", 8, params, False, 8),
+        ("int4+wi8  n_slots=8", 8, quantize_params_int8(params), True, 4),
+    ]
+    for label, n_slots, p, quantized, bits in cases:
         eng = ServingEngine(
-            runner, params, n_slots=n_slots, capacity=capacity, press=press,
-            fetch_lag=4,
+            runner, p, n_slots=n_slots, capacity=capacity, press=press,
+            fetch_lag=4, quantized=quantized, kv_bits=bits,
         )
         # warm the compiles (prefill + decode step at this slot count)
         eng.run([Request(rng.integers(0, cfg.vocab_size, CTX).tolist(), [], 4)])
@@ -50,7 +57,7 @@ def main():
         outs = eng.run(reqs)
         dt = time.perf_counter() - t0
         tot = sum(len(o) for o in outs)
-        print(f"n_slots={n_slots}: {tot} tokens in {dt:6.2f}s = "
+        print(f"{label}: {tot} tokens in {dt:6.2f}s = "
               f"{tot/dt:7.1f} tok/s (decode+prefill, 8 requests)", flush=True)
 
 
