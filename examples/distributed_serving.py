@@ -49,6 +49,15 @@ def main():
           f"compressed 2x shard-locally")
     print(f"generated ids: {np.asarray(out)[0].tolist()}")
 
+    # Production shape: int4 payload shards (payload-width HBM reads on
+    # every shard) + the whole token loop fused into ONE dispatch.
+    out_q = context_parallel_generate(
+        params, ids, runner=runner, mesh=mesh,
+        press=SnapKVPress(compression_ratio=0.5, window_size=8, kernel_size=3),
+        max_new_tokens=16, quantized=True, kv_bits=4, fused=True,
+    )
+    print(f"int4 shards + fused loop: {np.asarray(out_q)[0].tolist()}")
+
 
 if __name__ == "__main__":
     main()

@@ -79,21 +79,25 @@ def main():
         logits, cache, _ = runner.forward(params, tok, cache, logits_last_only=True)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
+    from kvpress_tpu.models.llama import quantize_params_int8
+
+    qparams = quantize_params_int8(params)
     press = KnormPress(compression_ratio=0.5)
-    for name, p, q, b in [
-        ("base  bf16", None, False, 8),
-        ("knorm bf16", press, False, 8),
-        ("knorm int4", press, True, 4),
+    for name, p, q, b, wp in [
+        ("base  bf16      ", None, False, 8, params),
+        ("knorm bf16      ", press, False, 8, params),
+        ("knorm int4      ", press, True, 4, params),
+        ("knorm int4+wint8", press, True, 4, qparams),
     ]:
-        cache = prefill(params, ids, press=p, quantized=q, kv_bits=b)
+        cache = prefill(wp, ids, press=p, quantized=q, kv_bits=b)
         keep = press.n_kept(CTX) if p else CTX
         cache = shrink(cache, keep + STEPS + 8)
         tok = ids[:, -1:]
-        tok, cache = step(params, tok, cache)
+        tok, cache = step(wp, tok, cache)
         jax.device_get(tok)
         t0 = time.perf_counter()
         for _ in range(STEPS):
-            tok, cache = step(params, tok, cache)
+            tok, cache = step(wp, tok, cache)
         jax.device_get(tok)
         dt = time.perf_counter() - t0
         print(f"3B-D128 decode b{B}/16K {name}: {B*STEPS/dt:7.1f} tok/s",
