@@ -10,8 +10,10 @@ predictions.csv / metrics.json) for each press x ratio — printing a small
 leaderboard where accuracy really degrades with compression.
 
 Run: python examples/evaluation_offline.py        (~2-3 min on CPU)
+Set KVPRESS_QUICK=1 for a fast smoke run (less training, fewer samples).
 """
 
+import os
 import pathlib
 import sys
 import tempfile
@@ -38,6 +40,7 @@ K_TOK, Q_TOK = 6, 5
 VAL_LO, VAL_HI = 40, 70
 S_CTX = 24
 SEQ = 1 + S_CTX + 2 + 2                   # bos + noise + in-context QK + QK
+QUICK = bool(os.environ.get("KVPRESS_QUICK"))
 
 
 class NumberTokenizer:
@@ -81,7 +84,8 @@ def train_retrieval_model():
                       intermediate_size=192)
     runner = Runner.create(cfg)
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
-    sched = optax.warmup_cosine_decay_schedule(0.0, 3e-3, 100, 1200, 1e-4)
+    n_steps = 150 if QUICK else 1200
+    sched = optax.warmup_cosine_decay_schedule(0.0, 3e-3, 100, n_steps, 1e-4)
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(sched))
     opt = tx.init(params)
     rng = np.random.default_rng(0)
@@ -100,14 +104,14 @@ def train_retrieval_model():
         updates, opt = tx.update(grads, opt, params)
         return optax.apply_updates(params, updates), opt, loss
 
-    for i in range(1200):
+    for i in range(n_steps):
         seq, target, _ = make_batch(rng, 128)
         params, opt, loss = step(params, opt, seq, jnp.asarray(target))
     print(f"trained retrieval model (final loss {float(loss):.3f})")
     return cfg, params, runner
 
 
-def build_dataset(n=48, seed=11):
+def build_dataset(n=16 if QUICK else 48, seed=11):
     rng = np.random.default_rng(seed)
     seq, vals, _ = make_batch(rng, n)
     rows = []

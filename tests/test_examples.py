@@ -18,8 +18,16 @@ EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
         "pipeline_quickstart",
         "decoding_press_demo",
         "speed_and_memory",
+        "distributed_serving",
     ],
 )
 def test_example_runs(name, capsys):
     runpy.run_path(str(EXAMPLES / f"{name}.py"), run_name="__main__")
     assert capsys.readouterr().out.strip()
+
+
+def test_evaluation_offline_example_runs(capsys, monkeypatch):
+    monkeypatch.setenv("KVPRESS_QUICK", "1")
+    runpy.run_path(str(EXAMPLES / "evaluation_offline.py"), run_name="__main__")
+    out = capsys.readouterr().out
+    assert "streaming_llm" in out
