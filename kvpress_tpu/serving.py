@@ -294,6 +294,7 @@ class ServingEngine:
         question_bucket: int = 64,
         fetch_lag: int = 4,
         eos_ids: tuple = (),
+        mesh=None,                  # tensor-parallel serving over ("data","model")
     ):
         if press is not None:
             assert not press.compresses_decode, (
@@ -318,6 +319,31 @@ class ServingEngine:
             runner.cfg, n_slots, capacity, dtype=self.dtype,
             quantized=quantized, bits=kv_bits,
         )
+        if mesh is not None:
+            # Tensor-parallel serving: weights and the slot pool's kv-head
+            # axis shard over "model"; GSPMD propagates through the jitted
+            # engine steps (one psum per attention/MLP block, exactly the
+            # prefill TP layout in parallel/mesh.py). Slots stay replicated
+            # across "data" — batch parallelism comes from the slot axis.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .parallel.mesh import shard_params
+
+            self.params = shard_params(params, mesh)
+
+            def ns(*spec):
+                return NamedSharding(mesh, P(*spec))
+
+            kv = ns(None, None, "model", None, None)
+            self.sc = jax.device_put(self.sc, SlotCache(
+                keys=kv, values=kv,
+                lengths=ns(None, None), offsets=ns(None),
+                mask=ns(None, None, "model", None),
+                key_scales=None if self.sc.key_scales is None else kv,
+                value_scales=None if self.sc.value_scales is None else kv,
+                bits=self.sc.bits,
+            ))
+        self.mesh = mesh
         self.tokens = jnp.zeros((n_slots,), jnp.int32)
         self.live = np.zeros((n_slots,), bool)
         self.slots = [_SlotState() for _ in range(n_slots)]
