@@ -20,7 +20,6 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-import dataclasses
 import jax
 import jax.numpy as jnp
 
