@@ -174,6 +174,12 @@ def context_parallel_prefill(
     for the prefill and payload-width HBM reads for decode."""
     model_size = mesh.shape[model_axis] if model_axis is not None else 1
     mp = model_axis
+    assert runner.cfg.sliding_window is None and \
+        runner.cfg.rope_local_base_freq is None, (
+            "context-parallel paths do not implement sliding-window layers / "
+            "local RoPE (Gemma3-style) — use the single-device Runner or a "
+            "(data, model) mesh for those models"
+        )
 
     from .mesh import layer_param_specs
 

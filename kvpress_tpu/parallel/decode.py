@@ -361,6 +361,11 @@ def context_parallel_decode_step(
         keys, values, lengths, masks = shards
         scales = None
         kv_bits = 8
+    assert runner.cfg.sliding_window is None and \
+        runner.cfg.rope_local_base_freq is None, (
+            "distributed decode does not implement sliding-window layers / "
+            "local RoPE (Gemma3-style)"
+        )
     model_size = mesh.shape[model_axis] if model_axis is not None else 1
     mp = model_axis
     cfg = runner.cfg
@@ -459,6 +464,11 @@ def context_parallel_generate_fused(
         keys, values, lengths, masks = shards
         scales = None
         kv_bits = 8
+    assert runner.cfg.sliding_window is None and \
+        runner.cfg.rope_local_base_freq is None, (
+            "distributed decode does not implement sliding-window layers / "
+            "local RoPE (Gemma3-style)"
+        )
     model_size = mesh.shape[model_axis] if model_axis is not None else 1
     mp = model_axis
     cfg = runner.cfg

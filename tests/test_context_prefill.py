@@ -452,3 +452,19 @@ def test_quantized_shards_match_single_device(setup, bits):
         max_new_tokens=6, quantized=True, kv_bits=bits, fused=True,
     )
     np.testing.assert_array_equal(np.asarray(host), np.asarray(fused))
+
+
+def test_sliding_window_models_rejected(setup):
+    """Gemma3-style sliding-window / local-RoPE configs must fail loudly on
+    the context-parallel paths (they are not implemented there) instead of
+    silently attending the full window."""
+    import dataclasses
+
+    cfg, params, runner, ids, mesh = setup
+    bad_cfg = dataclasses.replace(
+        cfg, sliding_window=8,
+        layer_is_sliding=tuple(i % 2 == 0 for i in range(cfg.num_layers)),
+    )
+    bad_runner = dataclasses.replace(runner, cfg=bad_cfg)
+    with pytest.raises(AssertionError, match="sliding-window"):
+        context_parallel_prefill(params, ids, runner=bad_runner, mesh=mesh)
