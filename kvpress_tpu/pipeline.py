@@ -339,6 +339,7 @@ class KVPressPipeline:
         kv_bits: int = 8,
         context_bucket: Optional[int] = None,
         question_bucket: int = 64,
+        mesh=None,                       # tensor-parallel serving
     ) -> list[str]:
         """Serve many (context, question) requests through the continuous-
         batching engine (serving.py): per-request press-compressed prefill,
@@ -385,7 +386,7 @@ class KVPressPipeline:
             capacity=capacity, press=press,
             quantized=quantized, kv_bits=kv_bits,
             context_bucket=context_bucket, question_bucket=question_bucket,
-            eos_ids=eos,
+            eos_ids=eos, mesh=mesh,
         )
         outs = eng.run(reqs)
         answers = []

@@ -465,7 +465,15 @@ class ServingEngine:
                         print(f"admitted request {idx} -> slot {s}",
                               flush=True)
             if any(self.live):
-                live_dev = jnp.asarray(self.live)
+                # A FRESH buffer every issue: jnp.asarray of a numpy array
+                # can be ZERO-COPY on the CPU backend, and self.live is
+                # mutated in place below while issued steps are still in
+                # flight (fetch-lag pipelining) — an aliased buffer makes a
+                # pending step read the POST-mutation liveness, freeze the
+                # slot's length/offset one step early, and corrupt the final
+                # token (observed: last-token-only nondeterministic
+                # divergences on the virtual CPU mesh).
+                live_dev = jnp.asarray(np.array(self.live))
                 self.tokens, self.sc = _decode_step(
                     self.params, self.tokens, self.sc, live_dev,
                     runner=self.runner,

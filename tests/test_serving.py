@@ -58,16 +58,17 @@ def ref_generate(runner, params, press, ctx, q_ids, n_new, capacity,
 
 
 def assert_generation_matches_ref(runner, params, press, req, got,
-                                  quantized=False, kv_bits=8, tie_eps=0.05):
+                                  quantized=False, kv_bits=8, tie_eps=2e-3):
     """TEACHER-FORCED check of a served generation against the B=1 path:
     replay ``got`` through Runner and require, at every step, the engine's
     token to be the reference argmax OR within ``tie_eps`` of it in the
-    reference logits. The engine and the B=1 path compile different HLOs;
-    per-process XLA CPU compile variance makes near-tie argmaxes flip (seen
-    at gaps up to ~0.02 on the untrained tiny model), and greedy chaining
-    would amplify one flip into a useless suffix comparison — teacher
-    forcing checks every step independently, and a real semantic bug (wrong
-    positions, masks, cache contents) shows up as persistent large gaps."""
+    reference logits (float-reassociation ties only — the engine and the
+    B=1 path compile different HLOs). Teacher forcing checks every step
+    independently so one tie flip can't cascade, and a real semantic bug
+    (wrong positions, masks, cache contents) shows up as a large gap.
+    Historical note: this check caught a live-mask buffer-aliasing race in
+    the engine (serving.py run()) that corrupted final tokens by ~0.05 —
+    keep it teacher-forced and tight."""
     ids = jnp.asarray(np.asarray(req.context_ids, np.int32))[None]
     logits, cache, _ = _prefill(
         params, ids, None, runner=runner, press=press,
@@ -193,8 +194,17 @@ def test_pipeline_batch_matches_call():
     got = pipe.batch(contexts, questions, press=press, max_new_tokens=6,
                      n_slots=2, question_bucket=4)
     for ctx, q, g in zip(contexts, questions, got):
-        want = pipe(ctx, question=q, press=press, max_new_tokens=6)["answer"]
-        assert g == want
+        # teacher-forced near-tie-tolerant comparison (see
+        # assert_generation_matches_ref): answer tokens are unknown ids that
+        # ToyTokenizer decodes as "<id>" — recover them
+        toks = [
+            int(t[1:-1]) if t.startswith("<") else pipe.tokenizer._tok2id(t)
+            for t in g.split()
+        ]
+        assert len(toks) == 6, g
+        ctx_ids, q_ids = pipe.preprocess(ctx, [q])
+        req = Request(ctx_ids, q_ids[0], 6)
+        assert_generation_matches_ref(pipe.runner, params, press, req, toks)
 
 
 def test_serving_int8_weights(tiny):
