@@ -218,3 +218,30 @@ def test_fp8_checkpoint_conversion():
         got = np.asarray(params_fp8["layers"][name])
         # fp8 payload rounding only
         assert np.abs(ref - got).max() < 0.1 * np.abs(ref).max() + 1e-4
+
+
+def test_adakv_compact_with_quantized_cache(tiny):
+    """AdaKV per-head compaction composes with int4 storage: the press sees
+    dense values (storage-only quantization), so the kept sets equal the
+    bf16 run; the compacted cache requantizes, shrinks and decodes."""
+    from kvpress_tpu import AdaKVPress, KnormPress
+    from kvpress_tpu.cache import shrink
+
+    cfg, params, runner = tiny
+    ids = jax.random.randint(jax.random.PRNGKey(7), (2, 48), 0, cfg.vocab_size)
+    press = AdaKVPress(press=KnormPress(compression_ratio=0.5), compact=True)
+
+    _, cq, _ = runner.prefill(params, ids, press=press, dtype=jnp.float32,
+                              quantized=True, kv_bits=4)
+    _, cb, _ = runner.prefill(params, ids, press=press, dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(cq.mask), np.asarray(cb.mask))
+    np.testing.assert_array_equal(np.asarray(cq.length), np.asarray(cb.length))
+    assert cq.keys.dtype == jnp.uint8
+
+    cq = shrink(cq, int(np.max(np.asarray(cq.length))) + 4)
+    tok = ids[:, -1:]
+    for _ in range(3):
+        logits, cq, _ = runner.forward(params, tok, cq, logits_last_only=True)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    assert np.isfinite(np.asarray(logits)).all()
+    assert not bool(cq.overflowed)
