@@ -38,9 +38,11 @@ class EvaluationConfig:
     press_name: str = "knorm"
     compression_ratio: float = 0.1
     key_channel_compression_ratio: Optional[float] = None
+    head_compression_ratio: Optional[float] = None   # Duo-family
     threshold: Optional[float] = None            # DMS presses
     compression_interval: Optional[int] = None   # decoding presses
     target_size: Optional[int] = None
+    hidden_states_buffer_size: Optional[int] = None  # decoding presses
     fraction: float = 1.0
     max_new_tokens: Optional[int] = None
     max_context_length: Optional[int] = None
@@ -121,6 +123,8 @@ def configure_press(config: EvaluationConfig):
             kw["compression_interval"] = config.compression_interval
         if config.target_size is not None:
             kw["target_size"] = config.target_size
+        if config.hidden_states_buffer_size is not None:
+            kw["hidden_states_buffer_size"] = config.hidden_states_buffer_size
         press = dataclasses.replace(press, **kw)
     elif isinstance(press, DMSPress):
         assert config.threshold is not None, "DMS presses require --threshold"
@@ -135,6 +139,13 @@ def configure_press(config: EvaluationConfig):
             )
     else:
         press = set_ratio(press, config.compression_ratio)
+        if (config.head_compression_ratio is not None
+                and hasattr(press, "head_compression_ratio")):
+            # Duo-family (reference evaluate.py:49,:291): head ratio is a
+            # separate knob from the per-head window ratio
+            press = dataclasses.replace(
+                press, head_compression_ratio=config.head_compression_ratio
+            )
         if config.press_artifact:
             if isinstance(press, QFilterPress):
                 from kvpress_tpu.presses import load_q_filters
