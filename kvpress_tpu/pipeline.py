@@ -47,6 +47,11 @@ def _sample_token(logits: jax.Array, key, temperature: float, top_p: float):
         "do_sample", "temperature", "top_p",
     ),
 )
+@partial(
+    jax.jit,
+    static_argnames=("runner", "max_new_tokens", "eos_ids", "press",
+                     "do_sample", "temperature", "top_p"),
+)
 def _generate_answer(
     params,
     question_ids: jax.Array,          # (1, Tq); Tq may be 0
@@ -66,7 +71,13 @@ def _generate_answer(
     """Question forward + greedy while_loop decode, with optional decode-time
     compression (press.compresses_decode) threaded through the loop. Returns
     (tokens (max_new,), n_generated, final cache). An empty question (shape
-    (1, 0)) starts greedy decoding straight from the prefill's logits."""
+    (1, 0)) starts greedy decoding straight from the prefill's logits.
+
+    MUST be jitted with ``params`` as an argument: unjitted, the
+    ``lax.while_loop`` bakes the weights into the traced computation as HLO
+    constants — on the axon backend the remote-compile POST of a 1B-model
+    constant silently hangs at ~0 CPU (CLAUDE.md), and on any backend it
+    bloats the executable."""
     decode_press = press if (press is not None and press.compresses_decode) else None
     if question_ids.shape[1] > 0:
         logits, cache, press_state = runner.forward(
