@@ -20,6 +20,15 @@ for press in knorm random streaming_llm snapkv tova expected_attention \
   done
 done
 
+# DuoAttention: swept by --head_compression_ratio (its compression_ratio is
+# a derived observable, reference leaderboard.sh:32-36).
+for press in duo_attention duo_attention_on_the_fly; do
+  for hr in 0.25 0.5 0.75; do
+    python evaluate.py --dataset $DATASET --data_dir $DATA_DIR --model "$MODEL" \
+      --press_name "$press" --head_compression_ratio "$hr"
+  done
+done
+
 # Threshold presses (DMS / KVzap): swept by threshold instead of ratio.
 for t in -3 -4 -5 -6; do
   python evaluate.py --dataset $DATASET --data_dir $DATA_DIR --model "$MODEL" \
