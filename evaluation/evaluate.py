@@ -276,6 +276,26 @@ class EvaluationRunner:
             return json.loads(metrics_file.read_text())
 
         self._load_and_prepare_dataset()
+        if (self.config.press_name == "duo_attention_on_the_fly"
+                and getattr(self.press, "head_scores", None) is None):
+            # Reference duo_attention_on_the_fly (:144-210) scores heads from
+            # calibration samples at setup; here the first dataset contexts
+            # serve as the calibration set (no hub download needed).
+            import dataclasses as _dc
+
+            import jax.numpy as _jnp
+
+            from kvpress_tpu.presses.duo import duo_attention_on_the_fly
+
+            pipe = self.pipeline
+            samples = []
+            for ctx in self.df["context"].unique()[:2]:
+                ids = pipe.tokenizer.encode(ctx, add_special_tokens=False)
+                samples.append(
+                    _jnp.asarray(np.asarray(ids[:1024], np.int32))[None]
+                )
+            scores = duo_attention_on_the_fly(pipe.runner, pipe.params, samples)
+            self.press = _dc.replace(self.press, head_scores=scores)
         self._run_inference()
 
         out_dir.mkdir(parents=True, exist_ok=True)

@@ -116,6 +116,9 @@ PRESS_REGISTRY = {
     "think": ThinKPress(),
     "tova": TOVAPress(),
     "duo_attention": DuoAttentionPress(),
+    # head scores computed at setup from the first dataset contexts
+    # (reference duo_attention_on_the_fly downloads booksum samples)
+    "duo_attention_on_the_fly": DuoAttentionPress(),
     "expected_attention_stats": ExpectedAttentionStatsPress(),
     "fastkvzip": FastKVzipPress(),
     "kvcompose": KVComposePress(),

@@ -162,3 +162,34 @@ def test_cli_parse_args_yaml_merge(tmp_path):
     assert cfg.compression_ratio == 0.25    # CLI overrides YAML
     assert cfg.seed == 7                    # from YAML
     assert cfg.dataset == "ruler"           # CLI
+
+
+def test_duo_on_the_fly_scores_from_dataset(tmp_path):
+    """press_name=duo_attention_on_the_fly: head scores computed at setup
+    from the first dataset contexts (the reference downloads booksum
+    calibration samples; here the dataset itself calibrates)."""
+    from evaluate import EvaluationConfig, EvaluationRunner
+
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    pipe = KVPressPipeline(Runner.create(cfg), params, ToyTokenizer(cfg.vocab_size))
+
+    ctx = " ".join(f"word{i}" for i in range(600))
+    df = pd.DataFrame({
+        "context": [ctx, ctx],
+        "question": ["q one ?", "q two ?"],
+        "answer_prefix": ["", ""],
+        "answer": [["word3"], ["word7"]],
+        "max_new_tokens": [4, 4],
+        "task": ["niah_1", "niah_1"],
+    })
+    config = EvaluationConfig(
+        dataset="ruler", press_name="duo_attention_on_the_fly",
+        head_compression_ratio=0.5, output_dir=str(tmp_path), model="tiny",
+    )
+    runner = EvaluationRunner(config, pipeline=pipe, dataset_df=df)
+    metrics = runner.run()
+    assert "niah_1" in metrics
+    assert runner.press.head_scores is not None
+    assert runner.press.head_scores.shape == (cfg.num_layers, cfg.num_kv_heads)
+    assert runner.press.head_compression_ratio == 0.5
