@@ -1,4 +1,7 @@
 from .checkpoint import load_params, save_params
-from .profiling import memory_stats, profile_trace
+from .profiling import enable_compile_cache, memory_stats, profile_trace
 
-__all__ = ["load_params", "save_params", "memory_stats", "profile_trace"]
+__all__ = [
+    "load_params", "save_params", "enable_compile_cache", "memory_stats",
+    "profile_trace",
+]

@@ -30,3 +30,18 @@ def memory_stats(device: Optional[jax.Device] = None) -> dict:
     device = device or jax.devices()[0]
     stats = getattr(device, "memory_stats", lambda: None)()
     return dict(stats) if stats else {}
+
+
+def enable_compile_cache(path: str = "/tmp/kvpress_tpu_compile_cache",
+                         min_compile_secs: float = 0.5):
+    """Persistent XLA compilation cache: serving processes restart without
+    re-paying the 20-40 s prefill/decode compiles (the serving-layer
+    "persistent compile cache story"). Call once before the first jit.
+
+    Caveat (measured in this repo's CI): a run killed mid-write can leave a
+    truncated entry whose decompression crashes later readers — point each
+    deployment at its own directory and clear it on crash-loop."""
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)
