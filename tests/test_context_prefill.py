@@ -468,3 +468,37 @@ def test_sliding_window_models_rejected(setup):
     bad_runner = dataclasses.replace(runner, cfg=bad_cfg)
     with pytest.raises(AssertionError, match="sliding-window"):
         context_parallel_prefill(params, ids, runner=bad_runner, mesh=mesh)
+
+
+def test_quantized_shards_2d_sp_tp(setup):
+    """Quantized shards on the 2D sp×tp mesh: payload+scales shard over both
+    axes and the split-KV quantized decode still equals single-device."""
+    from kvpress_tpu.parallel.decode import context_parallel_decode_step
+    from kvpress_tpu.presses import StreamingLLMPress
+
+    cfg, params, runner, ids, mesh = setup
+    mesh2 = Mesh(
+        np.array(jax.devices()[:8]).reshape(4, 2), axis_names=("seq", "model")
+    )
+    press = StreamingLLMPress(compression_ratio=0.5, n_sink=2)
+    shards = context_parallel_prefill(
+        params, ids, runner=runner, press=press, mesh=mesh2,
+        axis="seq", model_axis="model", quantized=True, kv_bits=8,
+    )
+    assert len(shards) == 6
+
+    ref_press = ChunkPress(press=press, chunk_length=S // 4)
+    _, cache, _ = runner.prefill(
+        params, ids, press=ref_press, dtype=jnp.float32,
+        quantized=True, kv_bits=8,
+    )
+    tok = ids[:, -1:]
+    lg_ref, _, _ = runner.forward(params, tok, cache, logits_last_only=True)
+    lg, shards, _, ovf, _ = context_parallel_decode_step(
+        params, tok, shards, jnp.asarray(S, jnp.int32),
+        runner=runner, mesh=mesh2, axis="seq", model_axis="model",
+    )
+    assert int(ovf) == 0
+    np.testing.assert_allclose(
+        np.asarray(lg)[:, 0], np.asarray(lg_ref)[:, 0], atol=3e-4, rtol=2e-3
+    )
