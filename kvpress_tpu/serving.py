@@ -320,25 +320,31 @@ class ServingEngine:
             quantized=quantized, bits=kv_bits,
         )
         if mesh is not None:
-            # Tensor-parallel serving: weights and the slot pool's kv-head
-            # axis shard over "model"; GSPMD propagates through the jitted
-            # engine steps (one psum per attention/MLP block, exactly the
-            # prefill TP layout in parallel/mesh.py). Slots stay replicated
-            # across "data" — batch parallelism comes from the slot axis.
+            # Mesh serving: weights and the slot pool's kv-head axis shard
+            # over "model" (GSPMD inserts one psum per attention/MLP block,
+            # exactly the prefill TP layout in parallel/mesh.py); the SLOT
+            # axis shards over "data" when it divides — each data shard owns
+            # a slice of the batch, so the engine scales along both axes.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from .parallel.mesh import shard_params
 
             self.params = shard_params(params, mesh)
+            dp = (
+                "data"
+                if "data" in mesh.axis_names
+                and n_slots % mesh.shape["data"] == 0
+                else None
+            )
 
             def ns(*spec):
                 return NamedSharding(mesh, P(*spec))
 
-            kv = ns(None, None, "model", None, None)
+            kv = ns(None, dp, "model", None, None)
             self.sc = jax.device_put(self.sc, SlotCache(
                 keys=kv, values=kv,
-                lengths=ns(None, None), offsets=ns(None),
-                mask=ns(None, None, "model", None),
+                lengths=ns(None, dp), offsets=ns(dp),
+                mask=ns(None, dp, "model", None),
                 key_scales=None if self.sc.key_scales is None else kv,
                 value_scales=None if self.sc.value_scales is None else kv,
                 bits=self.sc.bits,

@@ -226,18 +226,19 @@ def test_serving_int8_weights(tiny):
 
 def test_serving_tensor_parallel(tiny):
     """ServingEngine over a ("data","model") mesh: weights and the slot
-    pool's kv-head axis shard on "model" (GSPMD inserts the per-layer
-    psums); answers equal the unsharded engine exactly."""
+    pool's kv-head axis shard on "model", the slot axis on "data" (GSPMD
+    inserts the per-layer psums); answers equal the B=1 reference."""
     from kvpress_tpu.parallel.mesh import make_mesh, validate_tp
 
     cfg, params, runner = tiny
     validate_tp(cfg, 2)
-    mesh = make_mesh(data=1, model=2)
+    mesh = make_mesh(data=2, model=2)
     press = KnormPress(compression_ratio=0.5)
     reqs = _mk_requests(cfg, [(32, 4), (40, 8), (24, 4)], n_new=5)
 
     tp = ServingEngine(runner, params, n_slots=2, capacity=64, press=press,
                        question_bucket=4, fetch_lag=2, mesh=mesh)
+    assert tp.sc.keys.sharding.spec[1] == "data"
     assert tp.sc.keys.sharding.spec[2] == "model"
     answers = tp.run(reqs)
     for req, got in zip(reqs, answers):
