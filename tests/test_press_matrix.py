@@ -101,3 +101,27 @@ def test_matrix(tiny, wname, wrap, scorer):
     )
     assert np.isfinite(np.asarray(logits)).all()
     assert (np.asarray(cache2.length) == lengths + 1).all()
+
+
+@pytest.mark.parametrize("wname,wrap", WRAPPERS[:2], ids=["plain", "adakv"])
+@pytest.mark.parametrize(
+    "scorer", SCORERS, ids=[type(s).__name__ for s in SCORERS]
+)
+def test_matrix_quantized_int4(tiny, wname, wrap, scorer):
+    """The reference integration bar runs every press over QuantizedCache
+    too (tests/integration/test_ruler.py): every scorer (+ AdaKV wrapper)
+    must compress and decode over the packed-int4 cache — presses score the
+    dense values (storage-only quantization), storage stays payload-width."""
+    cfg, params, runner, ids = tiny
+    press = wrap(scorer)
+    _, cache, _ = runner.prefill(
+        params, ids, press=press, dtype=jnp.float32, quantized=True, kv_bits=4
+    )
+    assert cache.keys.dtype == jnp.uint8
+    lengths = np.asarray(cache.length)
+    assert (lengths >= 1).all() and (lengths <= S).all()
+    logits, cache2, _ = runner.forward(
+        params, ids[:, -1:], cache, logits_last_only=True
+    )
+    assert np.isfinite(np.asarray(logits)).all()
+    assert (np.asarray(cache2.length) == lengths + 1).all()
