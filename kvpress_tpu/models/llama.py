@@ -220,6 +220,15 @@ class Runner:
 
         prior_len = cache_layer["length"]
         quantized = cache_layer.get("key_scales") is not None
+        # DecodingPress-family presses compress the payload buffers directly
+        # (dequant only inside their interval cond) — the dense buffer never
+        # needs to exist for them (see decode_compress_quantized).
+        quant_press_decode = (
+            quantized
+            and apply_press
+            and phase == "decode"
+            and getattr(press, "supports_quantized_decode", False)
+        )
 
         scale = (
             cfg.query_pre_attn_scalar ** -0.5
@@ -282,9 +291,10 @@ class Runner:
             )
             new_len = prior_len + T
             needs_dense = (
-                apply_press
+                (apply_press and not quant_press_decode)
                 or return_probs
-                or (self.attn_impl == "flash" and T > 1 and not use_decode_kernel)
+                or (self.attn_impl == "flash" and T > 1
+                    and not use_decode_kernel)
             )
             if needs_dense:
                 keys = dequantize_kv(qkeys, key_scales, kv_bits, x.dtype)
@@ -446,6 +456,15 @@ class Runner:
                 keys = jax.lax.dynamic_update_slice_in_dim(keys, nk, 0, axis=2)
                 values = jax.lax.dynamic_update_slice_in_dim(values, nv, 0, axis=2)
                 new_mask = jax.lax.dynamic_update_slice_in_dim(mask, nmask, 0, axis=2)
+            elif quant_press_decode:
+                # Payload-width decode compression: the press gathers the
+                # int8/int4 payloads + scales directly; dense K/V are built
+                # only inside its interval cond (for scoring).
+                (qkeys, qvalues, key_scales, value_scales, nlen, new_mask,
+                 new_state) = press.decode_compress_quantized(
+                    ctx, qkeys, qvalues, key_scales, value_scales, kv_bits,
+                    new_len, mask, press_state,
+                )
             else:
                 # Decode-time: press sees the full padded buffers + traced
                 # length (reference DecodingPress hook, decoding_press.py:113-179).
@@ -460,14 +479,15 @@ class Runner:
             new_len = nlen
 
         if quantized:
-            if apply_press:
-                # Press moved/merged entries: requantize the buffers.
+            if apply_press and not quant_press_decode:
+                # Press moved/merged entries in the DENSE buffer: requantize.
                 qkeys2, key_scales = quantize_kv(keys, kv_bits)
                 qvalues2, value_scales = quantize_kv(values, kv_bits)
                 out_keys, out_values = qkeys2, qvalues2
             else:
-                # No press: keep the exact payloads written at append time
-                # (avoids int8→f32→int8 drift during plain decode).
+                # No press, or a payload-width decode press: keep the exact
+                # payloads (no int8→f32→int8 drift; decode_compress_quantized
+                # already updated qkeys/qvalues/scales in place).
                 out_keys, out_values = qkeys, qvalues
             out_scales = dict(key_scales=key_scales, value_scales=value_scales)
         else:

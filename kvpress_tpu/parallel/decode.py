@@ -267,9 +267,19 @@ def _local_decode(
                 cfg=cfg,
                 attention_scaling=runner.attention_scaling,
             )
-            k_loc, v_loc, length_n, mask_n, nstate = press.decode_compress(
-                ctx, k_loc, v_loc, length_n, mask_n, pstate, sync_state=True
-            )
+            if quantized:
+                # Payload-width shard-local compression: dequant only inside
+                # the press's interval cond; kept payloads + scales ride the
+                # same top-k gather (decode_compress_quantized).
+                (k_loc, v_loc, ks_l, vs_l, length_n, mask_n,
+                 nstate) = press.decode_compress_quantized(
+                    ctx, k_loc, v_loc, ks_l, vs_l, kv_bits, length_n, mask_n,
+                    pstate, sync_state=True,
+                )
+            else:
+                k_loc, v_loc, length_n, mask_n, nstate = press.decode_compress(
+                    ctx, k_loc, v_loc, length_n, mask_n, pstate, sync_state=True
+                )
         if quantized:
             return xh, (k_loc, v_loc, length_n, mask_n, overflow, nstate,
                         ks_l, vs_l)
@@ -277,10 +287,11 @@ def _local_decode(
 
     layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
     if quantized:
-        assert press is None, (
-            "decode-phase presses over quantized shards are not supported "
-            "(they score/gather bf16 keys) — decode bf16, or compress in "
-            "prefill only"
+        assert press is None or getattr(
+            press, "supports_quantized_decode", False
+        ), (
+            "this decode-phase press needs dense buffers every step (e.g. "
+            "CAM) — decode bf16, or use a DecodingPress-family press"
         )
         key_scales, value_scales = scales
         x, (keys, values, lengths, masks, overflows, press_state,
@@ -352,7 +363,9 @@ def context_parallel_decode_step(
     Quantized shards (the 6-tuple from ``context_parallel_prefill(...,
     quantized=True)``) decode with payload-width HBM reads on every shard
     (int8 / packed-int4 detected from the payload dtype); appends are
-    quantized in place. Not composable with ``press``."""
+    quantized in place. DecodingPress-family presses compose via
+    ``decode_compress_quantized`` (payload-width gather; dense K/V built only
+    inside the interval cond); dense-per-step presses (CAM) are rejected."""
     if len(shards) == 6:
         keys, values, lengths, masks, key_scales, value_scales = shards
         scales = (key_scales, value_scales)
@@ -628,10 +641,6 @@ def context_parallel_generate(
     pipeline's uncompressed-question decode contract)."""
     from .context_prefill import context_parallel_prefill
 
-    if quantized:
-        assert decode_press is None, (
-            "decode-phase presses over quantized shards are unsupported"
-        )
     shards = context_parallel_prefill(
         params, ids, runner=runner, press=press, mesh=mesh,
         axis=axis, model_axis=model_axis, quantized=quantized, kv_bits=kv_bits,

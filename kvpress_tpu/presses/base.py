@@ -77,6 +77,9 @@ class BasePress:
     # base_press.py:37-40 / decoding_press.py:129-131).
     compresses_prefill = True
     compresses_decode = False
+    # True when the press implements decode_compress_quantized (payload-width
+    # decode compression over int8/int4 buffers — DecodingPress family).
+    supports_quantized_decode = False
 
     def wants_probs(self, q_len: int) -> bool:
         """Whether the runner should use the probs-materializing (O(S²)

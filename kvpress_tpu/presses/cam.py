@@ -30,6 +30,11 @@ class CAMPress(DecodingPress):
     merge_budget: int = 32
     seed: int = 0
 
+    # CAM accumulates the current token's attention over DENSE keys every
+    # step and merges evicted values — it needs the dequantized buffer, so
+    # the payload-width decode-compress path does not apply.
+    supports_quantized_decode = False
+
     def __post_init__(self):
         super().__post_init__()
         assert self.merge_budget > 0

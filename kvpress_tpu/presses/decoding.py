@@ -47,6 +47,9 @@ class DecodingPress(BasePress):
 
     compresses_prefill = False
     compresses_decode = True
+    # decode_compress_quantized: compression gathers int8/int4 payloads
+    # directly (scales ride the top-k gather) — no per-step dequant buffer.
+    supports_quantized_decode = True
 
     def __post_init__(self):
         assert self.base_press is not None
@@ -76,18 +79,13 @@ class DecodingPress(BasePress):
 
     # ---------------------------------------------------------------------- #
 
-    def decode_compress(self, ctx, keys, values, length, mask, state=None,
-                        sync_state=False):
-        """``sync_state=True`` (distributed decode, parallel/decode.py) resets
-        the step/buffer counters on every interval hit regardless of whether
-        THIS shard compressed — state stays bit-identical across shards, so
-        it can be carried replicated through the shard_map."""
+    def _advance(self, ctx, state, length, S):
+        """Shared per-step bookkeeping: ring-buffer append of this call's
+        hidden states + interval counters. Returns
+        (buf, buf_len, steps, do, interval_hit, n_top, target)."""
         T = ctx.hidden.shape[1]
-        S = keys.shape[2]
         buf = state["buffer"]
         buf_size = buf.shape[1]
-
-        # Ring-buffer append of this call's T hidden states.
         if T >= buf_size:
             buf = ctx.hidden[:, -buf_size:].astype(buf.dtype)
         else:
@@ -96,25 +94,48 @@ class DecodingPress(BasePress):
             )
         buf_len = jnp.minimum(state["buf_len"] + T, buf_size)
         steps = state["steps"] + 1
-
         n_top = min(self.target_bound(ctx, buf_size), S)
         target = self.target_value(ctx, length)
         interval_hit = steps >= self.compression_interval
         do = interval_hit & (length > target)
+        return buf, buf_len, steps, do, interval_hit, n_top, target
+
+    def _score_buffer(self, ctx, buf, keys, values, length):
+        """Score the cache against the buffered hidden window."""
+        buf_size = buf.shape[1]
+        S = keys.shape[2]
+        last_pos = ctx.positions[:, -1:]                      # (B, 1)
+        buf_positions = last_pos - jnp.arange(
+            buf_size - 1, -1, -1, dtype=jnp.int32
+        )[None]
+        dctx = dataclasses.replace(
+            ctx, hidden=buf, positions=buf_positions, kv_len=length,
+            attn_probs=None,
+        )
+        scores = self.score_dynamic(dctx, keys, values, length).astype(jnp.float32)
+        valid = jnp.arange(S)[None, None] < length
+        return jnp.where(valid, scores, NEG_INF)
+
+    def _finish_state(self, buf, buf_len, steps, do, interval_hit, sync_state):
+        reset = interval_hit if sync_state else do
+        steps = jnp.where(reset, 0, steps)
+        buf_len = jnp.where(reset, 0, buf_len)
+        return {"buffer": buf, "buf_len": buf_len, "steps": steps}
+
+    def decode_compress(self, ctx, keys, values, length, mask, state=None,
+                        sync_state=False):
+        """``sync_state=True`` (distributed decode, parallel/decode.py) resets
+        the step/buffer counters on every interval hit regardless of whether
+        THIS shard compressed — state stays bit-identical across shards, so
+        it can be carried replicated through the shard_map."""
+        S = keys.shape[2]
+        buf, buf_len, steps, do, interval_hit, n_top, target = self._advance(
+            ctx, state, length, S
+        )
 
         def compress(args):
             keys, values, mask = args
-            last_pos = ctx.positions[:, -1:]                      # (B, 1)
-            buf_positions = last_pos - jnp.arange(
-                buf_size - 1, -1, -1, dtype=jnp.int32
-            )[None]
-            dctx = dataclasses.replace(
-                ctx, hidden=buf, positions=buf_positions, kv_len=length,
-                attn_probs=None,
-            )
-            scores = self.score_dynamic(dctx, keys, values, length).astype(jnp.float32)
-            valid = jnp.arange(S)[None, None] < length
-            scores = jnp.where(valid, scores, NEG_INF)
+            scores = self._score_buffer(ctx, buf, keys, values, length)
             k2, v2, _ = topk_keep(scores, keys, values, n_top)
             B, H = keys.shape[:2]
             return k2, v2, jnp.minimum(target, n_top), jnp.ones((B, H, S), bool)
@@ -126,11 +147,57 @@ class DecodingPress(BasePress):
         keys, values, new_len, mask = jax.lax.cond(
             do, compress, skip, (keys, values, mask)
         )
-        reset = interval_hit if sync_state else do
-        steps = jnp.where(reset, 0, steps)
-        buf_len = jnp.where(reset, 0, buf_len)
-        new_state = {"buffer": buf, "buf_len": buf_len, "steps": steps}
+        new_state = self._finish_state(buf, buf_len, steps, do, interval_hit,
+                                       sync_state)
         return keys, values, new_len, mask, new_state
+
+    def decode_compress_quantized(self, ctx, keys, values, key_scales,
+                                  value_scales, kv_bits, length, mask,
+                                  state=None, sync_state=False):
+        """Decode-phase compression over int8/packed-int4 payload buffers
+        (``cache.quantize_kv`` layout: per-(token, head) scales).
+
+        The key property: compression never round-trips the payload. Scoring
+        needs dense keys/values, so they are dequantized ONLY inside the
+        interval ``cond`` (amortized over ``compression_interval`` steps);
+        the kept entries are then gathered at payload width — the per-token
+        scales ride the same top-k gather — so no requantization happens and
+        compression adds zero extra quantization error. This is what makes
+        decode presses composable with the quantized cache (reference quanto
+        interplay, base_press.py:152-157, done without the per-step
+        full-buffer dequant)."""
+        from ..cache import dequantize_kv
+
+        S = keys.shape[2]
+        buf, buf_len, steps, do, interval_hit, n_top, target = self._advance(
+            ctx, state, length, S
+        )
+
+        def compress(args):
+            keys, values, key_scales, value_scales, mask = args
+            dt = ctx.hidden.dtype
+            k_bf = dequantize_kv(keys, key_scales, kv_bits, dt)
+            v_bf = dequantize_kv(values, value_scales, kv_bits, dt)
+            scores = self._score_buffer(ctx, buf, k_bf, v_bf, length)
+            k2, v2, idx = topk_keep(scores, keys, values, n_top)
+            ks2 = jnp.take_along_axis(key_scales, idx[..., None], axis=2)
+            vs2 = jnp.take_along_axis(value_scales, idx[..., None], axis=2)
+            ks2 = jax.lax.dynamic_update_slice_in_dim(key_scales, ks2, 0, axis=2)
+            vs2 = jax.lax.dynamic_update_slice_in_dim(value_scales, vs2, 0, axis=2)
+            B, H = keys.shape[:2]
+            return (k2, v2, ks2, vs2, jnp.minimum(target, n_top),
+                    jnp.ones((B, H, S), bool))
+
+        def skip(args):
+            keys, values, key_scales, value_scales, mask = args
+            return keys, values, key_scales, value_scales, length, mask
+
+        keys, values, key_scales, value_scales, new_len, mask = jax.lax.cond(
+            do, compress, skip, (keys, values, key_scales, value_scales, mask)
+        )
+        new_state = self._finish_state(buf, buf_len, steps, do, interval_hit,
+                                       sync_state)
+        return keys, values, key_scales, value_scales, new_len, mask, new_state
 
     def score_dynamic(self, dctx: LayerCtx, keys, values, length) -> jax.Array:
         """Score with the base press against a traced valid length. Content
@@ -204,4 +271,20 @@ class PrefillDecodingPress(BasePress):
             return keys, values, length, mask, state
         return self.decoding_press.decode_compress(
             ctx, keys, values, length, mask, state
+        )
+
+    @property
+    def supports_quantized_decode(self):  # type: ignore[override]
+        return (self.decoding_press is None
+                or self.decoding_press.supports_quantized_decode)
+
+    def decode_compress_quantized(self, ctx, keys, values, key_scales,
+                                  value_scales, kv_bits, length, mask,
+                                  state=None, sync_state=False):
+        if self.decoding_press is None:
+            return (keys, values, key_scales, value_scales, length, mask,
+                    state)
+        return self.decoding_press.decode_compress_quantized(
+            ctx, keys, values, key_scales, value_scales, kv_bits, length,
+            mask, state, sync_state=sync_state,
         )

@@ -322,6 +322,74 @@ def test_distributed_decode_press(setup):
     assert (lengths <= 24 + 4).all(), lengths
 
 
+def test_distributed_decode_press_quantized(setup):
+    """DecodingPress over int8/int4 KV shards: shard-local payload-width
+    compression (decode_compress_quantized). A never-binding target leaves
+    generation bit-identical to pressless quantized decode; a real target
+    bounds every shard's length."""
+    from kvpress_tpu.parallel.decode import (
+        context_parallel_decode_step, grow_shards,
+    )
+    from kvpress_tpu.presses import DecodingPress
+
+    cfg, params, runner, ids, _ = setup
+    mesh2 = Mesh(np.array(jax.devices()[:2]), axis_names=("seq",))
+
+    def generate(decode_press, kv_bits, n=10):
+        shards = context_parallel_prefill(
+            params, ids, runner=runner, press=None, mesh=mesh2,
+            quantized=True, kv_bits=kv_bits,
+        )
+        shards = grow_shards(shards, 2, 16)
+        offset = jnp.asarray(S, jnp.int32)
+        tok = ids[:, -1:]
+        dstate = (
+            decode_press.init_state(runner.cfg, ids.shape[0], 1)
+            if decode_press is not None else None
+        )
+        toks = []
+        for _ in range(n):
+            lg, shards, offset, ovf, dstate = context_parallel_decode_step(
+                params, tok, shards, offset, runner=runner, mesh=mesh2,
+                press=decode_press, press_state=dstate,
+            )
+            assert int(ovf) == 0
+            tok = jnp.argmax(lg[:, -1:], axis=-1).astype(jnp.int32)
+            toks.append(int(tok[0, 0]))
+        return toks, np.asarray(shards[2]).reshape(2, cfg.num_layers)
+
+    for kv_bits in (8, 4):
+        base, _ = generate(None, kv_bits)
+        noop = DecodingPress(
+            base_press=KnormPress(), compression_interval=3, target_size=512,
+            hidden_states_buffer_size=4,
+        )
+        same, _ = generate(noop, kv_bits)
+        assert same == base, kv_bits
+
+        press = DecodingPress(
+            base_press=KnormPress(), compression_interval=4, target_size=24,
+            hidden_states_buffer_size=4,
+        )
+        toks, lengths = generate(press, kv_bits)
+        assert all(np.isfinite(t) for t in toks)
+        assert (lengths <= 24 + 4).all(), lengths
+
+
+def test_distributed_decode_press_quantized_rejects_cam(setup):
+    from kvpress_tpu.parallel.decode import context_parallel_generate
+    from kvpress_tpu.presses import CAMPress
+
+    cfg, params, runner, ids, mesh = setup
+    cam = CAMPress(base_press=KnormPress(), compression_interval=4,
+                   target_size=24, hidden_states_buffer_size=4)
+    with pytest.raises(AssertionError, match="dense buffers"):
+        context_parallel_generate(
+            params, ids, runner=runner, mesh=mesh, decode_press=cam,
+            quantized=True, max_new_tokens=4,
+        )
+
+
 def test_fused_generate_matches_host_loop(setup):
     """context_parallel_generate(fused=True): the whole token loop in one
     dispatch (lax.scan inside the shard_map) equals the host loop token for
