@@ -431,6 +431,11 @@ class Runner:
         new_mask = mask
         new_state = press_state
         if apply_press:
+            # Pre-press buffers, restored on sliding-window layers below.
+            pk, pv = keys, values
+            if quantized:
+                pqk, pqv = qkeys, qvalues
+                pks, pvs = key_scales, value_scales
             ctx = LayerCtx(
                 layer_idx=layer_idx,
                 hidden=h,
@@ -472,10 +477,21 @@ class Runner:
                     ctx, keys, values, new_len, mask, press_state
                 )
             # Sliding-window (local) layers are never compressed
-            # (reference base_press.py:195-200 skips them).
+            # (reference base_press.py:195-200 skips them) — restore length,
+            # mask AND buffer contents (the press gathered kept entries to
+            # the buffer front; with the full length restored those slots
+            # must hold the original keys, not the gathered subset).
             if cfg.sliding_window is not None:
                 nlen = jnp.where(sliding_flag, new_len, nlen)
                 new_mask = jnp.where(sliding_flag, mask, new_mask)
+                if keys is not None:
+                    keys = jnp.where(sliding_flag, pk, keys)
+                    values = jnp.where(sliding_flag, pv, values)
+                if quantized and quant_press_decode:
+                    qkeys = jnp.where(sliding_flag, pqk, qkeys)
+                    qvalues = jnp.where(sliding_flag, pqv, qvalues)
+                    key_scales = jnp.where(sliding_flag, pks, key_scales)
+                    value_scales = jnp.where(sliding_flag, pvs, value_scales)
             new_len = nlen
 
         if quantized:
@@ -483,6 +499,13 @@ class Runner:
                 # Press moved/merged entries in the DENSE buffer: requantize.
                 qkeys2, key_scales = quantize_kv(keys, kv_bits)
                 qvalues2, value_scales = quantize_kv(values, kv_bits)
+                if cfg.sliding_window is not None:
+                    # Sliding layers: keep the exact append-time payloads
+                    # (no requant drift for untouched buffers).
+                    qkeys2 = jnp.where(sliding_flag, pqk, qkeys2)
+                    qvalues2 = jnp.where(sliding_flag, pqv, qvalues2)
+                    key_scales = jnp.where(sliding_flag, pks, key_scales)
+                    value_scales = jnp.where(sliding_flag, pvs, value_scales)
                 out_keys, out_values = qkeys2, qvalues2
             else:
                 # No press, or a payload-width decode press: keep the exact

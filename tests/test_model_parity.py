@@ -174,6 +174,57 @@ def test_gemma3_sliding_layers_not_compressed():
         assert lengths[i] == (24 if sliding else 12), (i, lengths)
 
 
+def test_sliding_layer_buffers_untouched_by_press():
+    """Regression: a prefill press must leave sliding-layer KV CONTENT
+    identical to the pressless prefill, not just restore length/mask — the
+    press's gather-to-front would otherwise scramble the buffer front while
+    the full length is restored."""
+    import jax
+
+    import kvpress_tpu as kp
+
+    cfg = kp.tiny_config(num_layers=4, sliding_window=8,
+                         layer_is_sliding=tuple(i % 2 == 0 for i in range(4)))
+    params = kp.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    runner = Runner.create(cfg)
+    ids = jnp.asarray(np.random.default_rng(1).integers(1, 256, (1, 24)))
+    _, plain, _ = runner.prefill(params, ids, dtype=jnp.float32)
+    _, pressed, _ = runner.prefill(
+        params, ids, press=kp.KnormPress(compression_ratio=0.5),
+        dtype=jnp.float32,
+    )
+    for i, sliding in enumerate(cfg.layer_is_sliding):
+        if sliding:
+            np.testing.assert_array_equal(
+                np.asarray(pressed.keys[i]), np.asarray(plain.keys[i]), str(i)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(pressed.values[i]), np.asarray(plain.values[i])
+            )
+
+    # quantized cache: sliding layers keep the exact append-time payloads.
+    # Baseline = identity press (BasePress), so both runs use the same
+    # attention semantics (press runs attend the fresh bf16 current block;
+    # pressless quantized prefill attends the payloads).
+    from kvpress_tpu.presses.base import BasePress
+
+    _, qplain, _ = runner.prefill(params, ids, press=BasePress(),
+                                  dtype=jnp.float32, quantized=True, kv_bits=8)
+    _, qpressed, _ = runner.prefill(
+        params, ids, press=kp.KnormPress(compression_ratio=0.5),
+        dtype=jnp.float32, quantized=True, kv_bits=8,
+    )
+    for i, sliding in enumerate(cfg.layer_is_sliding):
+        if sliding:
+            np.testing.assert_array_equal(
+                np.asarray(qpressed.keys[i]), np.asarray(qplain.keys[i])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(qpressed.key_scales[i]),
+                np.asarray(qplain.key_scales[i]),
+            )
+
+
 @pytest.mark.parametrize("scaling", [
     {"rope_type": "yarn", "factor": 2.0, "original_max_position_embeddings": 64},
     {"rope_type": "llama3", "factor": 2.0, "low_freq_factor": 1.0,
