@@ -63,13 +63,23 @@ def _local_forward(
         x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
 
     layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+    sflags = jnp.asarray(cfg.sliding_flags())
+    window = cfg.sliding_window
 
     def body(carry, xs):
         xh = carry
         layer, lid = xs
+        sliding_flag = sflags[lid]
         h = rms_norm(xh, layer["ln1"], cfg.rms_norm_eps, cfg.rms_one_offset)
         q_pre, k_pre, v = _project_qkv(layer, cfg, h)
         cos, sin = rope_cos_sin(inv_freq, positions, runner.attention_scaling)
+        if cfg.rope_local_base_freq is not None:
+            # Gemma3: sliding layers rotate at the local base frequency.
+            cos_l, sin_l = rope_cos_sin(
+                runner.inv_freq_local(), positions, 1.0
+            )
+            cos = jnp.where(sliding_flag, cos_l, cos)
+            sin = jnp.where(sliding_flag, sin_l, sin)
         cos, sin = cos[:, None], sin[:, None]
         q = apply_rope(q_pre, cos, sin)
         k = apply_rope(k_pre, cos, sin)
@@ -80,10 +90,12 @@ def _local_forward(
             attn_out = ring_flash_self_attention(
                 q, k, v, axis_name=axis_name, sm_scale=scale,
                 softcap=cfg.logit_softcap,
+                window=window, window_active=sliding_flag,
             )
         else:
             attn_out = ring_self_attention(
-                q, k, v, axis_name=axis_name, sm_scale=scale
+                q, k, v, axis_name=axis_name, sm_scale=scale,
+                window=window, window_active=sliding_flag,
             )
 
         keys, values = k, v
@@ -106,6 +118,20 @@ def _local_forward(
             keys, values, length, mask, _ = press.layer_compress(
                 ctx, keys, values, length, mask, None
             )
+            if window is not None:
+                # Sliding layers are never compressed (reference
+                # base_press.py:195-200): restore contents, length AND mask —
+                # the distributed decode relies on slot==position on sliding
+                # layers for its window test (parallel/decode.py).
+                keys = jnp.where(sliding_flag, k, keys)
+                values = jnp.where(sliding_flag, v, values)
+                length = jnp.where(
+                    sliding_flag, jnp.asarray(Sl, jnp.int32), length
+                )
+                mask = jnp.where(
+                    sliding_flag, jnp.ones((B, cfg.num_kv_heads, Sl), bool),
+                    mask,
+                )
 
         o = _lin(attn_out.transpose(0, 2, 1, 3).reshape(B, Sl, -1), layer, "wo")
         if model_axis is not None:
@@ -174,12 +200,6 @@ def context_parallel_prefill(
     for the prefill and payload-width HBM reads for decode."""
     model_size = mesh.shape[model_axis] if model_axis is not None else 1
     mp = model_axis
-    assert runner.cfg.sliding_window is None and \
-        runner.cfg.rope_local_base_freq is None, (
-            "context-parallel paths do not implement sliding-window layers / "
-            "local RoPE (Gemma3-style) — use the single-device Runner or a "
-            "(data, model) mesh for those models"
-        )
 
     from .mesh import layer_param_specs
 

@@ -41,6 +41,8 @@ def _local_decode(
     offset: jax.Array,                 # () int32 — logical position of tok
     press_state,                       # per-layer press state pytree (or dummy)
     scales=None,                       # (key_scales, value_scales) if quantized
+    shard_len0=None,                   # () int32 per-shard PREFILL length —
+    #                                    needed by sliding-window layers only
     runner: Runner = None,
     axis_name: str = "seq",
     model_axis: Optional[str] = None,
@@ -73,6 +75,15 @@ def _local_decode(
     G = cfg.num_heads // cfg.num_kv_heads
     Sl = keys.shape[3]
     Hq, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    window = cfg.sliding_window
+    sflags = jnp.asarray(cfg.sliding_flags())
+    if window is not None:
+        # Sliding layers are never compressed and appends land on the last
+        # shard's contiguous tail, so slot → global position is just
+        # idx*shard_len0 + slot on every shard (see context_parallel_
+        # decode_step docstring).
+        slot_pos = idx * shard_len0 + jnp.arange(Sl, dtype=jnp.int32)
 
     def _cols(w, n):
         c = w.shape[-1] // n
@@ -127,7 +138,14 @@ def _local_decode(
             v = jax.lax.all_gather(v, axis_name, axis=1, tiled=True)
         else:
             q_pre, k_pre, v = _project_qkv(layer, cfg, h)
+        sliding_flag = sflags[lid]
         cos, sin = rope_cos_sin(inv_freq, positions, runner.attention_scaling)
+        if cfg.rope_local_base_freq is not None:
+            cos_l, sin_l = rope_cos_sin(
+                runner.inv_freq_local(), positions, 1.0
+            )
+            cos = jnp.where(sliding_flag, cos_l, cos)
+            sin = jnp.where(sliding_flag, sin_l, sin)
         cos, sin = cos[:, None], sin[:, None]
         q = apply_rope(q_pre, cos, sin)                     # (B, Hq, 1, D)
         k_new = apply_rope(k_pre, cos, sin)                 # (B, Hkv, 1, D)
@@ -187,6 +205,11 @@ def _local_decode(
         if cfg.logit_softcap is not None:
             s = jnp.tanh(s / cfg.logit_softcap) * cfg.logit_softcap
         valid = mask_n & (jnp.arange(Sl)[None, None] < length_n)
+        if window is not None:
+            # Sliding layers: only keys within `window` positions of the
+            # current token (global position = offset) are attendable.
+            in_win = slot_pos[None, None] > offset - window
+            valid = valid & (~sliding_flag | in_win)
         s = jnp.where(valid[:, :, None], s, NEG_INF)
         m_s = jnp.max(s, axis=-1)                            # (B, Hkv, G)
         m_g = jax.lax.pmax(m_s, axis_name)
@@ -247,6 +270,12 @@ def _local_decode(
         xh = xh + mlp
 
         nstate = pstate
+        if press is not None and window is not None:
+            # Sliding layers are never compressed (the slot→position map
+            # relies on it) — save the pre-press buffers for the restore.
+            pk_loc, pv_loc, plen, pmask = k_loc, v_loc, length_n, mask_n
+            if quantized:
+                pks_l, pvs_l = ks_l, vs_l
         if press is not None:
             # Shard-local decode-phase compression (reference DecodingPress,
             # decoding_press.py — here each shard compresses ITS slice, so
@@ -280,6 +309,14 @@ def _local_decode(
                 k_loc, v_loc, length_n, mask_n, nstate = press.decode_compress(
                     ctx, k_loc, v_loc, length_n, mask_n, pstate, sync_state=True
                 )
+            if window is not None:
+                k_loc = jnp.where(sliding_flag, pk_loc, k_loc)
+                v_loc = jnp.where(sliding_flag, pv_loc, v_loc)
+                length_n = jnp.where(sliding_flag, plen, length_n)
+                mask_n = jnp.where(sliding_flag, pmask, mask_n)
+                if quantized:
+                    ks_l = jnp.where(sliding_flag, pks_l, ks_l)
+                    vs_l = jnp.where(sliding_flag, pvs_l, vs_l)
         if quantized:
             return xh, (k_loc, v_loc, length_n, mask_n, overflow, nstate,
                         ks_l, vs_l)
@@ -334,6 +371,7 @@ def context_parallel_decode_step(
     model_axis: Optional[str] = None,
     press=None,                         # DecodingPress-family: shard-local
     press_state=None,                   # press.init_state(cfg, B, 1) pytree
+    prefill_shard_len=None,             # () int32 — required for sliding-window
 ):
     """One decode step against sequence-sharded KV. Returns
     (logits (B, 1, V), updated shards, offset+1, overflow () int32). Pair
@@ -365,7 +403,13 @@ def context_parallel_decode_step(
     (int8 / packed-int4 detected from the payload dtype); appends are
     quantized in place. DecodingPress-family presses compose via
     ``decode_compress_quantized`` (payload-width gather; dense K/V built only
-    inside the interval cond); dense-per-step presses (CAM) are rejected."""
+    inside the interval cond); dense-per-step presses (CAM) are rejected.
+
+    Sliding-window models (Gemma3): pass ``prefill_shard_len`` = the
+    per-shard PREFILL sequence length (S // n_seq). Sliding layers are never
+    compressed and appends land on the last shard's contiguous tail, so each
+    key's global position is ``shard_idx * prefill_shard_len + slot`` — the
+    window test needs no stored position array."""
     if len(shards) == 6:
         keys, values, lengths, masks, key_scales, value_scales = shards
         scales = (key_scales, value_scales)
@@ -374,11 +418,14 @@ def context_parallel_decode_step(
         keys, values, lengths, masks = shards
         scales = None
         kv_bits = 8
-    assert runner.cfg.sliding_window is None and \
-        runner.cfg.rope_local_base_freq is None, (
-            "distributed decode does not implement sliding-window layers / "
-            "local RoPE (Gemma3-style)"
+    if runner.cfg.sliding_window is not None:
+        assert prefill_shard_len is not None, (
+            "sliding-window models need prefill_shard_len (= prefill S // "
+            "n_seq) to map shard slots to global positions"
         )
+        psl = jnp.asarray(prefill_shard_len, jnp.int32)
+    else:
+        psl = jnp.asarray(0, jnp.int32)
     model_size = mesh.shape[model_axis] if model_axis is not None else 1
     mp = model_axis
     cfg = runner.cfg
@@ -422,13 +469,14 @@ def context_parallel_decode_step(
         ),
         mesh=mesh,
         in_specs=(params_spec, P(), kv_spec, kv_spec, len_spec, mask_spec,
-                  P(), state_spec, scales_spec),
+                  P(), state_spec, scales_spec, P()),
         out_specs=(P(), kv_spec, kv_spec, len_spec, mask_spec, P(), state_spec,
                    scales_spec),
         check_vma=False,
     )
     logits, keys, values, lengths, masks, overflow, press_state, scales = fn(
-        params, tok, keys, values, lengths, masks, offset, press_state, scales
+        params, tok, keys, values, lengths, masks, offset, press_state, scales,
+        psl,
     )
     out_shards = (
         (keys, values, lengths, masks) if scales is None
@@ -456,6 +504,7 @@ def context_parallel_generate_fused(
     press_state=None,
     max_new_tokens: int = 32,
     eos_id: Optional[int] = None,
+    prefill_shard_len=None,
 ):
     """Greedy-decode ``max_new_tokens`` in ONE dispatch: the per-token loop is
     a ``lax.scan`` *inside* the shard_map, so the host issues a single program
@@ -477,11 +526,14 @@ def context_parallel_generate_fused(
         keys, values, lengths, masks = shards
         scales = None
         kv_bits = 8
-    assert runner.cfg.sliding_window is None and \
-        runner.cfg.rope_local_base_freq is None, (
-            "distributed decode does not implement sliding-window layers / "
-            "local RoPE (Gemma3-style)"
+    if runner.cfg.sliding_window is not None:
+        assert prefill_shard_len is not None, (
+            "sliding-window models need prefill_shard_len (= prefill S // "
+            "n_seq) to map shard slots to global positions"
         )
+        psl = jnp.asarray(prefill_shard_len, jnp.int32)
+    else:
+        psl = jnp.asarray(0, jnp.int32)
     model_size = mesh.shape[model_axis] if model_axis is not None else 1
     mp = model_axis
     cfg = runner.cfg
@@ -516,12 +568,14 @@ def context_parallel_generate_fused(
     state_spec = jax.tree_util.tree_map(lambda _: P(), press_state)
     scales_spec = None if scales is None else (kv_spec, kv_spec)
 
-    def local(params, tok, keys, values, lengths, masks, offset, pstate, scs):
+    def local(params, tok, keys, values, lengths, masks, offset, pstate, scs,
+              psl):
         def step(carry, _):
             tok, keys, values, lengths, masks, off, pstate, done, scs = carry
             (logits, keys, values, lengths, masks, ovf, pstate,
              scs) = _local_decode(
                 params, tok, keys, values, lengths, masks, off, pstate, scs,
+                psl,
                 runner=runner, axis_name=axis, model_axis=model_axis,
                 model_size=model_size, seq_tp=seq_tp, press=press,
                 kv_bits=kv_bits,
@@ -547,14 +601,15 @@ def context_parallel_generate_fused(
         local,
         mesh=mesh,
         in_specs=(params_spec, P(), kv_spec, kv_spec, len_spec, mask_spec,
-                  P(), state_spec, scales_spec),
+                  P(), state_spec, scales_spec, P()),
         out_specs=(P(), kv_spec, kv_spec, len_spec, mask_spec, P(), P(),
                    state_spec, scales_spec),
         check_vma=False,
     )
     (toks, keys, values, lengths, masks, offset, overflow, press_state,
      scales) = fn(
-        params, tok, keys, values, lengths, masks, offset, press_state, scales
+        params, tok, keys, values, lengths, masks, offset, press_state, scales,
+        psl,
     )
     out_shards = (
         (keys, values, lengths, masks) if scales is None
@@ -650,6 +705,7 @@ def context_parallel_generate(
     tok = ids[:, -1:]
     out = []
     n_seq = mesh.shape[axis]
+    psl = jnp.asarray(S // n_seq, jnp.int32)
     dstate = (
         decode_press.init_state(runner.cfg, ids.shape[0], 1)
         if decode_press is not None else None
@@ -661,6 +717,7 @@ def context_parallel_generate(
             runner=runner, mesh=mesh, axis=axis, model_axis=model_axis,
             press=decode_press, press_state=dstate,
             max_new_tokens=max_new_tokens, eos_id=eos_id,
+            prefill_shard_len=psl,
         )
         assert not int(overflow)
         if eos_id is not None:
@@ -675,7 +732,7 @@ def context_parallel_generate(
         logits, shards, offset2, overflow, dstate = context_parallel_decode_step(
             params, tok, shards, offset,
             runner=runner, mesh=mesh, axis=axis, model_axis=model_axis,
-            press=decode_press, press_state=dstate,
+            press=decode_press, press_state=dstate, prefill_shard_len=psl,
         )
         if int(overflow):
             # Tail buffer exhausted: the step neither stored the token's K/V
@@ -684,7 +741,7 @@ def context_parallel_generate(
             logits, shards, offset2, overflow, dstate = context_parallel_decode_step(
                 params, tok, shards, offset,
                 runner=runner, mesh=mesh, axis=axis, model_axis=model_axis,
-                press=decode_press, press_state=dstate,
+                press=decode_press, press_state=dstate, prefill_shard_len=psl,
             )
             assert not int(overflow)
         offset = offset2

@@ -19,7 +19,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 NEG_INF = -2.0e38
 
 
-def _block_attend(q, k, v, scale, q_start, k_start, causal):
+def _block_attend(q, k, v, scale, q_start, k_start, causal,
+                  window=None, window_active=None):
     """One (local-q × remote-k) block: returns (unnormalized acc, m, l)."""
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     s = s * scale
@@ -27,7 +28,15 @@ def _block_attend(q, k, v, scale, q_start, k_start, causal):
         Sq, Sk = q.shape[2], k.shape[2]
         rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (Sq, Sk), 0)
         cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (Sq, Sk), 1)
-        s = jnp.where(cols <= rows, s, NEG_INF)
+        allowed = cols <= rows
+        if window is not None:
+            # Sliding window over GLOBAL positions; window_active (traced
+            # bool, e.g. the layer's sliding flag) gates it at run time.
+            in_win = cols > rows - window
+            if window_active is not None:
+                in_win = in_win | ~window_active
+            allowed = allowed & in_win
+        s = jnp.where(allowed, s, NEG_INF)
     m = jnp.max(s, axis=-1)                                  # (B,H,Sq)
     p = jnp.exp(s - m[..., None])
     l = jnp.sum(p, axis=-1)
@@ -43,6 +52,8 @@ def ring_self_attention(
     axis_name: str,
     sm_scale: float,
     causal: bool = True,
+    window: Optional[int] = None,
+    window_active: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Causal self-attention with the sequence sharded over ``axis_name``.
 
@@ -50,6 +61,11 @@ def ring_self_attention(
     block currently resident, then rotates that block to the next device.
     After N-1 rotations every query has seen every key. Total comms =
     one all-gather's worth of K/V bytes, but point-to-point and overlapped.
+
+    ``window`` (static) masks keys older than ``window`` positions behind
+    each query (Gemma3-style sliding layers); ``window_active`` (traced ()
+    bool) turns the window on/off per call so interleaved local/global
+    layers share one compiled scan body.
     """
     N = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
@@ -67,7 +83,8 @@ def ring_self_attention(
         k_rep = jnp.repeat(k_blk, G, axis=1)
         v_rep = jnp.repeat(v_blk, G, axis=1)
         blk_acc, blk_m, blk_l = _block_attend(
-            qg, k_rep, v_rep, sm_scale, q_start, k_start, causal
+            qg, k_rep, v_rep, sm_scale, q_start, k_start, causal,
+            window=window, window_active=window_active,
         )
         m_new = jnp.maximum(m, blk_m)
         alpha = jnp.exp(m - m_new)
@@ -100,6 +117,8 @@ def ring_flash_self_attention(
     sm_scale: float,
     causal: bool = True,
     softcap: Optional[float] = None,
+    window: Optional[int] = None,
+    window_active: Optional[jax.Array] = None,
     block_q: int = 256,
     block_k: int = 1024,
     interpret: Optional[bool] = None,
@@ -118,6 +137,12 @@ def ring_flash_self_attention(
 
     GQA is folded inside the kernel, so K/V rotate at Hkv width (G× less ICI
     traffic than the repeat-to-Hq XLA path).
+
+    ``window`` (static) + ``window_active`` (traced () bool — e.g. the
+    layer's sliding flag inside a stacked-layer scan) run the kernel with a
+    sliding window over global positions. Ring blocks wholly OUTSIDE the
+    window (entirely in the past) are skipped exactly like future blocks —
+    on a sliding layer only ceil(window/Sl)+1 of the N ring steps do work.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -134,14 +159,29 @@ def ring_flash_self_attention(
         src = (idx - step_idx) % N
         prior = q_start - src * Sl           # diagonal offset; may be negative
 
-        def attend(_):
+        def _run(win):
             o_blk, lse_blk = flash_attention(
                 q, k_blk, v_blk, prior,
-                sm_scale=sm_scale, softcap=softcap,
+                sm_scale=sm_scale, softcap=softcap, window=win,
                 block_q=block_q, block_k=block_k,
                 interpret=interpret, return_lse=True,
             )
             return o_blk.astype(jnp.float32), lse_blk
+
+        if window is not None:
+            active = (
+                window_active if window_active is not None else jnp.bool_(True)
+            )
+
+            def attend(_):
+                return jax.lax.cond(
+                    active, lambda: _run(window), lambda: _run(None)
+                )
+        else:
+            active = None
+
+            def attend(_):
+                return _run(None)
 
         def skip(_):
             return (
@@ -151,7 +191,13 @@ def ring_flash_self_attention(
 
         if causal:
             # Block fully in the future ⇒ nothing attends; skip the kernel.
-            o_blk, lse_blk = jax.lax.cond(prior + Sl - 1 >= 0, attend, skip, None)
+            run = prior + Sl - 1 >= 0
+            if window is not None:
+                # Windowed layers also skip blocks wholly beyond the window
+                # in the past: newest key (prior offset Sl-1 behind the
+                # oldest query) already older than `window`.
+                run = run & (~active | (prior <= window + Sl - 2))
+            o_blk, lse_blk = jax.lax.cond(run, attend, skip, None)
         else:
             o_blk, lse_blk = attend(None)
 

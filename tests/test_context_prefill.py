@@ -522,20 +522,108 @@ def test_quantized_shards_match_single_device(setup, bits):
     np.testing.assert_array_equal(np.asarray(host), np.asarray(fused))
 
 
-def test_sliding_window_models_rejected(setup):
-    """Gemma3-style sliding-window / local-RoPE configs must fail loudly on
-    the context-parallel paths (they are not implemented there) instead of
-    silently attending the full window."""
+def _sliding_setup(setup, n_layers_pattern=2):
     import dataclasses
 
     cfg, params, runner, ids, mesh = setup
-    bad_cfg = dataclasses.replace(
-        cfg, sliding_window=8,
-        layer_is_sliding=tuple(i % 2 == 0 for i in range(cfg.num_layers)),
+    scfg = dataclasses.replace(
+        cfg, sliding_window=8, rope_local_base_freq=500.0,
+        layer_is_sliding=tuple(
+            i % n_layers_pattern == 0 for i in range(cfg.num_layers)
+        ),
     )
-    bad_runner = dataclasses.replace(runner, cfg=bad_cfg)
-    with pytest.raises(AssertionError, match="sliding-window"):
-        context_parallel_prefill(params, ids, runner=bad_runner, mesh=mesh)
+    return scfg, params, dataclasses.replace(runner, cfg=scfg), ids, mesh
+
+
+def test_sliding_window_context_parallel_prefill(setup):
+    """Gemma3-style interleaved sliding/global layers + dual RoPE bases
+    through the ring prefill: keys/values must equal the single-device
+    prefill (the window and local base frequency shape every layer's
+    hidden-state flow, so deep-layer KV equality proves both)."""
+    scfg, params, srunner, ids, mesh = _sliding_setup(setup)
+    keys, values, lengths, masks = context_parallel_prefill(
+        params, ids, runner=srunner, mesh=mesh
+    )
+    _, cache, _ = srunner.prefill(params, ids, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(keys), np.asarray(cache.keys), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(values), np.asarray(cache.values), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_sliding_window_distributed_decode(setup):
+    """Distributed decode on a sliding-window model: the slot→position map
+    (idx*prefill_shard_len + slot) must reproduce single-device decode logits
+    step for step, including appends past the prefill length. Exercises both
+    the plain (8-shard) and seq-TP (2-shard) dense paths."""
+    from kvpress_tpu.cache import grow
+    from kvpress_tpu.parallel.decode import (
+        context_parallel_decode_step, grow_shards,
+    )
+
+    scfg, params, srunner, ids, _ = _sliding_setup(setup)
+    for n in (8, 2):
+        mesh_n = Mesh(np.array(jax.devices()[:n]), axis_names=("seq",))
+        shards = context_parallel_prefill(
+            params, ids, runner=srunner, mesh=mesh_n
+        )
+        shards = grow_shards(shards, n, 8)
+        _, cache, _ = srunner.prefill(params, ids, dtype=jnp.float32)
+        cache = grow(cache, 8)
+        tok = ids[:, -1:]
+        offset = jnp.asarray(S, jnp.int32)
+        psl = jnp.asarray(S // n, jnp.int32)
+        for step in range(5):
+            lg, shards, offset, ovf, _ = context_parallel_decode_step(
+                params, tok, shards, offset, runner=srunner, mesh=mesh_n,
+                prefill_shard_len=psl,
+            )
+            assert int(ovf) == 0
+            lg_ref, cache, _ = srunner.forward(
+                params, tok, cache, logits_last_only=True
+            )
+            np.testing.assert_allclose(
+                np.asarray(lg)[:, 0], np.asarray(lg_ref)[:, 0],
+                atol=3e-4, rtol=2e-3, err_msg=f"n={n} step={step}",
+            )
+            tok = jnp.argmax(lg[:, -1:], axis=-1).astype(jnp.int32)
+
+
+def test_sliding_window_press_skips_sliding_shards(setup):
+    """Shard-local compression on a sliding-window model compresses only the
+    global layers; sliding layers keep their full shard (content AND length),
+    matching the single-device skip semantics."""
+    scfg, params, srunner, ids, mesh = _sliding_setup(setup)
+    press = KnormPress(compression_ratio=0.5)
+    keys, values, lengths, masks = context_parallel_prefill(
+        params, ids, runner=srunner, press=press, mesh=mesh
+    )
+    plain_k, _, _, _ = context_parallel_prefill(
+        params, ids, runner=srunner, mesh=mesh
+    )
+    Sl = S // N
+    lengths = np.asarray(lengths).reshape(N, scfg.num_layers)
+    for i, sliding in enumerate(scfg.layer_is_sliding):
+        expect = Sl if sliding else press.n_kept(Sl)
+        assert (lengths[:, i] == expect).all(), (i, lengths)
+        if sliding:
+            np.testing.assert_array_equal(
+                np.asarray(keys[i]), np.asarray(plain_k[i]), str(i)
+            )
+
+
+def test_sliding_window_decode_requires_prefill_shard_len(setup):
+    from kvpress_tpu.parallel.decode import context_parallel_decode_step
+
+    scfg, params, srunner, ids, mesh = _sliding_setup(setup)
+    shards = context_parallel_prefill(params, ids, runner=srunner, mesh=mesh)
+    with pytest.raises(AssertionError, match="prefill_shard_len"):
+        context_parallel_decode_step(
+            params, ids[:, -1:], shards, jnp.asarray(S, jnp.int32),
+            runner=srunner, mesh=mesh,
+        )
 
 
 def test_quantized_shards_2d_sp_tp(setup):
