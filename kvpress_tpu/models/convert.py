@@ -193,10 +193,10 @@ def multimodal_embeds(
     scattered into those positions in order of appearance. Text embeddings are
     pre-scaled by sqrt(E) (Gemma3ScaledWordEmbedding) because the
     inputs_embeds path in Runner.forward — like HF's — skips the scaling."""
+    from .llama import embed_tokens
+
     ids = jnp.asarray(ids)
-    x = params["embed"][ids]
-    if cfg.scale_embeddings:
-        x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
+    x = embed_tokens(params, ids, cfg)
     feats = jnp.asarray(image_features).reshape(-1, x.shape[-1])
     mask = ids == image_token_id
     # order-of-appearance row index for every position (garbage where ~mask)

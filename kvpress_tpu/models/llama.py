@@ -96,10 +96,18 @@ def _lin(h: jax.Array, layer: dict, name: str) -> jax.Array:
     return (h @ w.astype(h.dtype)) * scale.astype(h.dtype)
 
 
-def quantize_params_int8(params: dict) -> dict:
-    """Per-output-channel int8 quantization of the layer matmuls (embed /
-    lm_head / norms stay bf16). Output params run through the same Runner —
-    ``_lin`` dequantizes inside the dot."""
+def quantize_params_int8(params: dict, include_embeddings: bool = False) -> dict:
+    """Per-output-channel int8 quantization of the layer matmuls (norms stay
+    bf16). Output params run through the same Runner — ``_lin`` dequantizes
+    inside the dot.
+
+    ``include_embeddings=True`` also quantizes the token embedding (per-ROW
+    scales, so a gathered row dequantizes with its own scale, and the tied
+    lm_head's transposed use sees the same per-output-channel scale) and the
+    untied lm_head (per-output-channel). Worth it for large-vocab models
+    where embed+head are a large share of decode weight HBM traffic (e.g.
+    0.5 GB bf16 each at 128K vocab; reference FP8 analogue, evaluate.py
+    FineGrainedFP8Config)."""
     out = dict(params)
     layers = dict(params["layers"])
     for name in ("wq", "wk", "wv", "wo", "wg", "wu", "wd"):
@@ -109,7 +117,64 @@ def quantize_params_int8(params: dict) -> dict:
         layers[name] = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
         layers[name + "_scale"] = scale.astype(jnp.float32)
     out["layers"] = layers
+    if include_embeddings:
+        emb = params["embed"].astype(jnp.float32)            # (V, E)
+        amax = jnp.max(jnp.abs(emb), axis=1, keepdims=True)  # (V, 1)
+        scale = jnp.maximum(amax / 127.0, 1e-8)
+        out["embed"] = jnp.clip(
+            jnp.round(emb / scale), -127, 127
+        ).astype(jnp.int8)
+        out["embed_scale"] = scale.astype(jnp.float32)
+        if "lm_head" in params:
+            w = params["lm_head"].astype(jnp.float32)        # (E, V)
+            amax = jnp.max(jnp.abs(w), axis=0, keepdims=True)  # (1, V)
+            scale = jnp.maximum(amax / 127.0, 1e-8)
+            out["lm_head"] = jnp.clip(
+                jnp.round(w / scale), -127, 127
+            ).astype(jnp.int8)
+            out["lm_head_scale"] = scale.astype(jnp.float32)
     return out
+
+
+def param_dtype(params: dict):
+    """The model's compute dtype — read from a norm weight, NOT the embedding
+    (which may be int8-quantized)."""
+    return params["ln_f"].dtype
+
+
+def embed_tokens(params: dict, ids: jax.Array, cfg: ModelConfig) -> jax.Array:
+    """Token embedding lookup, dequantizing per-row int8 embeddings when
+    present (gather the int8 rows + their scales — V×E never dequantizes in
+    full)."""
+    emb = params["embed"]
+    x = emb[ids]
+    if emb.dtype == jnp.int8:
+        dt = param_dtype(params)
+        x = x.astype(dt) * params["embed_scale"][ids].astype(dt)
+    if cfg.scale_embeddings:
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
+    return x
+
+
+def lm_head_logits(x: jax.Array, params: dict, cfg: ModelConfig) -> jax.Array:
+    """Final-norm'd hidden → f32 logits (+softcap), reading int8 lm_head /
+    tied-embedding payloads directly (XLA fuses the convert into the dot's
+    operand read, same as ``_lin``)."""
+    head = params.get("lm_head")
+    if head is not None:
+        logits = (x @ head.astype(x.dtype)).astype(jnp.float32)
+        scale = params.get("lm_head_scale")
+        if scale is not None and head.dtype == jnp.int8:
+            logits = logits * scale.astype(jnp.float32)
+    else:
+        emb = params["embed"]
+        logits = (x @ emb.T.astype(x.dtype)).astype(jnp.float32)
+        if emb.dtype == jnp.int8:
+            # tied head: per-row embed scale == per-output-channel head scale
+            logits = logits * params["embed_scale"][:, 0].astype(jnp.float32)
+    if cfg.logit_softcap:
+        logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
+    return logits
 
 
 def _project_qkv(layer: dict, cfg: ModelConfig, h: jax.Array):
@@ -569,9 +634,7 @@ class Runner:
             B, T = x.shape[:2]
         else:
             B, T = ids.shape
-            x = params["embed"][ids]
-            if cfg.scale_embeddings:
-                x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
+            x = embed_tokens(params, ids, cfg)
         positions = cache.offset + jnp.arange(T, dtype=jnp.int32)
         positions = jnp.broadcast_to(positions[None], (B, T))
         inv_freq = self.inv_freq()
@@ -631,12 +694,7 @@ class Runner:
                     x = jax.lax.dynamic_slice_in_dim(x, valid_len - 1, 1, axis=1)
                 else:
                     x = x[:, -1:]
-            head = params.get("lm_head")
-            if head is None:
-                head = params["embed"].T
-            logits = (x @ head).astype(jnp.float32)
-            if cfg.logit_softcap:
-                logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
+            logits = lm_head_logits(x, params, cfg)
         return logits, new_cache, nstate
 
     # ------------------------------------------------------------------ #

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..models.llama import Runner, _act, _lin, _project_qkv, rms_norm
+from ..models.llama import Runner, _act, _lin, _project_qkv, embed_tokens, rms_norm
 from ..presses.base import BasePress, LayerCtx
 from ..rope import apply_rope, rope_cos_sin
 from .ring import ring_flash_self_attention, ring_self_attention
@@ -58,9 +58,7 @@ def _local_forward(
         if cfg.query_pre_attn_scalar is not None else cfg.head_dim ** -0.5
     )
 
-    x = params["embed"][ids_local]
-    if cfg.scale_embeddings:
-        x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
+    x = embed_tokens(params, ids_local, cfg)
 
     layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
     sflags = jnp.asarray(cfg.sliding_flags())
@@ -210,6 +208,10 @@ def context_parallel_prefill(
     }
     if "lm_head" in params:
         params_spec["lm_head"] = P()
+    if "embed_scale" in params:
+        params_spec["embed_scale"] = P()
+    if "lm_head_scale" in params:
+        params_spec["lm_head_scale"] = P()
     kv_spec = (
         P(None, None, mp, axis, None) if mp is not None
         else P(None, None, None, axis, None)

@@ -26,7 +26,9 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..models.llama import Runner, _act, _lin, _project_qkv, rms_norm
+from ..models.llama import (
+    Runner, _act, _lin, _project_qkv, embed_tokens, lm_head_logits, rms_norm,
+)
 from ..ops.attention import NEG_INF
 from ..rope import apply_rope, rope_cos_sin
 
@@ -93,9 +95,7 @@ def _local_decode(
         r = w.shape[0] // n
         return jax.lax.dynamic_slice_in_dim(w, idx * r, r, axis=0)
 
-    x = params["embed"][tok]
-    if cfg.scale_embeddings:
-        x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
+    x = embed_tokens(params, tok, cfg)
     positions = jnp.broadcast_to(offset[None, None], (B, 1)).astype(jnp.int32)
 
     quantized = scales is not None
@@ -349,10 +349,7 @@ def _local_decode(
     if model_axis is not None:
         overflow = jax.lax.pmax(overflow, model_axis)
     x = rms_norm(x, params["ln_f"], cfg.rms_norm_eps, cfg.rms_one_offset)
-    head = params.get("lm_head", params["embed"].T)
-    logits = (x @ head).astype(jnp.float32)
-    if cfg.logit_softcap:
-        logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
+    logits = lm_head_logits(x, params, cfg)
     return logits, keys, values, lengths, masks, overflow, press_state, scales
 
 
@@ -447,6 +444,10 @@ def context_parallel_decode_step(
     }
     if "lm_head" in params:
         params_spec["lm_head"] = P()
+    if "embed_scale" in params:
+        params_spec["embed_scale"] = P()
+    if "lm_head_scale" in params:
+        params_spec["lm_head_scale"] = P()
     kv_spec = (
         P(None, None, mp, axis, None) if mp is not None
         else P(None, None, None, axis, None)
@@ -555,6 +556,10 @@ def context_parallel_generate_fused(
     }
     if "lm_head" in params:
         params_spec["lm_head"] = P()
+    if "embed_scale" in params:
+        params_spec["embed_scale"] = P()
+    if "lm_head_scale" in params:
+        params_spec["lm_head_scale"] = P()
     kv_spec = (
         P(None, None, mp, axis, None) if mp is not None
         else P(None, None, None, axis, None)

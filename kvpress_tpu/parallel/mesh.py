@@ -134,6 +134,13 @@ def param_shardings(mesh: Mesh, params: dict) -> dict:
     }
     if "lm_head" in params:
         out["lm_head"] = ns(None, "model")
+    if "embed_scale" in params:
+        # per-ROW scale (V, 1): embed shards over the hidden dim, so the
+        # row scale replicates
+        out["embed_scale"] = ns(None, None)
+    if "lm_head_scale" in params:
+        # per-output-channel (1, V): follows lm_head's vocab sharding
+        out["lm_head_scale"] = ns(None, "model")
     return out
 
 

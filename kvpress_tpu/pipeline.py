@@ -127,9 +127,11 @@ def _prefill(params, context_ids, valid_len=None, *, runner: Runner, press,
     # kept so empty-question generation can continue the context. valid_len
     # (traced) enables bucketed prefill: one compile per bucket instead of
     # one per context length.
+    from .models.llama import param_dtype
+
     return runner.prefill(
         params, context_ids, press=press, compute_logits=True,
-        dtype=params["embed"].dtype, valid_len=valid_len,
+        dtype=param_dtype(params), valid_len=valid_len,
         quantized=quantized, kv_bits=kv_bits,
     )
 
@@ -475,8 +477,10 @@ class KVPressPipeline:
                 apply_lora(self.params, press.lora, press.lora_scaling)
                 if press.lora else self.params
             )
+            from .models.llama import param_dtype
+
             embeds = jnp.asarray(
-                press.restore_embeddings, self.params["embed"].dtype
+                press.restore_embeddings, param_dtype(self.params)
             )[None]
             dummy_ids = jnp.zeros((1, embeds.shape[1]), jnp.int32)
             _, cache, _ = self.runner.forward(

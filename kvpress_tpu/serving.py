@@ -118,9 +118,9 @@ def _decode_step(
     H, D = cfg.num_kv_heads, cfg.head_dim
     quantized = sc.key_scales is not None
 
-    x = params["embed"][tokens[:, None]]                  # (N, 1, E)
-    if cfg.scale_embeddings:
-        x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
+    from .models.llama import embed_tokens
+
+    x = embed_tokens(params, tokens[:, None], cfg)        # (N, 1, E)
     positions = sc.offsets[:, None]                       # (N, 1)
     inv_freq = runner.inv_freq()
     scale = (
@@ -201,13 +201,10 @@ def _decode_step(
     )
     x, (nk, nv, nlen, nmask, nks, nvs) = jax.lax.scan(body, x, xs)
 
+    from .models.llama import lm_head_logits
+
     x = rms_norm(x, params["ln_f"], cfg.rms_norm_eps, cfg.rms_one_offset)
-    head = params.get("lm_head")
-    if head is None:
-        head = params["embed"].T
-    logits = (x[:, 0] @ head).astype(jnp.float32)
-    if cfg.logit_softcap:
-        logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
+    logits = lm_head_logits(x[:, 0], params, cfg)
     nsc = dataclasses.replace(
         sc, keys=nk, values=nv, lengths=nlen, mask=nmask,
         key_scales=nks, value_scales=nvs,
@@ -314,7 +311,9 @@ class ServingEngine:
         self.question_bucket = question_bucket
         self.fetch_lag = max(1, fetch_lag)
         self.eos_ids = set(int(e) for e in eos_ids)
-        self.dtype = params["embed"].dtype
+        from .models.llama import param_dtype
+
+        self.dtype = param_dtype(params)
         self.sc = init_slot_cache(
             runner.cfg, n_slots, capacity, dtype=self.dtype,
             quantized=quantized, bits=kv_bits,

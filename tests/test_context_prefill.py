@@ -427,14 +427,15 @@ def test_fused_generate_matches_host_loop(setup):
 
 
 def test_distributed_paths_int8_weights(setup):
-    """Int8 weights through context-parallel prefill + distributed decode
-    (1D seq-as-TP path included: weight-column slices must carry their
+    """Int8 weights INCLUDING the embedding/lm_head (large-vocab decode HBM
+    lever) through context-parallel prefill + distributed decode (1D
+    seq-as-TP path included: weight-column slices must carry their
     per-channel scale slices) equal the single-device int8 forward."""
     from kvpress_tpu.models.llama import quantize_params_int8
     from kvpress_tpu.parallel.decode import context_parallel_decode_step
 
     cfg, params, runner, ids, mesh = setup
-    qparams = quantize_params_int8(params)
+    qparams = quantize_params_int8(params, include_embeddings=True)
 
     shards = context_parallel_prefill(
         qparams, ids, runner=runner, press=None, mesh=mesh

@@ -88,6 +88,44 @@ def test_tensor_parallel_forward_matches_single_device():
     assert all(int(l) == 16 for l in cache_tp.length)
 
 
+def test_tensor_parallel_int8_embeddings():
+    """Fully-int8 params (layers + embedding + lm_head) shard over the
+    (data, model) mesh: embed_scale replicates, lm_head_scale follows the
+    head's vocab sharding, logits equal the single-device int8 run."""
+    from kvpress_tpu.models.llama import quantize_params_int8
+
+    cfg = kp.tiny_config(num_heads=8, num_kv_heads=4, intermediate_size=256,
+                         tie_word_embeddings=False)
+    params = kp.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qparams = quantize_params_int8(params, include_embeddings=True)
+    runner = kp.Runner.create(cfg, attn_impl="xla")
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 32), 0, cfg.vocab_size)
+
+    logits_ref, _, _ = runner.prefill(
+        params, ids, dtype=jnp.float32, compute_logits=True
+    )
+    logits_q, _, _ = runner.prefill(
+        qparams, ids, dtype=jnp.float32, compute_logits=True
+    )
+    ref = np.abs(np.asarray(logits_ref)).max()
+    assert np.abs(np.asarray(logits_q) - np.asarray(logits_ref)).max() < 0.05 * ref
+
+    mesh = make_mesh(data=2, model=4)
+    sq = shard_params(qparams, mesh)
+    sharded_ids = jax.device_put(ids, data_sharding(mesh))
+
+    @jax.jit
+    def prefill(params, ids):
+        return runner.prefill(params, ids, dtype=jnp.float32,
+                              compute_logits=True)
+
+    with mesh:
+        logits_tp, _, _ = prefill(sq, sharded_ids)
+    np.testing.assert_allclose(
+        np.asarray(logits_tp), np.asarray(logits_q), atol=2e-4, rtol=1e-3
+    )
+
+
 def test_cache_sharding_roundtrip():
     cfg = kp.tiny_config(num_heads=8, num_kv_heads=4)
     mesh = make_mesh(data=2, model=4)

@@ -176,6 +176,37 @@ def test_weight_int8_logit_parity(tiny):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.parametrize("tied", [True, False])
+def test_embed_lm_head_int8_parity(tied):
+    """quantize_params_int8(include_embeddings=True): int8 token embedding
+    (per-row scales — gathered rows dequantize locally, tied head reuses the
+    same scales per output channel) and int8 untied lm_head. Logits stay
+    close to the bf16-embedding model; decode runs."""
+    from kvpress_tpu import init_params, tiny_config
+    from kvpress_tpu.models.llama import quantize_params_int8
+
+    cfg = tiny_config(tie_word_embeddings=tied)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    runner = Runner.create(cfg)
+    qparams = quantize_params_int8(params, include_embeddings=True)
+    assert qparams["embed"].dtype == jnp.int8
+    assert ("lm_head" in qparams) == (not tied)
+    if not tied:
+        assert qparams["lm_head"].dtype == jnp.int8
+
+    ids = jax.random.randint(jax.random.PRNGKey(5), (1, 32), 0, cfg.vocab_size)
+    lg, _, _ = runner.prefill(params, ids, compute_logits=True,
+                              dtype=jnp.float32)
+    lg_q, cache_q, _ = runner.prefill(qparams, ids, compute_logits=True,
+                                      dtype=jnp.float32)
+    ref = np.abs(np.asarray(lg)).max()
+    assert np.abs(np.asarray(lg) - np.asarray(lg_q)).max() < 0.05 * ref
+    logits, cache_q, _ = runner.forward(
+        qparams, ids[:, -1:], cache_q, logits_last_only=True
+    )
+    assert np.isfinite(np.asarray(logits)).all()
+
+
 def test_fp8_checkpoint_conversion():
     """fp8 safetensors (weight + 128x128 weight_scale_inv blocks) dequantize
     at conversion to the same params a bf16 checkpoint would give."""
