@@ -77,6 +77,11 @@ class DecodingPress(BasePress):
     def target_value(self, ctx: LayerCtx, length) -> jax.Array:
         return jnp.asarray(self.target_size, jnp.int32)
 
+    def target_value_vec(self, last_positions, length) -> jax.Array:
+        """Per-slot targets for the serving engine (vectorized target_value):
+        ``last_positions``/``length`` are (N,) per request slot."""
+        return jnp.full_like(length, self.target_size)
+
     # ---------------------------------------------------------------------- #
 
     def _advance(self, ctx, state, length, S):
@@ -227,6 +232,12 @@ class CompressionRatioDecodingPress(DecodingPress):
 
     def target_value(self, ctx: LayerCtx, length) -> jax.Array:
         total_seen = jnp.max(ctx.positions) + 1
+        t = (total_seen.astype(jnp.float32)
+             * (1 - self.target_compression_ratio)).astype(jnp.int32)
+        return jnp.maximum(1, t)
+
+    def target_value_vec(self, last_positions, length) -> jax.Array:
+        total_seen = last_positions + 1
         t = (total_seen.astype(jnp.float32)
              * (1 - self.target_compression_ratio)).astype(jnp.int32)
         return jnp.maximum(1, t)

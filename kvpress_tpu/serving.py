@@ -28,8 +28,16 @@ Design (all shapes static under jit):
   ``quant_gqa_attention`` (ops/attention.py) — payload-width HBM reads, the
   dequantized buffer never materializes.
 
-Not supported (asserted): decode-phase presses (per-step compression inside
-the serving loop) and multi-pass presses (KVzip-family need pipeline
+- Decode-phase compression: DecodingPress / PrefillDecodingPress compress
+  each slot independently inside the jitted step — per-slot interval counters
+  and hidden ring buffers (slots admitted at different times desync), the
+  compression body under ``lax.cond(any(do))``, per-slot ``where`` apply,
+  and ``vmap``-ed base-press scoring so scalar-length ``dynamic_score``
+  implementations work unchanged. Quantized slots gather payload+scales
+  (dense dequant only inside the cond).
+
+Not supported (asserted): CAM-style merge presses (need dense per-step
+attention accumulation) and multi-pass presses (KVzip-family need pipeline
 orchestration).
 """
 
@@ -101,10 +109,10 @@ def init_slot_cache(
 # jitted engine steps
 
 
-@partial(jax.jit, static_argnames=("runner",))
+@partial(jax.jit, static_argnames=("runner", "decode_press"))
 def _decode_step(
-    params, tokens: jax.Array, sc: SlotCache, live: jax.Array, *,
-    runner: Runner,
+    params, tokens: jax.Array, sc: SlotCache, live: jax.Array,
+    dp_state=None, *, runner: Runner, decode_press=None,
 ):
     """One token for every slot: ``tokens (N,) → logits (N, V)``.
 
@@ -112,6 +120,13 @@ def _decode_step(
     per-slot ragged lengths: appends are batched scatters at each slot's
     length, causality is the per-slot bias ``k_slot <= length[b]``, and
     lengths/offsets only advance for live slots.
+
+    ``decode_press`` (DecodingPress family, static) compresses each slot's
+    cache independently: per-slot step counters/hidden ring buffers live in
+    ``dp_state`` (see ServingEngine); slots hit their intervals at different
+    times, so the compression body runs under ``lax.cond(any(do))`` and
+    applies per-slot via ``where`` — base-press scoring is ``vmap``-ed over
+    slots so every dynamic_score sees the scalar length it was written for.
     """
     cfg = runner.cfg
     N = tokens.shape[0]
@@ -132,9 +147,14 @@ def _decode_step(
     sliding = jnp.asarray(cfg.sliding_flags())
     iN = jnp.arange(N)
     k_slot = jnp.arange(C, dtype=jnp.int32)
+    layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
 
     def body(xh, xs):
-        layer, ck, cv, clen, cmask, cks, cvs, sflag = xs
+        if decode_press is not None:
+            (layer, ck, cv, clen, cmask, cks, cvs, sflag, lid,
+             pbuf, psteps, pbuf_len) = xs
+        else:
+            layer, ck, cv, clen, cmask, cks, cvs, sflag, lid = xs
         h = rms_norm(xh, layer["ln1"], cfg.rms_norm_eps, cfg.rms_one_offset)
         q_pre, k_pre, v = _project_qkv(layer, cfg, h)
         cos, sin = rope_cos_sin(inv_freq, positions, runner.attention_scaling)
@@ -193,13 +213,100 @@ def _decode_step(
                            cfg.rms_one_offset)
         xh = xh + mlp
         nlen = jnp.where(live, clen + 1, clen)            # dead slots frozen
-        return xh, (ck, cv, nlen, cmask, cks, cvs)
 
-    xs = (
-        params["layers"], sc.keys, sc.values, sc.lengths, sc.mask,
-        sc.key_scales, sc.value_scales, sliding,
-    )
-    x, (nk, nv, nlen, nmask, nks, nvs) = jax.lax.scan(body, x, xs)
+        if decode_press is None:
+            return xh, (ck, cv, nlen, cmask, cks, cvs)
+
+        # ---- per-slot decode-phase compression (DecodingPress family) ----
+        buf_size = pbuf.shape[1]
+        buf = jnp.concatenate([pbuf[:, 1:], h.astype(pbuf.dtype)], axis=1)
+        buf_len = jnp.minimum(pbuf_len + 1, buf_size)
+        steps = psteps + live.astype(jnp.int32)
+        target = decode_press.target_value_vec(sc.offsets, nlen)     # (N,)
+        n_top = min(decode_press.target_bound(None, buf_size), C)
+        do = live & (steps >= decode_press.compression_interval) \
+            & (nlen > target)
+        if cfg.sliding_window is not None:
+            # sliding layers are never compressed (slot-index window)
+            do = do & ~sflag
+
+        def compress(args):
+            ck, cv, cks, cvs, cmask = args
+            if quantized:
+                from .cache import dequantize_kv
+
+                dk = dequantize_kv(ck, cks, sc.bits, xh.dtype)
+                dv = dequantize_kv(cv, cvs, sc.bits, xh.dtype)
+            else:
+                dk, dv = ck, cv
+            buf_positions = (
+                sc.offsets[:, None]
+                - jnp.arange(buf_size - 1, -1, -1, dtype=jnp.int32)[None]
+            )
+
+            def score_one(hid, pos, kk, vv, ln):
+                from .presses.base import LayerCtx
+
+                dctx = LayerCtx(
+                    layer_idx=lid, hidden=hid[None], queries=None,
+                    queries_prerope=None, keys_prerope=None,
+                    positions=pos[None], attn_probs=None, layer_params=layer,
+                    inv_freq=inv_freq, cfg=cfg,
+                    attention_scaling=runner.attention_scaling, kv_len=ln,
+                )
+                return decode_press.score_dynamic(
+                    dctx, kk[None], vv[None], ln
+                )[0]
+
+            scores = jax.vmap(score_one)(
+                buf, buf_positions, dk, dv, nlen
+            ).astype(jnp.float32)                                # (N, H, C)
+            valid = (k_slot[None, None] < nlen[:, None, None]) & cmask
+            scores = jnp.where(valid, scores, NEG_INF)
+            _, idx = jax.lax.top_k(scores, n_top)                # (N, H, n_top)
+            kept_k = jnp.take_along_axis(ck, idx[..., None], axis=2)
+            kept_v = jnp.take_along_axis(cv, idx[..., None], axis=2)
+            ck2 = jax.lax.dynamic_update_slice_in_dim(ck, kept_k, 0, axis=2)
+            cv2 = jax.lax.dynamic_update_slice_in_dim(cv, kept_v, 0, axis=2)
+            if quantized:
+                ks2 = jnp.take_along_axis(cks, idx[..., None], axis=2)
+                vs2 = jnp.take_along_axis(cvs, idx[..., None], axis=2)
+                cks2 = jax.lax.dynamic_update_slice_in_dim(cks, ks2, 0, axis=2)
+                cvs2 = jax.lax.dynamic_update_slice_in_dim(cvs, vs2, 0, axis=2)
+            else:
+                cks2, cvs2 = cks, cvs
+            sel = do[:, None, None, None]
+            ck = jnp.where(sel, ck2, ck)
+            cv = jnp.where(sel, cv2, cv)
+            if quantized:
+                cks = jnp.where(sel, cks2, cks)
+                cvs = jnp.where(sel, cvs2, cvs)
+            cmask = jnp.where(do[:, None, None], True, cmask)
+            return ck, cv, cks, cvs, cmask
+
+        ck, cv, cks, cvs, cmask = jax.lax.cond(
+            jnp.any(do), compress, lambda a: a, (ck, cv, cks, cvs, cmask)
+        )
+        nlen = jnp.where(do, jnp.minimum(target, n_top), nlen)
+        steps = jnp.where(do, 0, steps)
+        buf_len = jnp.where(do, 0, buf_len)
+        return xh, (ck, cv, nlen, cmask, cks, cvs, buf, steps, buf_len)
+
+    if decode_press is not None:
+        xs = (
+            params["layers"], sc.keys, sc.values, sc.lengths, sc.mask,
+            sc.key_scales, sc.value_scales, sliding, layer_ids,
+            dp_state["buffer"], dp_state["steps"], dp_state["buf_len"],
+        )
+        x, (nk, nv, nlen, nmask, nks, nvs, nbuf, nsteps, nbuf_len) = \
+            jax.lax.scan(body, x, xs)
+        dp_state = {"buffer": nbuf, "steps": nsteps, "buf_len": nbuf_len}
+    else:
+        xs = (
+            params["layers"], sc.keys, sc.values, sc.lengths, sc.mask,
+            sc.key_scales, sc.value_scales, sliding, layer_ids,
+        )
+        x, (nk, nv, nlen, nmask, nks, nvs) = jax.lax.scan(body, x, xs)
 
     from .models.llama import lm_head_logits
 
@@ -210,7 +317,7 @@ def _decode_step(
         key_scales=nks, value_scales=nvs,
         offsets=jnp.where(live, sc.offsets + 1, sc.offsets),
     )
-    return jnp.argmax(logits, axis=-1).astype(jnp.int32), nsc
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), nsc, dp_state
 
 
 @partial(jax.jit, static_argnames=("runner",))
@@ -220,6 +327,25 @@ def _question_forward(params, ids, cache, valid_len, *, runner: Runner):
     return runner.forward(
         params, ids, cache, logits_last_only=True, valid_len=valid_len
     )
+
+
+@jax.jit
+def _reset_slot_state(state: dict, slot: jax.Array) -> dict:
+    """Zero one slot's decode-press counters/ring buffer (admission)."""
+    z = jnp.zeros((), jnp.int32)
+    L, N, buf, E = state["buffer"].shape
+    return {
+        "buffer": jax.lax.dynamic_update_slice(
+            state["buffer"], jnp.zeros((L, 1, buf, E), state["buffer"].dtype),
+            (z, slot, z, z),
+        ),
+        "steps": jax.lax.dynamic_update_slice(
+            state["steps"], jnp.zeros((L, 1), jnp.int32), (z, slot)
+        ),
+        "buf_len": jax.lax.dynamic_update_slice(
+            state["buf_len"], jnp.zeros((L, 1), jnp.int32), (z, slot)
+        ),
+    }
 
 
 @jax.jit
@@ -293,9 +419,29 @@ class ServingEngine:
         eos_ids: tuple = (),
         mesh=None,                  # tensor-parallel serving over ("data","model")
     ):
+        # Decode-phase compression: a DecodingPress (or the decoding half of
+        # a PrefillDecodingPress) compresses every slot independently inside
+        # the jitted decode step (per-slot interval counters + ring buffers).
+        from .presses.decoding import DecodingPress, PrefillDecodingPress
+
+        self.decode_press = None
+        if isinstance(press, PrefillDecodingPress):
+            self.decode_press = press.decoding_press
+            press = press.prefilling_press
+        elif isinstance(press, DecodingPress):
+            self.decode_press = press
+            press = None
+        if self.decode_press is not None:
+            assert type(self.decode_press).decode_compress in (
+                DecodingPress.decode_compress,
+            ), (
+                "only DecodingPress-family presses (score → top-k) run in "
+                "the serving loop; CAM-style merge presses need the pipeline"
+            )
         if press is not None:
             assert not press.compresses_decode, (
-                "decode-phase presses are not supported in the serving loop"
+                "decode-phase presses other than DecodingPress/"
+                "PrefillDecodingPress are not supported in the serving loop"
             )
             assert not getattr(press, "multi_pass", False), (
                 "multi-pass presses need pipeline orchestration"
@@ -318,6 +464,15 @@ class ServingEngine:
             runner.cfg, n_slots, capacity, dtype=self.dtype,
             quantized=quantized, bits=kv_bits,
         )
+        self.dp_state = None
+        if self.decode_press is not None:
+            L, E = runner.cfg.num_layers, runner.cfg.hidden_size
+            buf = max(self.decode_press.hidden_states_buffer_size, 1)
+            self.dp_state = {
+                "buffer": jnp.zeros((L, n_slots, buf, E), self.dtype),
+                "steps": jnp.zeros((L, n_slots), jnp.int32),
+                "buf_len": jnp.zeros((L, n_slots), jnp.int32),
+            }
         if mesh is not None:
             # Mesh serving: weights and the slot pool's kv-head axis shard
             # over "model" (GSPMD inserts one psum per attention/MLP block,
@@ -348,6 +503,12 @@ class ServingEngine:
                 value_scales=None if self.sc.value_scales is None else kv,
                 bits=self.sc.bits,
             ))
+            if self.dp_state is not None:
+                self.dp_state = jax.device_put(self.dp_state, {
+                    "buffer": ns(None, dp, None, None),
+                    "steps": ns(None, dp),
+                    "buf_len": ns(None, dp),
+                })
         self.mesh = mesh
         self.tokens = jnp.zeros((n_slots,), jnp.int32)
         self.live = np.zeros((n_slots,), bool)
@@ -402,6 +563,10 @@ class ServingEngine:
     def _admit(self, slot: int, req_idx: int, req: Request):
         cache, first = self._prefill_request(req)
         self.sc = _insert_slot(self.sc, cache, jnp.asarray(slot, jnp.int32))
+        if self.dp_state is not None:
+            self.dp_state = _reset_slot_state(
+                self.dp_state, jnp.asarray(slot, jnp.int32)
+            )
         self.tokens = self.tokens.at[slot].set(first)
         self.live[slot] = True
         st = self.slots[slot]
@@ -479,9 +644,10 @@ class ServingEngine:
                 # token (observed: last-token-only nondeterministic
                 # divergences on the virtual CPU mesh).
                 live_dev = jnp.asarray(np.array(self.live))
-                self.tokens, self.sc = _decode_step(
+                self.tokens, self.sc, self.dp_state = _decode_step(
                     self.params, self.tokens, self.sc, live_dev,
-                    runner=self.runner,
+                    self.dp_state,
+                    runner=self.runner, decode_press=self.decode_press,
                 )
                 snap = self.live.copy()
                 pending.append((self.tokens, snap))

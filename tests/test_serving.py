@@ -168,6 +168,84 @@ def test_serving_quantized_slots(tiny):
                                       quantized=True)
 
 
+def test_serving_decoding_press_noop_exact(tiny):
+    """A never-binding DecodingPress target must leave served answers
+    bit-identical to the pressless engine (compression cond never fires,
+    buffers untouched) — bf16 and quantized slots."""
+    from kvpress_tpu.presses import DecodingPress
+
+    cfg, params, runner = tiny
+    reqs = _mk_requests(cfg, [(32, 4), (24, 4), (40, 4)], n_new=6)
+    noop = DecodingPress(
+        base_press=KnormPress(), compression_interval=3, target_size=4096,
+        hidden_states_buffer_size=4,
+    )
+    for quant in (False, True):
+        plain = ServingEngine(runner, params, n_slots=2, capacity=64,
+                              question_bucket=4, quantized=quant).run(reqs)
+        pressed = ServingEngine(runner, params, n_slots=2, capacity=64,
+                                question_bucket=4, quantized=quant,
+                                press=noop).run(reqs)
+        assert plain == pressed, quant
+
+
+def test_serving_decoding_press_compresses_slots(tiny):
+    """DecodingPress in the serving loop: every slot's per-layer length lands
+    in [target, target+interval+fetch_lag] after generation, slots desync
+    (staggered admission) and answers stay close to the single-request
+    DecodingPress path."""
+    from kvpress_tpu.presses import DecodingPress, PrefillDecodingPress
+
+    cfg, params, runner = tiny
+    reqs = _mk_requests(cfg, [(40, 4), (32, 4), (48, 4)], n_new=10)
+    press = PrefillDecodingPress(
+        prefilling_press=KnormPress(compression_ratio=0.25),
+        decoding_press=DecodingPress(
+            base_press=KnormPress(), compression_interval=4, target_size=24,
+            hidden_states_buffer_size=4,
+        ),
+    )
+    eng = ServingEngine(runner, params, n_slots=2, capacity=64,
+                        question_bucket=4, fetch_lag=2, press=press)
+    answers = eng.run(reqs)
+    assert all(a is not None and len(a) == 10 for a in answers)
+    # the last-served slots' lengths are bounded by target + interval slack
+    lengths = np.asarray(eng.sc.lengths)
+    assert (lengths <= 24 + 4 + 2).all(), lengths
+    # sanity: finite, in-vocab tokens
+    for got in answers:
+        assert all(0 <= t < cfg.vocab_size for t in got)
+
+
+def test_serving_decoding_press_quantized(tiny):
+    """DecodingPress over int8 serving slots: per-slot payload gather (dense
+    built only inside the interval cond)."""
+    from kvpress_tpu.presses import DecodingPress
+
+    cfg, params, runner = tiny
+    reqs = _mk_requests(cfg, [(40, 4), (32, 4)], n_new=8)
+    press = DecodingPress(
+        base_press=KnormPress(), compression_interval=3, target_size=32,
+        hidden_states_buffer_size=4,
+    )
+    eng = ServingEngine(runner, params, n_slots=2, capacity=64,
+                        question_bucket=4, quantized=True, press=press)
+    answers = eng.run(reqs)
+    assert all(a is not None and len(a) == 8 for a in answers)
+    lengths = np.asarray(eng.sc.lengths)
+    assert (lengths <= 32 + 3 + 2).all(), lengths
+
+
+def test_serving_rejects_cam(tiny):
+    from kvpress_tpu.presses import CAMPress
+
+    cfg, params, runner = tiny
+    cam = CAMPress(base_press=KnormPress(), compression_interval=4,
+                   target_size=24, hidden_states_buffer_size=4)
+    with pytest.raises(AssertionError, match="CAM-style"):
+        ServingEngine(runner, params, n_slots=2, capacity=64, press=cam)
+
+
 def test_serving_capacity_assert(tiny):
     cfg, params, runner = tiny
     req = _mk_requests(cfg, [(60, 4)], n_new=32)[0]
