@@ -36,9 +36,13 @@ Design (all shapes static under jit):
   implementations work unchanged. Quantized slots gather payload+scales
   (dense dequant only inside the cond).
 
-Not supported (asserted): CAM-style merge presses (need dense per-step
-attention accumulation) and multi-pass presses (KVzip-family need pipeline
-orchestration).
+- Multi-pass / post-mask admission: KVzip / KVCompose / FastKVzip requests
+  run the pipeline's reconstruction-scoring orchestration at admission
+  (``KVPressPipeline._run_kvzip`` / ``_run_kvcompose`` — pass ``tokenizer=``
+  for the KVzip repeat prompts), then serve from the masked cache.
+
+Not supported (asserted): CAM-style merge presses (they need dense per-step
+attention accumulation — use the pipeline).
 """
 
 from __future__ import annotations
@@ -418,6 +422,7 @@ class ServingEngine:
         fetch_lag: int = 4,
         eos_ids: tuple = (),
         mesh=None,                  # tensor-parallel serving over ("data","model")
+        tokenizer=None,             # required for KVzip-family multi-pass
     ):
         # Decode-phase compression: a DecodingPress (or the decoding half of
         # a PrefillDecodingPress) compresses every slot independently inside
@@ -438,14 +443,24 @@ class ServingEngine:
                 "only DecodingPress-family presses (score → top-k) run in "
                 "the serving loop; CAM-style merge presses need the pipeline"
             )
+        self.multi_pass = bool(getattr(press, "multi_pass", False))
+        self.post_mask = bool(getattr(press, "post_mask", False))
         if press is not None:
-            assert not press.compresses_decode, (
+            assert self.multi_pass or not press.compresses_decode, (
                 "decode-phase presses other than DecodingPress/"
                 "PrefillDecodingPress are not supported in the serving loop"
             )
-            assert not getattr(press, "multi_pass", False), (
-                "multi-pass presses need pipeline orchestration"
-            )
+            if self.multi_pass or self.post_mask:
+                assert context_bucket is None, (
+                    "context_bucket is not supported for multi-pass presses"
+                )
+            if self.multi_pass and getattr(press, "multi_pass", None) != \
+                    "kvcompose":
+                assert tokenizer is not None, (
+                    "KVzip-family presses need the tokenizer (repeat-prompt "
+                    "construction) — pass tokenizer= to ServingEngine"
+                )
+        self.tokenizer = tokenizer
         self.runner = runner
         self.params = params
         self.n_slots = n_slots
@@ -529,10 +544,31 @@ class ServingEngine:
         ids = jnp.asarray(np.asarray(ctx, np.int32))[None]
         from .pipeline import _prefill
 
-        logits, cache, _ = _prefill(
+        logits, cache, press_state = _prefill(
             params, ids, valid, runner=runner, press=self.press,
             quantized=self.quantized, kv_bits=self.kv_bits,
         )
+
+        press = self.press
+        if press is not None and getattr(press, "rerotates", False):
+            # Key-rerotation: kept keys renumbered contiguously — subsequent
+            # tokens continue from the compressed length (pipeline contract).
+            cache = dataclasses.replace(cache, offset=jnp.max(cache.length))
+        if self.multi_pass or self.post_mask:
+            # Multi-pass (KVzip/KVCompose) / post-mask (FastKVzip) admission:
+            # reuse the pipeline's orchestration verbatim (tokenizer unused).
+            from .pipeline import KVPressPipeline
+
+            pipe = KVPressPipeline(runner, params, tokenizer=self.tokenizer)
+            if self.multi_pass:
+                if getattr(press, "multi_pass", None) == "kvcompose":
+                    cache = pipe._run_kvcompose(cache, list(req.context_ids),
+                                                press)
+                else:
+                    cache = pipe._run_kvzip(cache, list(req.context_ids),
+                                            press, req.max_new_tokens)
+            if self.post_mask:
+                cache = press.apply_post_mask(cache, press_state)
 
         q_ids = list(req.question_ids)
         if q_ids:

@@ -236,6 +236,56 @@ def test_serving_decoding_press_quantized(tiny):
     assert (lengths <= 32 + 3 + 2).all(), lengths
 
 
+def test_serving_kvzip_multi_pass(tiny):
+    """KVzip (multi-pass) requests through the engine: admission runs the
+    pipeline's chunked reconstruction scoring, generation proceeds from the
+    masked cache — teacher-force-checked against the same admission math on
+    the B=1 path."""
+    from kvpress_tpu.pipeline import KVPressPipeline
+    from kvpress_tpu.presses import KVzipPress
+    from toy_tokenizer import ToyTokenizer
+
+    cfg, params, runner = tiny
+    tok = ToyTokenizer(cfg.vocab_size)
+    press = KVzipPress(compression_ratio=0.5, chunk_size=16)
+    reqs = _mk_requests(cfg, [(32, 4), (24, 4)], n_new=6)
+    eng = ServingEngine(runner, params, n_slots=2, capacity=96,
+                        question_bucket=4, press=press, tokenizer=tok)
+    answers = eng.run(reqs)
+    assert all(a is not None and len(a) == 6 for a in answers)
+    # some heads must actually be masked by the reconstruction scoring
+    assert not bool(np.asarray(eng.sc.mask).all())
+
+    pipe = KVPressPipeline(runner, params, tok)
+    for req, got in zip(reqs, answers):
+        ids = jnp.asarray(np.asarray(req.context_ids, np.int32))[None]
+        logits, cache, _ = _prefill(params, ids, None, runner=runner,
+                                    press=press)
+        cache = pipe._run_kvzip(cache, list(req.context_ids), press,
+                                req.max_new_tokens)
+        need = int(jnp.max(cache.length)) + len(req.question_ids) + len(got) + 1
+        if cache.max_size < need:
+            cache = grow(cache, need - cache.max_size)
+        qarr = jnp.asarray(np.asarray(req.question_ids, np.int32))[None]
+        logits, cache, _ = runner.forward(
+            params, qarr, cache, logits_last_only=True,
+            valid_len=jnp.asarray(len(req.question_ids), jnp.int32),
+        )
+        mismatches = 0
+        for i, tok_id in enumerate(got):
+            row = np.asarray(logits[0, -1])
+            ref_tok = int(row.argmax())
+            if tok_id != ref_tok:
+                mismatches += 1
+                gap = float(row[ref_tok] - row[tok_id])
+                assert gap < 2e-3, (i, tok_id, ref_tok, gap, got)
+            logits, cache, _ = runner.forward(
+                params, jnp.asarray([[tok_id]], jnp.int32), cache,
+                logits_last_only=True,
+            )
+        assert mismatches <= 2, (mismatches, got)
+
+
 def test_serving_rejects_cam(tiny):
     from kvpress_tpu.presses import CAMPress
 
