@@ -286,6 +286,24 @@ def test_serving_kvzip_multi_pass(tiny):
         assert mismatches <= 2, (mismatches, got)
 
 
+def test_serving_sliding_window_model():
+    """Gemma3-style interleaved sliding/global layers through the engine:
+    slot-index window + dual RoPE bases; press skips sliding layers at
+    admission. Teacher-forced against the B=1 path."""
+    cfg = tiny_config(num_layers=4, sliding_window=8, rope_local_base_freq=500.0,
+                      layer_is_sliding=tuple(i % 2 == 0 for i in range(4)))
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    runner = Runner.create(cfg)
+    press = KnormPress(compression_ratio=0.5)
+    reqs = _mk_requests(cfg, [(32, 4), (24, 4), (40, 4)], n_new=6)
+    eng = ServingEngine(runner, params, n_slots=2, capacity=64, press=press,
+                        question_bucket=4, fetch_lag=2)
+    answers = eng.run(reqs)
+    for req, got in zip(reqs, answers):
+        assert len(got) == req.max_new_tokens
+        assert_generation_matches_ref(runner, params, press, req, got)
+
+
 def test_serving_rejects_cam(tiny):
     from kvpress_tpu.presses import CAMPress
 
