@@ -58,6 +58,29 @@ def main():
                max_new_tokens=48)
     print("ratio-decoding answer:", repr(out["answer"][:60]))
 
+    # Decoding presses also run inside the continuous-batching serving
+    # engine: every slot compresses independently (per-slot interval
+    # counters), so long generations stay bounded under batch serving.
+    import numpy as np
+
+    from kvpress_tpu.serving import Request, ServingEngine
+
+    tok = pipe.tokenizer
+    rng = np.random.default_rng(0)
+    reqs = [
+        Request(rng.permutation(cfg.vocab_size)[:40].tolist(),
+                tok.encode("solve the problem"), max_new_tokens=24)
+        for _ in range(4)
+    ]
+    eng = ServingEngine(
+        pipe.runner, params, n_slots=2, capacity=128, question_bucket=8,
+        press=DecodingPress(base_press=KnormPress(), compression_interval=8,
+                            target_size=32, hidden_states_buffer_size=8),
+    )
+    answers = eng.run(reqs)
+    print("served answers:", [len(a) for a in answers],
+          "max slot length:", int(np.asarray(eng.sc.lengths).max()))
+
 
 if __name__ == "__main__":
     main()

@@ -182,6 +182,19 @@ def shrink(cache: KVCache, new_size: int) -> KVCache:
     )
 
 
+def resize(cache: KVCache, new_size: int) -> KVCache:
+    """Re-bucket to EXACTLY ``new_size`` slots: shrink when the buffer is
+    larger, grow when it is smaller. ``shrink`` alone silently no-ops when
+    asked to enlarge — callers sizing for question + generation appends must
+    use this (the decode append would otherwise clamp into the last slots
+    and corrupt them)."""
+    if cache.max_size > new_size:
+        return shrink(cache, new_size)
+    if cache.max_size < new_size:
+        return grow(cache, new_size - cache.max_size)
+    return cache
+
+
 def grow(cache: KVCache, extra: int) -> KVCache:
     """Pad the sequence axis with ``extra`` empty slots (for decode appends)."""
     def pad(x, fill):

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .cache import KVCache, shrink
+from .cache import KVCache, resize, shrink
 from .models.llama import Runner
 from .presses.base import BasePress
 
@@ -46,11 +46,6 @@ def _sample_token(logits: jax.Array, key, temperature: float, top_p: float):
         "runner", "max_new_tokens", "eos_ids", "press",
         "do_sample", "temperature", "top_p",
     ),
-)
-@partial(
-    jax.jit,
-    static_argnames=("runner", "max_new_tokens", "eos_ids", "press",
-                     "do_sample", "temperature", "top_p"),
 )
 def _generate_answer(
     params,
@@ -306,9 +301,17 @@ class KVPressPipeline:
             press.max_kept(context_length, self.runner.cfg)
             if press is not None else context_length
         )
+        if self.runner.cfg.sliding_window is not None:
+            # Sliding-window (local) layers are never compressed — they keep
+            # the FULL context, so the shrink bound must not cut below it.
+            kept = context_length
         kept = min(kept, int(jnp.max(cache.length)))
         max_q = max((len(q) for q in question_ids), default=0)
-        cache = shrink(cache, kept + max_q + max_new_tokens + 1)
+        # resize, not shrink: pressless / lightly-compressed requests
+        # need the buffer GROWN for question + generation appends —
+        # shrink silently no-ops on enlarge and the decode append would
+        # clamp into (and corrupt) the final slots.
+        cache = resize(cache, kept + max_q + max_new_tokens + 1)
 
         base_length = cache.length
         base_offset = cache.offset
@@ -386,6 +389,8 @@ class KVPressPipeline:
                 press.max_kept(longest, self.runner.cfg)
                 if press is not None else longest
             )
+            if self.runner.cfg.sliding_window is not None:
+                kept = longest      # sliding layers keep the full context
             max_q = max(len(r.question_ids) for r in reqs)
             capacity = (
                 kept

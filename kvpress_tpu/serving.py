@@ -577,14 +577,30 @@ class ServingEngine:
             qvalid = jnp.asarray(len(q_ids), jnp.int32)
             qarr = jnp.asarray(np.asarray(q_ids + [0] * (qpad - len(q_ids)),
                                           np.int32))[None]
-            need = int(jnp.max(cache.length)) + qpad
+            # Static kept bound instead of a device read: growth only needs
+            # an upper bound, and the final re-bucket to `capacity`
+            # normalizes the buffer anyway — one fewer host sync blocking
+            # the decode-issue loop during admission.
+            bound = (
+                self.press.max_kept(len(ctx), runner.cfg)
+                if self.press is not None else len(ctx)
+            )
+            if runner.cfg.sliding_window is not None:
+                bound = len(ctx)    # sliding layers keep the full context
+            need = min(bound, cache.max_size) + qpad
             if cache.max_size < need:
                 cache = grow(cache, need - cache.max_size)
             logits, cache, _ = _question_forward(
                 params, qarr, cache, qvalid, runner=runner
             )
 
-        kept = int(jnp.max(cache.length))
+        # ONE host sync per admission: fetch the post-compression length and
+        # the first token together (each device_get round-trip is ~25 ms on
+        # the tunneled backend and blocks the decode-issue loop).
+        kept, first = jax.device_get(
+            (jnp.max(cache.length), jnp.argmax(logits[0, -1]))
+        )
+        kept, first = int(kept), int(first)
         assert kept + req.max_new_tokens + 1 <= self.capacity, (
             f"request needs {kept + req.max_new_tokens + 1} slots, "
             f"capacity is {self.capacity} — raise capacity or compress more"
@@ -593,7 +609,6 @@ class ServingEngine:
             cache = shrink(cache, self.capacity)
         elif cache.max_size < self.capacity:
             cache = grow(cache, self.capacity - cache.max_size)
-        first = int(jnp.argmax(logits[0, -1]))
         return cache, first
 
     def _admit(self, slot: int, req_idx: int, req: Request):

@@ -67,3 +67,71 @@ def test_sampling_generation(pipe):
     a3 = pipe(CONTEXT, seed=123, **kwargs)["answer"]
     assert a1 == a2
     assert isinstance(a3, str)
+
+
+def test_sliding_model_shrink_keeps_full_context():
+    """Regression: the post-compression shrink bound must not cut below the
+    FULL context on sliding-window models (local layers are never
+    compressed) — a Knorm-compressed Gemma3-style pipeline answer must match
+    the unshrunk manual path exactly, even with a tiny max_new_tokens."""
+    import numpy as np
+
+    import kvpress_tpu as kp
+    from kvpress_tpu.cache import grow
+    from kvpress_tpu.pipeline import KVPressPipeline, _prefill
+
+    cfg = kp.tiny_config(num_layers=4, sliding_window=8,
+                         layer_is_sliding=tuple(i % 2 == 0 for i in range(4)))
+    params = kp.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    runner = kp.Runner.create(cfg)
+    tok = ToyTokenizer(cfg.vocab_size)
+    pipe2 = KVPressPipeline(runner, params, tok)
+    ctx = " ".join(f"tok{i}" for i in range(32))
+    press = KnormPress(compression_ratio=0.5)
+
+    out = pipe2(ctx, question="what ?", press=press, max_new_tokens=3)
+
+    cids, qids = pipe2.preprocess(ctx, ["what ?"])
+    ids = jnp.asarray(np.asarray(cids, np.int32))[None]
+    logits, cache, _ = _prefill(params, ids, None, runner=runner, press=press)
+    cache = grow(cache, 64)
+    q = jnp.asarray(np.asarray(qids[0], np.int32))[None]
+    logits, cache, _ = runner.forward(params, q, cache, logits_last_only=True)
+    toks = [int(jnp.argmax(logits[0, -1]))]
+    for _ in range(2):
+        lg, cache, _ = runner.forward(
+            params, jnp.asarray([[toks[-1]]], jnp.int32), cache,
+            logits_last_only=True,
+        )
+        toks.append(int(jnp.argmax(lg[0, -1])))
+    assert out["answer"] == tok.decode(toks, skip_special_tokens=True)
+
+
+def test_pressless_pipeline_grows_for_generation(pipe):
+    """Regression: with no press (kept == S) the re-bucket must GROW the
+    prefill-sized buffer for question + generation appends; shrink-only
+    sizing let the append clamp into the final slots and silently corrupt
+    the answer."""
+    import numpy as np
+
+    from kvpress_tpu.cache import grow
+    from kvpress_tpu.pipeline import _prefill
+
+    out = pipe(CONTEXT, question="what ?", max_new_tokens=12)
+
+    cids, qids = pipe.preprocess(CONTEXT, ["what ?"])
+    ids = jnp.asarray(np.asarray(cids, np.int32))[None]
+    logits, cache, _ = _prefill(pipe.params, ids, None, runner=pipe.runner,
+                                press=None)
+    cache = grow(cache, 64)
+    q = jnp.asarray(np.asarray(qids[0], np.int32))[None]
+    logits, cache, _ = pipe.runner.forward(pipe.params, q, cache,
+                                           logits_last_only=True)
+    toks = [int(jnp.argmax(logits[0, -1]))]
+    for _ in range(11):
+        lg, cache, _ = pipe.runner.forward(
+            pipe.params, jnp.asarray([[toks[-1]]], jnp.int32), cache,
+            logits_last_only=True,
+        )
+        toks.append(int(jnp.argmax(lg[0, -1])))
+    assert out["answer"] == pipe.tokenizer.decode(toks, skip_special_tokens=True)
