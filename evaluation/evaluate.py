@@ -53,6 +53,12 @@ class EvaluationConfig:
     # "fp8" means int8 weights read directly by the dots (models.llama._lin);
     # fp8 *checkpoints* dequantize at load (convert.py weight_scale_inv).
     fp8: bool = False
+    # int8 token embedding + lm_head on top of fp8 (large-vocab models:
+    # removes ~1 GB bf16 from per-step decode weight reads at 128K vocab)
+    int8_embeddings: bool = False
+    # int KV cache: 8 (int8) or 4 (packed int4); None = bf16 cache.
+    # Counterpart of the reference README's quanto QuantizedCache usage.
+    kv_bits: Optional[int] = None
     seed: int = 42
     output_dir: str = "./results"
     press_artifact: Optional[str] = None         # qfilter/kvzap/lukv artifact
@@ -66,6 +72,7 @@ class EvaluationConfig:
             self.press_name,
             f"{self.compression_ratio:.2f}"
             if self.threshold is None else f"t{self.threshold}",
+            f"kv{self.kv_bits}" if self.kv_bits is not None else "",
         ]
         base = Path(self.output_dir) / "__".join(p for p in parts if p)
         candidate, n = base, 1
@@ -186,8 +193,14 @@ class EvaluationRunner:
             from kvpress_tpu.models.llama import quantize_params_int8
 
             logger.info("fp8 flag: int8 weight quantization enabled (TPU path).")
+            if self.config.int8_embeddings:
+                logger.info("int8_embeddings: embedding/lm_head quantized too.")
             pipe = dataclasses.replace(
-                pipe, params=quantize_params_int8(pipe.params)
+                pipe,
+                params=quantize_params_int8(
+                    pipe.params,
+                    include_embeddings=self.config.int8_embeddings,
+                ),
             )
         return pipe
 
@@ -256,6 +269,8 @@ class EvaluationRunner:
                 max_new_tokens=max_new,
                 max_context_length=cfg.max_context_length,
                 context_bucket=cfg.context_bucket,
+                quantized=cfg.kv_bits is not None,
+                kv_bits=cfg.kv_bits or 8,
             )
             answers = out.get("answers", [out.get("answer")])
             df.loc[group.index, "predicted_answer"] = answers

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .cache import KVCache, resize, shrink
+from .cache import KVCache, resize
 from .models.llama import Runner
 from .presses.base import BasePress
 

@@ -151,8 +151,6 @@ def test_decode_compress_quantized_gathers_payload():
     """On an interval hit, decode_compress_quantized must produce EXACTLY the
     payload/scale rows the dense path keeps — a gather, not a requantization
     round-trip."""
-    import dataclasses as dc
-
     from kvpress_tpu.cache import dequantize_kv, quantize_kv
     from kvpress_tpu.presses.base import LayerCtx
 

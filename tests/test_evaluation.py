@@ -193,3 +193,35 @@ def test_duo_on_the_fly_scores_from_dataset(tmp_path):
     assert runner.press.head_scores is not None
     assert runner.press.head_scores.shape == (cfg.num_layers, cfg.num_kv_heads)
     assert runner.press.head_compression_ratio == 0.5
+
+
+def test_evaluation_runner_quantized_kv(tmp_path):
+    """kv_bits config drives the pipeline's int KV cache and lands in the
+    results-dir name (separate runs per cache width)."""
+    import pandas as pd
+
+    from evaluate import EvaluationConfig, EvaluationRunner
+
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    pipe = KVPressPipeline(Runner.create(cfg), params, ToyTokenizer(cfg.vocab_size))
+
+    ctx = " ".join(f"word{i}" for i in range(30))
+    df = pd.DataFrame({
+        "context": [ctx, ctx],
+        "question": ["q one ?", "q two ?"],
+        "answer_prefix": ["", ""],
+        "answer": [["word3"], ["word7"]],
+        "max_new_tokens": [5, 5],
+        "task": ["niah_1", "niah_1"],
+    })
+    config = EvaluationConfig(
+        dataset="ruler", press_name="knorm", compression_ratio=0.5,
+        output_dir=str(tmp_path), model="tiny", kv_bits=4,
+    )
+    assert "kv4" in str(config.results_dir())
+    runner = EvaluationRunner(config, pipeline=pipe, dataset_df=df)
+    metrics = runner.run()
+    assert "niah_1" in metrics
+    saved = pd.read_csv(config.results_dir() / "predictions.csv")
+    assert saved["predicted_answer"].notna().all()
