@@ -404,7 +404,7 @@ class KVPressPipeline:
             capacity=capacity, press=press,
             quantized=quantized, kv_bits=kv_bits,
             context_bucket=context_bucket, question_bucket=question_bucket,
-            eos_ids=eos, mesh=mesh,
+            eos_ids=eos, mesh=mesh, tokenizer=self.tokenizer,
         )
         outs = eng.run(reqs)
         answers = []

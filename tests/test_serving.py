@@ -389,3 +389,26 @@ def test_serving_tensor_parallel(tiny):
     answers = tp.run(reqs)
     for req, got in zip(reqs, answers):
         assert_generation_matches_ref(runner, params, press, req, got)
+
+
+def test_pipeline_batch_kvzip_and_decode_press(tiny):
+    """pipeline.batch forwards the tokenizer so KVzip multi-pass admission
+    works, and DecodingPress requests serve through the engine."""
+    from kvpress_tpu.pipeline import KVPressPipeline
+    from kvpress_tpu.presses import DecodingPress, KVzipPress
+    from toy_tokenizer import ToyTokenizer
+
+    cfg, params, runner = tiny
+    pipe = KVPressPipeline(runner, params, ToyTokenizer(cfg.vocab_size))
+    ctxs = [" ".join(f"tok{i}" for i in range(n)) for n in (30, 24)]
+
+    ans = pipe.batch(ctxs, questions=["what ?"] * 2,
+                     press=KVzipPress(compression_ratio=0.5, chunk_size=16),
+                     max_new_tokens=4, capacity=96, n_slots=2)
+    assert all(isinstance(a, str) and a for a in ans)
+
+    press = DecodingPress(base_press=KnormPress(), compression_interval=4,
+                          target_size=24, hidden_states_buffer_size=4)
+    ans2 = pipe.batch(ctxs, questions=["what ?"] * 2, press=press,
+                      max_new_tokens=6, n_slots=2)
+    assert all(isinstance(a, str) and a for a in ans2)
