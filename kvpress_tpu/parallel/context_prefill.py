@@ -198,6 +198,12 @@ def context_parallel_prefill(
     for the prefill and payload-width HBM reads for decode."""
     model_size = mesh.shape[model_axis] if model_axis is not None else 1
     mp = model_axis
+    assert press is None or not getattr(press, "rerotates", False), (
+        "key-rerotating presses (KeyRerotation/Finch) renumber kept keys to "
+        "contiguous positions PER SHARD — every shard would claim the same "
+        "position range, which the split-KV decode combine cannot reconcile. "
+        "Use them on the single-device pipeline or a (data, model) mesh."
+    )
 
     from .mesh import layer_param_specs
 

@@ -659,3 +659,15 @@ def test_quantized_shards_2d_sp_tp(setup):
     np.testing.assert_allclose(
         np.asarray(lg)[:, 0], np.asarray(lg_ref)[:, 0], atol=3e-4, rtol=2e-3
     )
+
+
+def test_rerotating_press_rejected(setup):
+    """Key-rerotating presses renumber positions per shard — clashing ranges
+    the split-KV combine can't reconcile; must fail loudly."""
+    from kvpress_tpu.presses import KeyRerotationPress
+
+    cfg, params, runner, ids, mesh = setup
+    press = KeyRerotationPress(press=KnormPress(compression_ratio=0.5))
+    with pytest.raises(AssertionError, match="rerotating"):
+        context_parallel_prefill(params, ids, runner=runner, press=press,
+                                 mesh=mesh)
