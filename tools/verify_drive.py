@@ -84,6 +84,44 @@ def main():
     outs = [pipe(ctx, question=q, max_new_tokens=4, press=KnormPress(0.5))
             for q in ("what is w1 ?", "what is w2 ?")]
     print(f"probe multi-question: {[o['answer'] for o in outs]}")
+
+    # decode-time compression over the int4 payload cache (dequant only on
+    # interval hits, payload-width gather — decode_compress_quantized)
+    from kvpress_tpu.presses import DecodingPress
+
+    t0 = time.perf_counter()
+    dpress = DecodingPress(base_press=KnormPress(), compression_interval=8,
+                           target_size=128, hidden_states_buffer_size=8)
+    out = pipe(ctx, question="what is w3 ?", max_new_tokens=24, press=dpress,
+               quantized=True, kv_bits=4)
+    print(f"step6 decoding-press-int4: answer={out['answer'][:40]!r} "
+          f"({time.perf_counter() - t0:.1f}s)")
+
+    # pressless long generation (resize-grow regression surface)
+    out = pipe(ctx, question="what is w3 ?", max_new_tokens=16)
+    print(f"probe pressless-generate: answer={out['answer'][:40]!r}")
+
+    # continuous batching with a per-slot decoding press
+    t0 = time.perf_counter()
+    answers = pipe.batch(
+        [ctx, ctx[: len(ctx) // 2]], questions=["what is w1 ?", "what is w2 ?"],
+        press=dpress, max_new_tokens=8, n_slots=2,
+    )
+    print(f"step7 serving+decode-press: {len(answers)} answers "
+          f"({time.perf_counter() - t0:.1f}s)")
+
+    # Gemma3-style sliding-window model end to end with a press
+    t0 = time.perf_counter()
+    scfg = kp.tiny_config(num_layers=4, sliding_window=64,
+                          rope_local_base_freq=10000.0,
+                          layer_is_sliding=tuple(i % 2 == 0 for i in range(4)))
+    sparams = kp.init_params(scfg, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
+    spipe = KVPressPipeline(kp.Runner.create(scfg), sparams,
+                            ToyTokenizer(scfg.vocab_size))
+    out = spipe(ctx, question="what is w3 ?", max_new_tokens=8,
+                press=KnormPress(0.5))
+    print(f"step8 sliding-window+press: answer={out['answer']!r} "
+          f"({time.perf_counter() - t0:.1f}s)")
     print("DRIVE OK")
 
 
