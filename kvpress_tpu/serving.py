@@ -222,9 +222,15 @@ def _decode_step(
             return xh, (ck, cv, nlen, cmask, cks, cvs)
 
         # ---- per-slot decode-phase compression (DecodingPress family) ----
+        # Ring buffers advance for LIVE slots only: a slot inserted by an
+        # in-flight admission (not yet live) must not shift a duplicate
+        # hidden state in during the dead step between insert and live.
         buf_size = pbuf.shape[1]
-        buf = jnp.concatenate([pbuf[:, 1:], h.astype(pbuf.dtype)], axis=1)
-        buf_len = jnp.minimum(pbuf_len + 1, buf_size)
+        shifted = jnp.concatenate([pbuf[:, 1:], h.astype(pbuf.dtype)], axis=1)
+        buf = jnp.where(live[:, None, None], shifted, pbuf)
+        buf_len = jnp.where(
+            live, jnp.minimum(pbuf_len + 1, buf_size), pbuf_len
+        )
         steps = psteps + live.astype(jnp.int32)
         target = decode_press.target_value_vec(sc.offsets, nlen)     # (N,)
         n_top = min(decode_press.target_bound(None, buf_size), C)
@@ -531,9 +537,12 @@ class ServingEngine:
 
     # ---------------- admission ---------------- #
 
-    def _prefill_request(self, req: Request) -> tuple[KVCache, int]:
-        """Press-compressed context prefill + question forward, re-bucketed
-        to the slot capacity. Returns (cache, first_token)."""
+    def _prefill_issue(self, req: Request):
+        """Dispatch a request's press-compressed prefill + question forward
+        + capacity re-bucket WITHOUT any host sync. Returns
+        ``(cache, kept_arr, first_arr)`` — all device values; the caller
+        fetches ``kept``/``first`` at completion time so the round-trip
+        overlaps decode compute (admission-time host overlap)."""
         runner, params = self.runner, self.params
         ctx = list(req.context_ids)
         valid = None
@@ -594,38 +603,57 @@ class ServingEngine:
                 params, qarr, cache, qvalid, runner=runner
             )
 
-        # ONE host sync per admission: fetch the post-compression length and
-        # the first token together (each device_get round-trip is ~25 ms on
-        # the tunneled backend and blocks the decode-issue loop).
-        kept, first = jax.device_get(
-            (jnp.max(cache.length), jnp.argmax(logits[0, -1]))
-        )
-        kept, first = int(kept), int(first)
-        assert kept + req.max_new_tokens + 1 <= self.capacity, (
-            f"request needs {kept + req.max_new_tokens + 1} slots, "
-            f"capacity is {self.capacity} — raise capacity or compress more"
-        )
+        # NO host sync here: kept/first stay on device (async-copied) and
+        # are fetched at completion time — the ~25 ms tunneled-backend
+        # round-trip (which also waits for the prefill itself to finish)
+        # then overlaps decode steps already in the device queue.
+        kept_arr = jnp.max(cache.length)
+        first_arr = jnp.argmax(logits[0, -1]).astype(jnp.int32)
         if cache.max_size > self.capacity:
             cache = shrink(cache, self.capacity)
         elif cache.max_size < self.capacity:
             cache = grow(cache, self.capacity - cache.max_size)
-        return cache, first
+        for a in (kept_arr, first_arr):
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        return cache, kept_arr, first_arr
 
-    def _admit(self, slot: int, req_idx: int, req: Request):
-        cache, first = self._prefill_request(req)
+    def _issue_admission(self, slot: int, req_idx: int, req: Request) -> dict:
+        """Dispatch the prefill and insert the compressed cache into the
+        slot — all device work, no host sync. The slot is NOT live yet."""
+        cache, kept_arr, first_arr = self._prefill_issue(req)
         self.sc = _insert_slot(self.sc, cache, jnp.asarray(slot, jnp.int32))
         if self.dp_state is not None:
             self.dp_state = _reset_slot_state(
                 self.dp_state, jnp.asarray(slot, jnp.int32)
             )
-        self.tokens = self.tokens.at[slot].set(first)
+        self.tokens = self.tokens.at[slot].set(first_arr)
+        return dict(slot=slot, req_idx=req_idx, req=req,
+                    kept=kept_arr, first=first_arr)
+
+    def _complete_admission(self, adm: dict):
+        """Fetch kept/first (the only host-visible admission state) and mark
+        the slot live. Runs after the next decode-step issue so the blocking
+        device_get overlaps queued decode compute."""
+        slot, req = adm["slot"], adm["req"]
+        kept, first = jax.device_get((adm["kept"], adm["first"]))
+        kept, first = int(kept), int(first)
+        assert kept + req.max_new_tokens + 1 <= self.capacity, (
+            f"request needs {kept + req.max_new_tokens + 1} slots, "
+            f"capacity is {self.capacity} — raise capacity or compress more"
+        )
         self.live[slot] = True
         st = self.slots[slot]
-        st.req_idx = req_idx
+        st.req_idx = adm["req_idx"]
         st.generated = [first]
         st.budget = req.max_new_tokens
         st.in_flight = 0
         st.done_at = 1 if first in self.eos_ids else None
+
+    def _admit(self, slot: int, req_idx: int, req: Request):
+        self._complete_admission(self._issue_admission(slot, req_idx, req))
 
     # ---------------- main loop ---------------- #
 
@@ -643,6 +671,8 @@ class ServingEngine:
         answers: list[Optional[list]] = [None] * len(requests)
         queue = list(range(len(requests)))
         pending: list[tuple[jax.Array, np.ndarray]] = []  # (tokens, live snapshot)
+        admits: list[dict] = []      # issued-but-not-completed admissions
+        reserved: set[int] = set()   # slots held by in-flight admissions
 
         def drain_one():
             toks, live_snap = pending.pop(0)
@@ -671,19 +701,25 @@ class ServingEngine:
         # Loop until every admitted request is *retired* (not merely until
         # pending drains — the final drain must still be followed by a
         # retirement sweep).
-        while queue or any(st.req_idx >= 0 for st in self.slots):
+        while queue or admits or any(st.req_idx >= 0 for st in self.slots):
             while len(pending) > self.fetch_lag:
                 drain_one()
             for s in range(self.n_slots):
                 st = self.slots[s]
                 if st.req_idx >= 0 and not self.live[s] and st.in_flight == 0:
                     finish(s)
+            # Admission-time host overlap: dispatch every free slot's prefill
+            # back-to-back with NO host sync (the device queue stays full);
+            # the blocking kept/first fetch happens in _complete_admission
+            # below, AFTER this iteration's decode-step issue, so the
+            # round-trip overlaps queued decode compute.
             for s in range(self.n_slots):
-                if self.slots[s].req_idx < 0 and queue:
+                if self.slots[s].req_idx < 0 and s not in reserved and queue:
                     idx = queue.pop(0)
-                    self._admit(s, idx, requests[idx])
+                    admits.append(self._issue_admission(s, idx, requests[idx]))
+                    reserved.add(s)
                     if progress:
-                        print(f"admitted request {idx} -> slot {s}",
+                        print(f"admitting request {idx} -> slot {s}",
                               flush=True)
             if any(self.live):
                 # A FRESH buffer every issue: jnp.asarray of a numpy array
@@ -708,6 +744,13 @@ class ServingEngine:
                         st.in_flight += 1
                         if len(st.generated) + st.in_flight >= st.budget:
                             self.live[s] = False   # budget fully issued
-            elif pending:
+            elif pending and not admits:
                 drain_one()
+            for adm in admits:
+                self._complete_admission(adm)
+                reserved.discard(adm["slot"])
+                if progress:
+                    print(f"admitted request {adm['req_idx']} -> "
+                          f"slot {adm['slot']}", flush=True)
+            admits.clear()
         return answers
