@@ -454,7 +454,14 @@ class KVPressPipeline:
         score_val = np.zeros((cfg.num_layers, 1, cfg.num_kv_heads, ctx_len), np.float32)
         score_val[..., : press.n_sink] = 1.0
 
+        # Dispatch every repeat-chunk forward back-to-back and fetch all the
+        # score arrays in ONE device_get at the end: a per-chunk np.asarray
+        # host sync drains the device queue between chunks (measured 39.1s
+        # vs 3.1s for the 8 passes at 16K on the tunneled chip —
+        # tools/probe_kvzip_cost.py). Rollback between passes is implicit:
+        # the pre-pass `cache` value is simply reused.
         start = prefix_len
+        spans, score_arrs = [], []
         for chunk, repeat in pairs:
             end = start + len(chunk)
             scorer = KVzipChunkScorer(
@@ -467,9 +474,11 @@ class KVPressPipeline:
                 self.params, rep, cache, state,
                 runner=self.runner, press=scorer,
             )
-            score_val[..., start:end] = np.asarray(out_state["scores"])
+            spans.append((start, end))
+            score_arrs.append(out_state["scores"])
             start = end
-            # Rollback is implicit: the pre-pass `cache` value is reused.
+        for (s, e), arr in zip(spans, jax.device_get(score_arrs)):
+            score_val[..., s:e] = arr
 
         # RestoreKV: one LoRA-adapted restore pass appends n restore-token
         # KV slots to the cache; eviction then runs budget-matched
