@@ -26,8 +26,90 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import ModelConfig
+
+
+def _field_fingerprint(v):
+    """Hashable content fingerprint of one press field value.
+
+    Arrays / pytrees-of-arrays (loaded artifacts: surrogates, gates, stats,
+    budget curves, head scores, LoRA weights) fingerprint by *content*;
+    plain Python values and nested presses hash by value already.
+    """
+    if v is None or isinstance(v, (int, float, bool, str, bytes, frozenset)):
+        return v
+    if isinstance(v, BasePress):
+        return v
+    if isinstance(v, dict):
+        return tuple(sorted((k, _field_fingerprint(x)) for k, x in v.items()))
+    if isinstance(v, (tuple, list)):
+        return tuple(_field_fingerprint(x) for x in v)
+    a = np.asarray(v)
+    return (a.shape, str(a.dtype), hash(a.tobytes()))
+
+
+def _field_equal(a, b):
+    """Exact value equality for press fields (array_equal for arrays — no
+    fingerprint-collision risk on the jit-cache __eq__ path)."""
+    if a is b:
+        return True
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() == b.keys() and all(_field_equal(a[k], b[k]) for k in a)
+    if isinstance(a, (tuple, list)) and isinstance(b, (tuple, list)):
+        return len(a) == len(b) and all(map(_field_equal, a, b))
+    if hasattr(a, "shape") or hasattr(b, "shape"):
+        try:
+            return np.array_equal(np.asarray(a), np.asarray(b))
+        except Exception:
+            return False
+    return a == b
+
+
+def content_hash_eq(cls):
+    """Class decorator: content-based ``__hash__``/``__eq__`` over all
+    dataclass fields for presses carrying loaded artifacts (arrays/pytrees,
+    which break the frozen-dataclass default hash).
+
+    Presses are STATIC jit arguments, so identity hashing (``id``) makes
+    every instance loaded from the same artifact a fresh jit cache key — a
+    silent full-model recompile per instance (minutes at 32K). The
+    fingerprint is computed once and cached on the instance; ``__eq__``
+    compares arrays exactly (array_equal), so a hash collision can never
+    alias two different artifacts onto one compiled program.
+    """
+
+    def _key(self):
+        k = self.__dict__.get("_content_key")
+        if k is None:
+            k = tuple(
+                (f.name, _field_fingerprint(getattr(self, f.name)))
+                for f in dataclasses.fields(self)
+            )
+            object.__setattr__(self, "_content_key", k)
+        return k
+
+    def __hash__(self):
+        h = self.__dict__.get("_content_hash")
+        if h is None:
+            h = hash((type(self).__name__, _key(self)))
+            object.__setattr__(self, "_content_hash", h)
+        return h
+
+    def __eq__(self, other):
+        if type(other) is not type(self):
+            return NotImplemented
+        if _key(self) != _key(other):
+            return False
+        return all(
+            _field_equal(getattr(self, f.name), getattr(other, f.name))
+            for f in dataclasses.fields(self)
+        )
+
+    cls.__hash__ = __hash__
+    cls.__eq__ = __eq__
+    return cls
 
 
 @jax.tree_util.register_dataclass

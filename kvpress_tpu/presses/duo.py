@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .base import BasePress, LayerCtx
+from .base import BasePress, LayerCtx, content_hash_eq
 
 
 def load_duo_head_scores(path: str) -> tuple[int, int, np.ndarray]:
@@ -86,18 +86,13 @@ def duo_attention_on_the_fly(runner, params, samples, q_len: int = 500) -> np.nd
     return scores
 
 
+@content_hash_eq
 @dataclasses.dataclass(frozen=True)
 class DuoAttentionPress(BasePress):
     head_compression_ratio: float = 0.0
     sink_size: int = 128
     recent_size: int = 256
     head_scores: Optional[np.ndarray] = None     # (L, H_kv), lower = prunable
-
-    def __hash__(self):
-        return id(self)
-
-    def __eq__(self, other):
-        return self is other
 
     def streaming_mask(self) -> np.ndarray:
         """(L, H_kv) bool — True marks streaming heads (reference :88-94)."""

@@ -16,20 +16,15 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from .base import BasePress, LayerCtx
+from .base import BasePress, LayerCtx, content_hash_eq
 from .expected_attention import ExpectedAttentionPress
 from ..rope import mean_rotation_matrix
 
 
+@content_hash_eq
 @dataclasses.dataclass(frozen=True)
 class ExpectedAttentionStatsPress(ExpectedAttentionPress):
     stats: Optional[dict] = None     # {"mu": (L,Hq,D), "cov": (L,Hq,D,D)}
-
-    def __hash__(self):
-        return id(self)
-
-    def __eq__(self, other):
-        return self is other
 
     def query_statistics(self, ctx: LayerCtx):
         assert self.stats is not None, (

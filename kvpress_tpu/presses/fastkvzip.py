@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .base import BasePress, LayerCtx
+from .base import BasePress, LayerCtx, content_hash_eq
 from .kvzip import KVzipPress
 
 
@@ -79,6 +79,7 @@ def init_random_gates(key, cfg, output_dim: int = 16, sink: int = 16) -> dict:
     }
 
 
+@content_hash_eq
 @dataclasses.dataclass(frozen=True)
 class FastKVzipPress(BasePress):
     compression_ratio: float = 0.0
@@ -90,12 +91,6 @@ class FastKVzipPress(BasePress):
 
     post_mask = True            # pipeline applies the cross-layer mask after prefill
     compresses_prefill = True   # scores collected during prefill
-
-    def __hash__(self):
-        return id(self)
-
-    def __eq__(self, other):
-        return self is other
 
     def init_state(self, cfg, batch, seq_len, dtype=None):
         return {

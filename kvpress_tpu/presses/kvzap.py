@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .base import LayerCtx, ScorerPress
+from .base import LayerCtx, ScorerPress, content_hash_eq
 
 
 def kvzap_apply(surrogate: dict, layer_idx, hidden: jax.Array) -> jax.Array:
@@ -40,15 +40,10 @@ def load_kvzap_model(path: str) -> dict:
     return {k: jnp.asarray(data[k]) for k in data.files}
 
 
+@content_hash_eq
 @dataclasses.dataclass(frozen=True)
 class KVzapPress(ScorerPress):
     surrogate: Optional[dict] = None       # stacked params pytree
-
-    def __hash__(self):
-        return id(self)
-
-    def __eq__(self, other):
-        return self is other
 
     def score(self, ctx: LayerCtx, keys, values):
         assert self.surrogate is not None, (

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .base import BasePress, LayerCtx, ScorerPress
+from .base import BasePress, LayerCtx, ScorerPress, content_hash_eq
 
 BIG = jnp.finfo(jnp.float32).max
 
@@ -26,6 +26,7 @@ def load_budget_curve(path: str) -> np.ndarray:
     return curve
 
 
+@content_hash_eq
 @dataclasses.dataclass(frozen=True)
 class LUKVPress(BasePress):
     press: ScorerPress = None
@@ -33,12 +34,6 @@ class LUKVPress(BasePress):
     sink: int = 4
     window: int = 1
     budget_curves: Optional[np.ndarray] = None     # [99, L, H_kv]
-
-    def __hash__(self):
-        return id(self)
-
-    def __eq__(self, other):
-        return self is other
 
     def __post_init__(self):
         assert isinstance(self.press, ScorerPress)

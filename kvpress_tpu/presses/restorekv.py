@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .base import content_hash_eq
 from .kvzip import KVzipPress
 
 LORA_TARGETS = ("wq", "wk", "wv", "wo", "wg", "wu", "wd")
@@ -74,17 +75,12 @@ def load_restore_artifacts(path: str):
     return embeddings, lora
 
 
+@content_hash_eq
 @dataclasses.dataclass(frozen=True)
 class RestoreKVPress(KVzipPress):
     restore_embeddings: Optional[jax.Array] = None    # (n_restore, E)
     lora: Optional[dict] = None
     lora_scaling: float = 2.0
-
-    def __hash__(self):
-        return id(self)
-
-    def __eq__(self, other):
-        return self is other
 
     @property
     def num_restore_tokens(self) -> int:

@@ -327,7 +327,13 @@ def _decode_step(
         key_scales=nks, value_scales=nvs,
         offsets=jnp.where(live, sc.offsets + 1, sc.offsets),
     )
-    return jnp.argmax(logits, axis=-1).astype(jnp.int32), nsc, dp_state
+    # Dead lanes keep their INPUT token: an in-flight admission stages the
+    # request's first token in tokens[slot] before the slot is live, and a
+    # decode step issued in between must not overwrite it with the dead
+    # lane's argmax (the slot's length/offset are frozen, so that first
+    # token's KV would never be committed once the slot comes live).
+    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jnp.where(live, nxt, tokens), nsc, dp_state
 
 
 @partial(jax.jit, static_argnames=("runner",))
@@ -616,8 +622,8 @@ class ServingEngine:
         for a in (kept_arr, first_arr):
             try:
                 a.copy_to_host_async()
-            except Exception:
-                pass
+            except (NotImplementedError, AttributeError):
+                pass  # backend lacks async copy; device_get later still works
         return cache, kept_arr, first_arr
 
     def _issue_admission(self, slot: int, req_idx: int, req: Request) -> dict:

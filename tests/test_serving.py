@@ -143,6 +143,28 @@ def test_serving_more_requests_than_slots_reuses(tiny):
         assert_generation_matches_ref(runner, params, None, req, got)
 
 
+def test_serving_staggered_admission_heterogeneous_budgets(tiny):
+    """Regression: decode steps issued while an admission is in flight must
+    not clobber the staged first token. With heterogeneous max_new_tokens,
+    slots retire out of lockstep, so a re-admission's _issue_admission →
+    _complete_admission window overlaps live decode steps; the dead lane's
+    argmax used to overwrite tokens[slot] (= the request's first token),
+    dropping that token's KV commit (advisor round 2, serving.py)."""
+    cfg, params, runner = tiny
+    rng = np.random.default_rng(3)
+    budgets = [4, 9, 5, 8, 3, 7]
+    reqs = []
+    for i, b in enumerate(budgets):
+        ctx = rng.permutation(cfg.vocab_size)[: 24 + 4 * i].tolist()
+        reqs.append(Request(ctx, [], max_new_tokens=b))
+    eng = ServingEngine(runner, params, n_slots=2, capacity=64,
+                        question_bucket=4, fetch_lag=3)
+    answers = eng.run(reqs)
+    for req, got in zip(reqs, answers):
+        assert got is not None and len(got) == req.max_new_tokens
+        assert_generation_matches_ref(runner, params, None, req, got)
+
+
 def test_serving_eos_trims_speculative(tiny):
     cfg, params, runner = tiny
     req = _mk_requests(cfg, [(32, 4)], n_new=12)[0]

@@ -24,15 +24,20 @@ from kvpress_tpu.serving import Request, ServingEngine
 from __graft_entry__ import flagship_config
 
 CTX = 8192
-N_REQ = 8
+N_REQ = 12          # > n_slots so the A/B exercises staggered admission
 NEW = 64
 
 
 class SyncEngine(ServingEngine):
-    """Old behavior: admission blocks (prefill + device_get) at issue time."""
+    """Old behavior: admission blocks (prefill + device_get) at issue time.
+
+    Calls the BASE issue/complete explicitly — ``self._admit`` would
+    dynamic-dispatch back into this override and recurse forever.
+    """
 
     def _issue_admission(self, slot, req_idx, req):
-        self._admit(slot, req_idx, req)
+        adm = ServingEngine._issue_admission(self, slot, req_idx, req)
+        ServingEngine._complete_admission(self, adm)
         return {"slot": slot, "req_idx": req_idx, "sync": True}
 
     def _complete_admission(self, adm):
@@ -46,12 +51,15 @@ def main():
     runner = Runner.create(cfg)
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
+    # Heterogeneous budgets: slots retire out of lockstep, so decode steps
+    # run while admissions are in flight (the staggered-admission path).
+    budgets = [NEW + 8 * (i % 3) for i in range(N_REQ)]
     reqs = [
-        Request(rng.integers(0, cfg.vocab_size, CTX).tolist(), [], NEW)
-        for _ in range(N_REQ)
+        Request(rng.integers(0, cfg.vocab_size, CTX).tolist(), [], budgets[i])
+        for i in range(N_REQ)
     ]
     press = KnormPress(compression_ratio=0.5)
-    capacity = press.n_kept(CTX) + NEW + 8
+    capacity = press.n_kept(CTX) + max(budgets) + 8
 
     results = {}
     for label, cls in (("sync   ", SyncEngine), ("overlap", ServingEngine),
