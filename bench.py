@@ -2,16 +2,23 @@
 
 Protocol mirrors the reference's speed/memory notebook methodology
 (notebooks/speed_and_memory.ipynb: prefill time, decode time, cache bytes,
-KnormPress at ratio 0.5) on a Llama-3.2-1B-class model, sized so the KV cache
-dominates HBM traffic (batch 4 × 32K context).
+KnormPress at ratio 0.5). Two lines:
+
+1. (continuity) Llama-3.2-1B-class, batch 4 x 32K — the round-1/2 headline.
+2. (north star, BASELINE.md:17) Llama-3.1-8B-class (32L/D128, int8 weights
+   — bf16 8B weights are 14.5 GB and cannot serve long context on a 16 GB
+   v5e at all), batch 1 x 32K.
 
 Decode is timed as chained single-token steps (sequential dependency forces
-real execution on the async backend). Prints ONE JSON line; vs_baseline is
-the decode-throughput speedup over the uncompressed cache (reference north
-star: >=1.9x at ratio 0.5 when KV-bound, BASELINE.md)."""
+real execution on the async backend), >=3 repetitions x >=128 steps; the
+JSON carries the MEDIAN and the spread (max-min over median) so
+round-over-round comparisons can be read against the documented ±10-20%
+chip/tunnel variance. vs_baseline = median compressed / median uncompressed
+throughput (reference north star >=1.9x at ratio 0.5 when KV-bound)."""
 
 import functools
 import json
+import statistics
 import time
 
 import jax
@@ -19,24 +26,25 @@ import jax.numpy as jnp
 
 from kvpress_tpu import KnormPress, Runner, init_params
 from kvpress_tpu.cache import shrink
+from kvpress_tpu.models.llama import init_params_int8, quantize_params_int8
 
 from __graft_entry__ import flagship_config
 
-BATCH = 4
 CTX = 32768
-DECODE_STEPS = 32
+DECODE_STEPS = 128
+REPS = 3
 RATIO = 0.5
 
 
-def main():
-    cfg = flagship_config(num_layers=16)
-    runner = Runner.create(cfg)
-    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    ids = jax.random.randint(
-        jax.random.PRNGKey(1), (BATCH, CTX), 0, cfg.vocab_size
-    )
+def bench_model(runner, params, batch, press, quantized_params_fn=None):
+    """Median decode tok/s for baseline (uncompressed bf16 KV) and the full
+    stack (press + int4 KV), sharing compiled steps across reps."""
+    cfg = runner.cfg
+    ids = jax.random.randint(jax.random.PRNGKey(1), (batch, CTX), 0,
+                             cfg.vocab_size)
 
-    @functools.partial(jax.jit, static_argnames=("press", "quantized", "kv_bits"))
+    @functools.partial(jax.jit,
+                       static_argnames=("press", "quantized", "kv_bits"))
     def prefill(params, ids, press=None, quantized=False, kv_bits=8):
         _, cache, _ = runner.prefill(
             params, ids, press=press, quantized=quantized, kv_bits=kv_bits
@@ -45,7 +53,8 @@ def main():
 
     @jax.jit
     def step(params, tok, cache):
-        logits, cache, _ = runner.forward(params, tok, cache, logits_last_only=True)
+        logits, cache, _ = runner.forward(params, tok, cache,
+                                          logits_last_only=True)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
     def run(press, keep, quantized=False, kv_bits=8, wparams=None):
@@ -56,32 +65,65 @@ def main():
         tok = ids[:, -1:]
         tok, cache = step(wparams, tok, cache)          # compile + warm
         jax.device_get(tok)
-        t0 = time.perf_counter()
-        for _ in range(DECODE_STEPS):
-            tok, cache = step(wparams, tok, cache)
-        jax.device_get(tok)                             # chain forces execution
-        dt = time.perf_counter() - t0
-        return BATCH * DECODE_STEPS / dt
+        rates = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            for _ in range(DECODE_STEPS):
+                tok, cache = step(wparams, tok, cache)
+            jax.device_get(tok)                         # chain forces execution
+            rates.append(batch * DECODE_STEPS / (time.perf_counter() - t0))
+        return rates
 
-    press = KnormPress(compression_ratio=RATIO)
-    tps_base = run(None, CTX)
-    # Headline: the full compression stack — Knorm 0.5 + int4 KV cache
-    # decoded through quant_gqa_attention (payload-width HBM reads;
-    # reference README.md:166-181 quanto counterpart) + int8 weights (the
-    # reference's FP8-model flag, evaluate.py:370-372; tools/
-    # bench_weight_int8.py for the component sweep). Baseline = bf16
-    # weights + uncompressed bf16 cache.
-    from kvpress_tpu.models.llama import quantize_params_int8
+    base = run(None, CTX)
+    wq = quantized_params_fn() if quantized_params_fn is not None else params
+    comp = run(press, press.n_kept(CTX), quantized=True, kv_bits=4, wparams=wq)
+    return base, comp
 
-    tps_comp = run(press, press.n_kept(CTX), quantized=True, kv_bits=4,
-                   wparams=quantize_params_int8(params))
 
+def emit(metric, base, comp):
+    mb, mc = statistics.median(base), statistics.median(comp)
     print(json.dumps({
-        "metric": f"decode_tok_s_1B_b{BATCH}_{CTX//1024}k_ratio{RATIO}_int4_wint8",
-        "value": round(tps_comp, 2),
+        "metric": metric,
+        "value": round(mc, 2),
         "unit": "tok/s",
-        "vs_baseline": round(tps_comp / tps_base, 3),
-    }))
+        "vs_baseline": round(mc / mb, 3),
+        "reps": len(comp),
+        "decode_steps": DECODE_STEPS,
+        "spread": round((max(comp) - min(comp)) / mc, 3),
+        "baseline_tok_s": round(mb, 2),
+        "baseline_spread": round((max(base) - min(base)) / mb, 3),
+    }), flush=True)
+
+
+def main():
+    press = KnormPress(compression_ratio=RATIO)
+
+    # Line 1 (continuity): 1B-class, b4/32K. Headline stack = Knorm 0.5 +
+    # int4 KV through quant_gqa_attention + int8 weights; baseline = bf16
+    # weights + uncompressed bf16 cache (reference README.md:166-181 quanto
+    # counterpart; FP8-model flag, evaluate.py:370-372).
+    cfg = flagship_config(num_layers=16)
+    runner = Runner.create(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    base, comp = bench_model(
+        runner, params, batch=4, press=press,
+        quantized_params_fn=lambda: quantize_params_int8(params),
+    )
+    emit(f"decode_tok_s_1B_b4_{CTX//1024}k_ratio{RATIO}_int4_wint8",
+         base, comp)
+    del params, runner
+
+    # Line 2 (north star): 8B-class (Llama-3.1-8B body, vocab 32768 so
+    # embed+head fit — tools/bench_8b.py documents the 16 GB sizing), b1/32K.
+    # int8 weights for BOTH arms: bf16 8B weights alone are 14.5 GB.
+    from tools.bench_8b import llama31_8b_config
+
+    cfg8 = llama31_8b_config()
+    runner8 = Runner.create(cfg8)
+    params8 = init_params_int8(cfg8, jax.random.PRNGKey(0))
+    base8, comp8 = bench_model(runner8, params8, batch=1, press=press)
+    emit(f"decode_tok_s_8B_b1_{CTX//1024}k_ratio{RATIO}_int4_wint8",
+         base8, comp8)
 
 
 if __name__ == "__main__":

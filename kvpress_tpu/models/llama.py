@@ -136,6 +136,58 @@ def quantize_params_int8(params: dict, include_embeddings: bool = False) -> dict
     return out
 
 
+def init_params_int8(cfg: ModelConfig, key: jax.Array,
+                     dtype=jnp.bfloat16) -> dict:
+    """Random init DIRECTLY in int8 payload + per-channel scale form.
+
+    For benchmarking at scales where a bf16 init + quantize round-trip does
+    not fit HBM (an 8B-class model is 14.5 GB bf16 + 7.25 GB int8 during
+    conversion on a 16 GB chip). Matches the layout quantize_params_int8
+    produces, so the same Runner serves it; ``dtype`` sets the compute dtype
+    via the norm weights. Reference scale analogue:
+    notebooks/speed_and_memory.ipynb measures Llama-3.1-8B."""
+    E, F, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    Hq, Hkv, D, V = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, cfg.vocab_size
+    ks = jax.random.split(key, 16)
+
+    def qinit(k, shape, scale=0.02):
+        payload = jax.random.randint(k, shape, -127, 128, jnp.int8)
+        s = jnp.full((shape[0], 1, shape[2]), scale / 127.0, jnp.float32)
+        return payload, s
+
+    layers = {}
+    for i, name in enumerate(("wq", "wk", "wv", "wo", "wg", "wu", "wd")):
+        shape = {
+            "wq": (L, E, Hq * D), "wk": (L, E, Hkv * D), "wv": (L, E, Hkv * D),
+            "wo": (L, Hq * D, E), "wg": (L, E, F), "wu": (L, E, F),
+            "wd": (L, F, E),
+        }[name]
+        layers[name], layers[name + "_scale"] = qinit(ks[i], shape)
+    layers["ln1"] = jnp.ones((L, E), dtype)
+    layers["ln2"] = jnp.ones((L, E), dtype)
+    if cfg.attention_bias:
+        layers["bq"] = jnp.zeros((L, Hq * D), dtype)
+        layers["bk"] = jnp.zeros((L, Hkv * D), dtype)
+        layers["bv"] = jnp.zeros((L, Hkv * D), dtype)
+    if cfg.qk_norm:
+        layers["q_norm"] = jnp.ones((L, D), dtype)
+        layers["k_norm"] = jnp.ones((L, D), dtype)
+    if cfg.post_norms:
+        layers["ln1_post"] = jnp.ones((L, E), dtype)
+        layers["ln2_post"] = jnp.ones((L, E), dtype)
+    params = {
+        "embed": (jax.random.normal(ks[7], (V, E), jnp.float32) * 0.02
+                  ).astype(dtype),
+        "ln_f": jnp.ones((E,), dtype),
+        "layers": layers,
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = (
+            jax.random.normal(ks[8], (E, V), jnp.float32) * 0.02
+        ).astype(dtype)
+    return params
+
+
 def param_dtype(params: dict):
     """The model's compute dtype — read from a norm weight, NOT the embedding
     (which may be int8-quantized)."""

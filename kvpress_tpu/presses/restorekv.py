@@ -56,8 +56,10 @@ def init_random_lora(key, cfg, rank: int = 8, targets=("wq", "wk", "wv", "wo")):
     return lora
 
 
-def save_restore_artifacts(path: str, embeddings, lora: dict) -> None:
-    flat = {"restore_embeddings": np.asarray(embeddings)}
+def save_restore_artifacts(path: str, embeddings, lora: dict,
+                           scaling: float = 2.0) -> None:
+    flat = {"restore_embeddings": np.asarray(embeddings),
+            "lora_scaling": np.asarray(scaling, np.float32)}
     for name, ab in lora.items():
         flat[f"lora_{name}_a"] = np.asarray(ab["a"])
         flat[f"lora_{name}_b"] = np.asarray(ab["b"])
@@ -65,14 +67,17 @@ def save_restore_artifacts(path: str, embeddings, lora: dict) -> None:
 
 
 def load_restore_artifacts(path: str):
+    """→ (embeddings, lora, scaling) — scaling is PEFT's lora_alpha/r
+    (reference loads it from adapter_config.json via model.load_adapter)."""
     d = np.load(path)
     embeddings = jnp.asarray(d["restore_embeddings"])
+    scaling = float(d["lora_scaling"]) if "lora_scaling" in d.files else 2.0
     lora = {}
     for k in d.files:
         if k.startswith("lora_") and k.endswith("_a"):
             name = k[len("lora_"):-2]
             lora[name] = {"a": jnp.asarray(d[k]), "b": jnp.asarray(d[f"lora_{name}_b"])}
-    return embeddings, lora
+    return embeddings, lora, scaling
 
 
 @content_hash_eq

@@ -131,9 +131,9 @@ def _press_pairs(tmp_path):
     save_restore_artifacts(p2, emb, lora2)
 
     def mk_rkv(path):
-        e, lo = load_restore_artifacts(path)
+        e, lo, sc = load_restore_artifacts(path)
         return RestoreKVPress(compression_ratio=0.5, restore_embeddings=e,
-                              lora=lo)
+                              lora=lo, lora_scaling=sc)
 
     out.append(("restorekv", mk_rkv(p), mk_rkv(p), mk_rkv(p2)))
     return out

@@ -1,0 +1,181 @@
+"""North-star measurement (BASELINE.md:17): Llama-3.1-8B-class model on one
+v5e chip — prefill+compress and decode at the longest contexts that fit.
+
+Architecture = Llama-3.1-8B's body exactly (32L, E=4096, F=14336, GQA 32/8,
+D=128, rope 500k) with the vocab trimmed 128256→32768 (embed+head are a
+memory concession, not a compute-path change; 7.25B params ≈ 8B-class).
+Reference protocol: notebooks/speed_and_memory.ipynb (A100-80GB, Llama-3.1-8B,
+prefill time + generation time + cache bytes, KnormPress sweep).
+
+16 GB HBM sizing (measured, round 3):
+- bf16 weights (14.5 GB) cannot serve ANY long context on one chip — int8
+  weights (7.25 GB, the reference's FP8-model analogue) are the baseline.
+- non-donated decode steps COPY the cache every step (input buffers are
+  caller-owned), so paired-baseline residency = weights + 2×bf16 cache:
+  tops out near 24K. A donated step halves that (measure both — donation
+  serialized dispatch on the 1B model, CLAUDE.md, but the tradeoff is
+  model-size dependent).
+- beyond the paired limit, contexts are measured compressed-only: on this
+  chip compression *enables* them, there is nothing to compare against.
+
+Usage: python tools/bench_8b.py [--ctx 16384 24576] [--steps 64] [--reps 3]
+"""
+
+import argparse
+import functools
+import json
+import pathlib
+import statistics
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+from kvpress_tpu import KnormPress, Runner
+from kvpress_tpu.cache import shrink
+from kvpress_tpu.config import ModelConfig
+from kvpress_tpu.models.llama import init_params_int8
+
+
+def llama31_8b_config(vocab_size: int = 32768) -> ModelConfig:
+    """Llama-3.1-8B body (vocab trimmed to fit embed+head on 16 GB)."""
+    return ModelConfig(
+        vocab_size=vocab_size,
+        hidden_size=4096,
+        intermediate_size=14336,
+        num_layers=32,
+        num_heads=32,
+        num_kv_heads=8,
+        head_dim=128,
+        rope_theta=500000.0,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ctx", type=int, nargs="+", default=[16384, 24576])
+    ap.add_argument("--ctx-compressed-only", type=int, nargs="+",
+                    default=[32768, 65536, 131072])
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--ratio", type=float, default=0.5)
+    ap.add_argument("--donate", action="store_true",
+                    help="also time a cache-donating decode step")
+    args = ap.parse_args()
+
+    cfg = llama31_8b_config()
+    runner = Runner.create(cfg)
+    t0 = time.perf_counter()
+    params = init_params_int8(cfg, jax.random.PRNGKey(0))
+    jax.block_until_ready(params["layers"]["wd"])
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"init int8 params: {n_params/1e9:.2f}B in "
+          f"{time.perf_counter()-t0:.1f}s", flush=True)
+
+    @functools.partial(
+        jax.jit, static_argnames=("press", "quantized", "kv_bits", "max_size"))
+    def prefill(params, ids, press=None, quantized=False, kv_bits=8,
+                max_size=None):
+        _, cache, _ = runner.prefill(
+            params, ids, press=press, quantized=quantized, kv_bits=kv_bits,
+            max_size=max_size,
+        )
+        return cache
+
+    @jax.jit
+    def step(params, tok, cache):
+        logits, cache, _ = runner.forward(params, tok, cache,
+                                          logits_last_only=True)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def step_donated(params, tok, cache):
+        logits, cache, _ = runner.forward(params, tok, cache,
+                                          logits_last_only=True)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+    def time_decode(step_fn, tok, cache):
+        tok, cache = step_fn(params, tok, cache)         # compile + warm
+        jax.device_get(tok)
+        rates = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                tok, cache = step_fn(params, tok, cache)
+            jax.device_get(tok)
+            rates.append(args.steps / (time.perf_counter() - t0))
+        return statistics.median(rates), rates, cache
+
+    def run(ctx, press, quantized=False, kv_bits=8, label=""):
+        keep = press.n_kept(ctx) if press is not None else ctx
+        room = keep + (args.reps + 1) * args.steps + 8
+        ids = jax.random.randint(jax.random.PRNGKey(1), (1, ctx), 0,
+                                 cfg.vocab_size)
+        kw = dict(press=press, quantized=quantized, kv_bits=kv_bits,
+                  # baseline: preallocate decode room — a later grow would
+                  # transiently double the bf16 cache. compressed: prefill
+                  # at ctx (compression needs all slots), shrink after (the
+                  # int4 copy is small and the smaller buffer IS the win).
+                  max_size=room if press is None else None)
+        cache = prefill(params, ids, **kw)
+        jax.block_until_ready(cache.keys)
+        del cache                      # never hold two caches across reruns
+        tp0 = time.perf_counter()
+        cache = prefill(params, ids, **kw)
+        jax.block_until_ready(cache.keys)
+        t_pre = time.perf_counter() - tp0
+        if press is not None:
+            cache = shrink(cache, room)
+        kv_bytes = cache.keys.size * cache.keys.dtype.itemsize * 2
+        tok = ids[:, -1:]
+        med, rates, cache = time_decode(step, tok, cache)
+        print(f"{label:26s} ctx={ctx//1024:4d}K prefill {t_pre:6.2f}s "
+              f"({ctx / t_pre:7.0f} tok/s) decode med {med:6.1f} tok/s "
+              f"(reps {['%.1f' % r for r in rates]}) "
+              f"kv {kv_bytes/2**30:.2f} GiB", flush=True)
+        if args.donate:
+            medd, ratesd, cache = time_decode(step_donated, tok, cache)
+            print(f"{'':26s}   donated decode med {medd:6.1f} tok/s "
+                  f"(reps {['%.1f' % r for r in ratesd]})", flush=True)
+        del cache
+        return med, t_pre
+
+    press = KnormPress(compression_ratio=args.ratio)
+    results = {}
+    for ctx in args.ctx:
+        base = comp = None
+        try:
+            base, _ = run(ctx, None, label="baseline bf16-KV")
+        except Exception as e:
+            print(f"baseline ctx={ctx}: FAILED ({type(e).__name__}: "
+                  f"{str(e)[:200]})", flush=True)
+        try:
+            comp, _ = run(ctx, press, quantized=True, kv_bits=4,
+                          label=f"knorm{args.ratio}+int4KV")
+        except Exception as e:
+            print(f"compressed ctx={ctx}: FAILED ({type(e).__name__}: "
+                  f"{str(e)[:200]})", flush=True)
+        if base and comp:
+            results[ctx] = (base, comp, comp / base)
+            print(f"  => ctx={ctx//1024}K speedup {comp/base:.2f}x", flush=True)
+
+    for ctx in args.ctx_compressed_only:
+        try:
+            run(ctx, press, quantized=True, kv_bits=4,
+                label=f"knorm{args.ratio}+int4KV (no-baseline)")
+        except Exception as e:
+            print(f"compressed-only ctx={ctx}: FAILED ({type(e).__name__}: "
+                  f"{str(e)[:200]})", flush=True)
+
+    print(json.dumps({"results": {
+        str(k): {"base": round(b, 1), "comp": round(c, 1),
+                 "speedup": round(s, 3)}
+        for k, (b, c, s) in results.items()
+    }}))
+
+
+if __name__ == "__main__":
+    main()
