@@ -81,18 +81,34 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.float32) -> dict:
 
 
 def _lin(h: jax.Array, layer: dict, name: str) -> jax.Array:
-    """h @ layer[name], reading int8-quantized weights directly when present.
+    """h @ layer[name], reading int8/int4-quantized weights directly.
 
     Weight-int8 is the TPU-native counterpart of the reference's FP8 models
     (evaluate.py:370-372, FineGrainedFP8Config): v5e has no fp8 MXU, but XLA
     fuses the int8→bf16 convert into the dot's operand read (measured on the
     KV path, tools/probe_quant_xla.py), so int8 weights halve the weight HBM
     traffic that bounds decode. Scales are per-output-channel:
-    ``w ≈ w_int8 * scale[None, :]`` and ``(h @ w_int8) * scale``."""
+    ``w ≈ w_int8 * scale[None, :]`` and ``(h @ w_int8) * scale``.
+
+    Weight-int4 (uint8 payload) packs contraction-dim halves into nibbles
+    — concatenated halves like the int4 KV cache (cache.py:111-114) — and
+    computes two scaled half-width dots with per-half, per-output-channel
+    scales (2-group quantization, nearly free). Native-s4 dots miscompile on
+    the axon backend (CLAUDE.md round-2 warning); unpack→astype→dot is the
+    fastest *correct* path."""
     w = layer[name]
     scale = layer.get(name + "_scale")
     if scale is None:
         return h @ w
+    if w.dtype == jnp.uint8:               # int4: (in/2, out) nibble-packed
+        E2 = w.shape[-2]
+        lo = (w & 0xF).astype(h.dtype) - jnp.asarray(8, h.dtype)
+        hi = (w >> 4).astype(h.dtype) - jnp.asarray(8, h.dtype)
+        s_lo, s_hi = scale[..., 0, :], scale[..., 1, :]     # (..., out)
+        return (
+            (h[..., :E2] @ lo) * s_lo.astype(h.dtype)
+            + (h[..., E2:] @ hi) * s_hi.astype(h.dtype)
+        )
     return (h @ w.astype(h.dtype)) * scale.astype(h.dtype)
 
 
@@ -136,21 +152,72 @@ def quantize_params_int8(params: dict, include_embeddings: bool = False) -> dict
     return out
 
 
+def dequant_weight(layer: dict, name: str, dtype=jnp.float32) -> jax.Array:
+    """Full-precision view of one (possibly int8/int4-quantized) weight
+    matrix — for press scoring that needs the actual matrix (CriticalKV's
+    ‖Wo·v‖, KVzip+ normalization), where scales must be applied (payload
+    values alone are per-channel mis-scaled). Works on a per-layer slice
+    (inside the layer scan) or the stacked (L, …) form."""
+    w = layer[name]
+    scale = layer.get(name + "_scale")
+    if scale is None:
+        return w.astype(dtype)
+    if w.dtype == jnp.uint8:              # int4 concat-halves (see _lin)
+        eight = jnp.asarray(8, dtype)
+        lo = ((w & 0xF).astype(dtype) - eight) * scale[..., 0, :].astype(dtype)[..., None, :]
+        hi = ((w >> 4).astype(dtype) - eight) * scale[..., 1, :].astype(dtype)[..., None, :]
+        return jnp.concatenate([lo, hi], axis=-2)
+    return w.astype(dtype) * scale.astype(dtype)
+
+
+def quantize_params_int4(params: dict) -> dict:
+    """Per-output-channel, per-contraction-half int4 quantization of the
+    layer matmuls (norms/embeddings stay as-is — compose with
+    quantize_params_int8(include_embeddings=True) applied FIRST for int8
+    embeddings). Payload layout matches the int4 KV cache: contraction-dim
+    halves packed as nibbles in uint8 (cache.py:111-114); scales are
+    (L, 2, out) — one per half. Counterpart of quanto int4 *weights*
+    (beyond the reference's FP8-weights flag, evaluate.py:370-372)."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in ("wq", "wk", "wv", "wo", "wg", "wu", "wd"):
+        w = layers[name]
+        if w.dtype == jnp.int8:           # already int8: dequant first
+            w = w.astype(jnp.float32) * layers[name + "_scale"]
+        w = w.astype(jnp.float32)                            # (L, in, out)
+        I2 = w.shape[1] // 2
+        halves = jnp.stack([w[:, :I2], w[:, I2:]], axis=1)   # (L, 2, I2, out)
+        amax = jnp.max(jnp.abs(halves), axis=2)              # (L, 2, out)
+        scale = jnp.maximum(amax / 7.0, 1e-8)
+        q = jnp.clip(jnp.round(halves / scale[:, :, None]), -8, 7) + 8
+        q = q.astype(jnp.uint8)
+        layers[name] = q[:, 0] | (q[:, 1] << 4)              # (L, in/2, out)
+        layers[name + "_scale"] = scale.astype(jnp.float32)
+    out["layers"] = layers
+    return out
+
+
 def init_params_int8(cfg: ModelConfig, key: jax.Array,
-                     dtype=jnp.bfloat16) -> dict:
-    """Random init DIRECTLY in int8 payload + per-channel scale form.
+                     dtype=jnp.bfloat16, bits: int = 8) -> dict:
+    """Random init DIRECTLY in int8/int4 payload + per-channel scale form.
 
     For benchmarking at scales where a bf16 init + quantize round-trip does
     not fit HBM (an 8B-class model is 14.5 GB bf16 + 7.25 GB int8 during
-    conversion on a 16 GB chip). Matches the layout quantize_params_int8
-    produces, so the same Runner serves it; ``dtype`` sets the compute dtype
-    via the norm weights. Reference scale analogue:
+    conversion on a 16 GB chip). Matches the layout quantize_params_int8 /
+    quantize_params_int4 produce, so the same Runner serves it; ``dtype``
+    sets the compute dtype via the norm weights. Reference scale analogue:
     notebooks/speed_and_memory.ipynb measures Llama-3.1-8B."""
     E, F, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
     Hq, Hkv, D, V = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, cfg.vocab_size
     ks = jax.random.split(key, 16)
 
     def qinit(k, shape, scale=0.02):
+        if bits == 4:
+            payload = jax.random.randint(
+                k, (shape[0], shape[1] // 2, shape[2]), 0, 256, jnp.int32
+            ).astype(jnp.uint8)
+            s = jnp.full((shape[0], 2, shape[2]), scale / 7.0, jnp.float32)
+            return payload, s
         payload = jax.random.randint(k, shape, -127, 128, jnp.int8)
         s = jnp.full((shape[0], 1, shape[2]), scale / 127.0, jnp.float32)
         return payload, s

@@ -433,6 +433,11 @@ def context_parallel_decode_step(
         and cfg.num_heads % n_seq == 0
         and cfg.num_kv_heads % n_seq == 0
         and cfg.intermediate_size % n_seq == 0
+        # int4 weights pack contraction-dim halves into nibbles (models/
+        # llama.py _lin): the manual row split in _local_decode would slice
+        # PACKED rows, pairing wrong lo/hi channels — fall back to
+        # replicated compute (int8/bf16 weights keep the seq-tp read split).
+        and params["layers"]["wo"].dtype != jnp.uint8
     )
 
     from .mesh import layer_param_specs
@@ -545,6 +550,11 @@ def context_parallel_generate_fused(
         and cfg.num_heads % n_seq == 0
         and cfg.num_kv_heads % n_seq == 0
         and cfg.intermediate_size % n_seq == 0
+        # int4 weights pack contraction-dim halves into nibbles (models/
+        # llama.py _lin): the manual row split in _local_decode would slice
+        # PACKED rows, pairing wrong lo/hi channels — fall back to
+        # replicated compute (int8/bf16 weights keep the seq-tp read split).
+        and params["layers"]["wo"].dtype != jnp.uint8
     )
 
     from .mesh import layer_param_specs

@@ -149,7 +149,9 @@ class KVzipChunkScorer(BasePress):
         if self.plus:
             h_norm = jnp.linalg.norm(ctx.hidden.astype(jnp.float32), axis=-1)  # (B,T)
             attn = attn / h_norm[:, None, None, :, None]
-            Wo = ctx.layer_params["wo"].astype(jnp.float32).reshape(
+            from ..models.llama import dequant_weight
+
+            Wo = dequant_weight(ctx.layer_params, "wo", jnp.float32).reshape(
                 Hkv, G, D, cfg.hidden_size
             )
             vs = sub(values).astype(jnp.float32)                 # (B,Hkv,n_sub,D)

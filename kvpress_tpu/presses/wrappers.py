@@ -160,7 +160,11 @@ class CriticalKVPress(WrappedScorerMixin, BasePress):
         cfg = ctx.cfg
         Hq = cfg.num_heads
         G = Hq // Hkv
-        Wo = ctx.layer_params["wo"].reshape(Hq, D, cfg.hidden_size)
+        from ..models.llama import dequant_weight
+
+        Wo = dequant_weight(ctx.layer_params, "wo", jnp.float32).reshape(
+            Hq, D, cfg.hidden_size
+        )
         v = jnp.broadcast_to(values[:, :, None], (B, Hkv, G, S, D)).reshape(B, Hq, S, D)
         wov = jnp.einsum(
             "bhsd,hde->bhse", v.astype(jnp.float32), Wo.astype(jnp.float32)

@@ -435,6 +435,7 @@ class ServingEngine:
         eos_ids: tuple = (),
         mesh=None,                  # tensor-parallel serving over ("data","model")
         tokenizer=None,             # required for KVzip-family multi-pass
+        schedule: str = "fifo",     # "fifo" | "sjf" (shortest job first)
     ):
         # Decode-phase compression: a DecodingPress (or the decoding half of
         # a PrefillDecodingPress) compresses every slot independently inside
@@ -483,6 +484,8 @@ class ServingEngine:
         self.context_bucket = context_bucket
         self.question_bucket = question_bucket
         self.fetch_lag = max(1, fetch_lag)
+        assert schedule in ("fifo", "sjf"), schedule
+        self.schedule = schedule
         self.eos_ids = set(int(e) for e in eos_ids)
         from .models.llama import param_dtype
 
@@ -542,6 +545,18 @@ class ServingEngine:
         self.slots = [_SlotState() for _ in range(n_slots)]
 
     # ---------------- admission ---------------- #
+
+    def _slots_needed(self, req: Request) -> int:
+        """Static upper bound on the cache slots this request occupies once
+        admitted: kept context (press.max_kept) + question tokens + the
+        token budget + the final-logits slot."""
+        bound = (
+            self.press.max_kept(len(req.context_ids), self.runner.cfg)
+            if self.press is not None else len(req.context_ids)
+        )
+        if self.runner.cfg.sliding_window is not None:
+            bound = len(req.context_ids)   # sliding layers keep everything
+        return bound + len(req.question_ids) + req.max_new_tokens + 1
 
     def _prefill_issue(self, req: Request):
         """Dispatch a request's press-compressed prefill + question forward
@@ -674,6 +689,22 @@ class ServingEngine:
         between an eos being generated and observed land beyond the answer
         and are trimmed.
         """
+        # max_new_tokens-aware admission: reject requests that cannot fit a
+        # slot BEFORE any device work — the completion-time capacity assert
+        # below fires after the over-budget cache is already in the slot
+        # pool and leaves the engine unusable (advisor r2). The static
+        # bound (press.max_kept) is conservative: a rejected request *might*
+        # have fit after compression — raise capacity or compress more.
+        too_big = [
+            i for i, r in enumerate(requests)
+            if self._slots_needed(r) > self.capacity
+        ]
+        if too_big:
+            raise ValueError(
+                f"requests {too_big} cannot fit capacity={self.capacity}: "
+                "static bound kept + question + max_new_tokens + 1 exceeds "
+                "the slot — raise capacity or compress more"
+            )
         answers: list[Optional[list]] = [None] * len(requests)
         queue = list(range(len(requests)))
         pending: list[tuple[jax.Array, np.ndarray]] = []  # (tokens, live snapshot)
@@ -721,7 +752,19 @@ class ServingEngine:
             # round-trip overlaps queued decode compute.
             for s in range(self.n_slots):
                 if self.slots[s].req_idx < 0 and s not in reserved and queue:
-                    idx = queue.pop(0)
+                    if self.schedule == "sjf":
+                        # shortest job first: smallest token budget wins
+                        # (tie-break on context length — shorter prefill)
+                        pos = min(
+                            range(len(queue)),
+                            key=lambda j: (
+                                requests[queue[j]].max_new_tokens,
+                                len(requests[queue[j]].context_ids),
+                            ),
+                        )
+                    else:
+                        pos = 0
+                    idx = queue.pop(pos)
                     admits.append(self._issue_admission(s, idx, requests[idx]))
                     reserved.add(s)
                     if progress:

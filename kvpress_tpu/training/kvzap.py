@@ -63,7 +63,11 @@ class KVzipScoreCollector(BasePress):
         h_norm = jnp.linalg.norm(ctx.hidden.astype(jnp.float32), axis=-1)  # (B,S)
         scores = attn / h_norm[:, None, :, None]
 
-        Wo = ctx.layer_params["wo"].astype(jnp.float32).reshape(Hq, D, cfg.hidden_size)
+        from ..models.llama import dequant_weight
+
+        Wo = dequant_weight(ctx.layer_params, "wo", jnp.float32).reshape(
+            Hq, D, cfg.hidden_size
+        )
         v_rep = jnp.broadcast_to(
             values[:, :, None], (B, Hkv, G, S, D)
         ).reshape(B, Hq, S, D).astype(jnp.float32)

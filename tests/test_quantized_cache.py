@@ -276,3 +276,75 @@ def test_adakv_compact_with_quantized_cache(tiny):
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     assert np.isfinite(np.asarray(logits)).all()
     assert not bool(cq.overflowed)
+
+
+def test_weight_int4_dequant_exact(tiny):
+    """dequant_weight inverts quantize_params_int4's packing exactly (the
+    same lo/hi nibble algebra _lin computes), and the quantization error is
+    bounded by the per-half step size."""
+    from kvpress_tpu.models.llama import dequant_weight, quantize_params_int4
+
+    cfg, params, runner = tiny
+    qparams = quantize_params_int4(params)
+    layers = qparams["layers"]
+    assert layers["wq"].dtype == jnp.uint8
+    L, I2, O = layers["wq"].shape
+    assert I2 == params["layers"]["wq"].shape[1] // 2
+    assert layers["wq_scale"].shape == (L, 2, O)
+    w = np.asarray(params["layers"]["wq"], np.float32)
+    deq = np.asarray(dequant_weight(layers, "wq", jnp.float32))
+    step = np.asarray(layers["wq_scale"])  # (L, 2, O)
+    halves = np.stack([w[:, :I2], w[:, I2:]], 1)
+    deq_halves = np.stack([deq[:, :I2], deq[:, I2:]], 1)
+    assert np.abs(halves - deq_halves).max() <= (step[:, :, None] * 0.5 + 1e-6).max()
+
+
+def test_weight_int4_logit_parity(tiny):
+    """quantize_params_int4: logits close to full-precision; decode runs;
+    int8→int4 re-quantization path also works (dequant-first)."""
+    from kvpress_tpu.models.llama import (
+        quantize_params_int4,
+        quantize_params_int8,
+    )
+
+    cfg, params, runner = tiny
+    qparams = quantize_params_int4(params)
+    ids = jax.random.randint(jax.random.PRNGKey(5), (1, 32), 0, cfg.vocab_size)
+    lg, _, _ = runner.prefill(params, ids, compute_logits=True,
+                              dtype=jnp.float32)
+    lg_q, cache_q, _ = runner.prefill(qparams, ids, compute_logits=True,
+                                      dtype=jnp.float32)
+    ref = np.abs(np.asarray(lg)).max()
+    assert np.abs(np.asarray(lg) - np.asarray(lg_q)).max() < 0.15 * ref
+    logits, cache_q, _ = runner.forward(
+        qparams, ids[:, -1:], cache_q, logits_last_only=True
+    )
+    assert np.isfinite(np.asarray(logits)).all()
+
+    # from-int8 path dequantizes before requantizing (no payload reuse)
+    q48 = quantize_params_int4(quantize_params_int8(params))
+    lg_q2, _, _ = runner.prefill(q48, ids, compute_logits=True,
+                                 dtype=jnp.float32)
+    assert np.abs(np.asarray(lg_q2) - np.asarray(lg_q)).max() < 0.05 * ref
+
+
+def test_weight_int4_with_int4_kv_press_decode(tiny):
+    """Full stack: int4 weights + int4 KV + Knorm press through prefill and
+    decode (the bench headline path at 8B scale)."""
+    from kvpress_tpu import KnormPress
+    from kvpress_tpu.cache import shrink
+    from kvpress_tpu.models.llama import quantize_params_int4
+
+    cfg, params, runner = tiny
+    qparams = quantize_params_int4(params)
+    ids = jax.random.randint(jax.random.PRNGKey(6), (2, 48), 0, cfg.vocab_size)
+    press = KnormPress(compression_ratio=0.5)
+    _, cache, _ = runner.prefill(qparams, ids, press=press, quantized=True,
+                                 kv_bits=4, dtype=jnp.float32)
+    cache = shrink(cache, 40)
+    tok = ids[:, -1:]
+    for _ in range(4):
+        logits, cache, _ = runner.forward(qparams, tok, cache,
+                                          logits_last_only=True)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        assert np.isfinite(np.asarray(logits)).all()

@@ -336,13 +336,42 @@ def test_serving_rejects_cam(tiny):
         ServingEngine(runner, params, n_slots=2, capacity=64, press=cam)
 
 
-def test_serving_capacity_assert(tiny):
+def test_serving_capacity_rejected_before_any_work(tiny):
+    """Over-budget requests are rejected at run() entry via the static bound
+    (press.max_kept) — the old completion-time assert fired after the
+    over-budget cache was already in the slot pool, leaving the engine
+    unusable (advisor r2). The engine must stay usable afterwards."""
     cfg, params, runner = tiny
     req = _mk_requests(cfg, [(60, 4)], n_new=32)[0]
     eng = ServingEngine(runner, params, n_slots=1, capacity=64,
                         question_bucket=4)
-    with pytest.raises(AssertionError, match="capacity"):
+    with pytest.raises(ValueError, match="capacity"):
         eng.run([req])
+    ok = _mk_requests(cfg, [(32, 4)], n_new=4)[0]
+    got = eng.run([ok])[0]          # engine unpolluted: serves normally
+    assert len(got) == 4
+    assert_generation_matches_ref(runner, params, None, ok, got)
+
+
+def test_serving_sjf_schedule(tiny):
+    """schedule='sjf' admits shortest-budget requests first; the per-request
+    answers still match FIFO exactly (scheduling must not change content)."""
+    cfg, params, runner = tiny
+    rng = np.random.default_rng(5)
+    budgets = [9, 3, 7, 4, 8, 5]
+    reqs = [
+        Request(rng.permutation(cfg.vocab_size)[: 24 + 4 * i].tolist(), [], b)
+        for i, b in enumerate(budgets)
+    ]
+    fifo = ServingEngine(runner, params, n_slots=2, capacity=64,
+                         question_bucket=4, fetch_lag=2)
+    sjf = ServingEngine(runner, params, n_slots=2, capacity=64,
+                        question_bucket=4, fetch_lag=2, schedule="sjf")
+    a_fifo = fifo.run(reqs)
+    a_sjf = sjf.run(reqs)
+    assert a_fifo == a_sjf
+    for req, got in zip(reqs, a_sjf):
+        assert len(got) == req.max_new_tokens
 
 
 def test_pipeline_batch_matches_call():

@@ -64,12 +64,15 @@ def main():
     ap.add_argument("--ratio", type=float, default=0.5)
     ap.add_argument("--donate", action="store_true",
                     help="also time a cache-donating decode step")
+    ap.add_argument("--wbits", type=int, default=8, choices=(4, 8),
+                    help="weight quantization width (int4 = 3.6 GB weights,"
+                         " opens paired-baseline contexts ≥32K)")
     args = ap.parse_args()
 
     cfg = llama31_8b_config()
     runner = Runner.create(cfg)
     t0 = time.perf_counter()
-    params = init_params_int8(cfg, jax.random.PRNGKey(0))
+    params = init_params_int8(cfg, jax.random.PRNGKey(0), bits=args.wbits)
     jax.block_until_ready(params["layers"]["wd"])
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"init int8 params: {n_params/1e9:.2f}B in "
@@ -121,11 +124,13 @@ def main():
                   # int4 copy is small and the smaller buffer IS the win).
                   max_size=room if press is None else None)
         cache = prefill(params, ids, **kw)
-        jax.block_until_ready(cache.keys)
+        # block_until_ready returns early on the axon backend (CLAUDE.md);
+        # device_get of a dependent scalar forces completion.
+        jax.device_get(jnp.max(cache.length))
         del cache                      # never hold two caches across reruns
         tp0 = time.perf_counter()
         cache = prefill(params, ids, **kw)
-        jax.block_until_ready(cache.keys)
+        jax.device_get(jnp.max(cache.length))
         t_pre = time.perf_counter() - tp0
         if press is not None:
             cache = shrink(cache, room)
