@@ -9,7 +9,7 @@ prefix. The live set per head is therefore two dense ranges:
 
 Dense XLA decode attention reads the full max-length buffer for every head
 and masks — paying HBM bandwidth for dead slots. The round-1 paged kernel
-(ops/decode_attention.py) proved block TABLES can't win: scattered masks
+(the retired paged decode kernel, round 2) proved block TABLES can't win: scattered masks
 leave every page live, and a (B, Hkv, n_blocks) grid drowns in per-cell
 Mosaic overhead on tiny (G·T)-row matmuls (CLAUDE.md). This kernel exploits
 the *structure* instead:

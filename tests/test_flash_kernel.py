@@ -57,28 +57,3 @@ def test_chunked_window_probs_mean_matches_dense():
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(dense), atol=1e-6)
 
 
-@pytest.mark.parametrize("case", [
-    (1, 4, 2, 1, 512, 64, 0.5),
-    (2, 8, 4, 2, 768, 64, 0.7),
-    (1, 4, 2, 1, 512, 128, 0.0),
-], ids=["b1s512", "b2s768", "nomask"])
-def test_masked_decode_attention_matches_reference(case):
-    from kvpress_tpu.ops.decode_attention import masked_decode_attention
-
-    B, Hq, Hkv, T, S, D, frac = case
-    ks = jax.random.split(jax.random.PRNGKey(S + T), 4)
-    q = jax.random.normal(ks[0], (B, Hq, T, D), jnp.float32)
-    k = jax.random.normal(ks[1], (B, Hkv, S, D), jnp.float32)
-    v = jax.random.normal(ks[2], (B, Hkv, S, D), jnp.float32)
-    length = jnp.asarray(S - 37, jnp.int32)
-    mask = jax.random.uniform(ks[3], (B, Hkv, S)) > frac
-    mask = mask.at[:, :, :4].set(True)
-    bias = attention_bias(
-        length - T, T, S,
-        head_mask=mask & (jnp.arange(S)[None, None] < length),
-    )
-    ref, _ = gqa_attention(q, k, v, bias, D**-0.5)
-    got = masked_decode_attention(
-        q, k, v, mask, length, sm_scale=D**-0.5, page_size=128, interpret=True
-    )
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
