@@ -156,30 +156,30 @@ def from_torch_multimodal(model, dtype=jnp.float32):
     Mirrors the reference's multimodal entry (base_press.py:191-202: the
     press hooks ``model.model.language_model.layers`` only, with sliding
     layers skipped — which our sliding_flag handling already does). The
-    vision tower + projector stay host-side in torch: ``embed_images``
-    returns (n_images, mm_tokens_per_image, E) features to scatter into the
-    text embedding with ``multimodal_embeds``. TPU-first rationale: vision
-    encoding is a one-shot prefill-time step outside the compression loop —
-    the jit boundary stays on the language model where the KV cache lives.
+    vision tower + projector are converted to JAX (models/siglip.py), so
+    ``embed_images`` — (B, C, I, I) pixels → (B, mm_tokens_per_image, E)
+    features for ``multimodal_embeds`` — is one jitted XLA program: torch is
+    only touched at conversion time, never at inference.
     """
+    from .siglip import VisionConfig, convert_vision_tower, encode_images
+
     cfg = ModelConfig.from_hf_config(model.config.text_config)
+    full_sd = dict(model.state_dict())
     sd = {}
-    for k, v in model.state_dict().items():
+    for k, v in full_sd.items():
         if k.startswith("model.language_model."):
             sd["model." + k[len("model.language_model."):]] = v
         elif k == "lm_head.weight":
             sd[k] = v
     params = convert_state_dict(sd, cfg, dtype)
+    vcfg = VisionConfig.from_hf_config(model.config)
+    vparams = convert_vision_tower(full_sd, vcfg, dtype)
 
-    def embed_images(pixel_values) -> np.ndarray:
-        import torch
+    def embed_images(pixel_values):
+        return encode_images(vparams, pixel_values, vcfg=vcfg)
 
-        with torch.no_grad():
-            feats = model.get_image_features(
-                torch.as_tensor(np.asarray(pixel_values, np.float32))
-            )
-        return _np(feats)
-
+    embed_images.vparams = vparams
+    embed_images.vcfg = vcfg
     return params, cfg, embed_images
 
 

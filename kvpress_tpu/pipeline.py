@@ -116,18 +116,19 @@ def _generate_answer(
 
 
 @partial(jax.jit, static_argnames=("runner", "press", "quantized", "kv_bits"))
-def _prefill(params, context_ids, valid_len=None, *, runner: Runner, press,
-             quantized: bool = False, kv_bits: int = 8):
+def _prefill(params, context_ids, valid_len=None, inputs_embeds=None, *,
+             runner: Runner, press, quantized: bool = False, kv_bits: int = 8):
     # Prefill; press is static (part of the trace). Last-position logits are
     # kept so empty-question generation can continue the context. valid_len
     # (traced) enables bucketed prefill: one compile per bucket instead of
-    # one per context length.
+    # one per context length. inputs_embeds (multimodal) overrides the token
+    # embedding.
     from .models.llama import param_dtype
 
     return runner.prefill(
         params, context_ids, press=press, compute_logits=True,
         dtype=param_dtype(params), valid_len=valid_len,
-        quantized=quantized, kv_bits=kv_bits,
+        quantized=quantized, kv_bits=kv_bits, inputs_embeds=inputs_embeds,
     )
 
 
@@ -151,6 +152,13 @@ class KVPressPipeline:
     params: dict
     tokenizer: object
     eos_token_ids: Optional[tuple[int, ...]] = None
+    # Multimodal (Gemma3): JAX vision tower params/config (models/siglip.py)
+    # and the placeholder token id images expand to. When set, __call__
+    # accepts pixel_values and the context must contain mm_tokens_per_image
+    # placeholder tokens per image (the HF processor contract).
+    vision_params: Optional[dict] = None
+    vision_cfg: Optional[object] = None
+    image_token_id: Optional[int] = None
 
     @staticmethod
     def from_pretrained(path_or_repo: str, dtype=jnp.bfloat16) -> "KVPressPipeline":
@@ -160,6 +168,23 @@ class KVPressPipeline:
         params, cfg = load_pretrained(path_or_repo, dtype=dtype)
         tok = AutoTokenizer.from_pretrained(path_or_repo)
         return KVPressPipeline(Runner.create(cfg), params, tok)
+
+    @staticmethod
+    def from_torch_multimodal(model, tokenizer, dtype=jnp.float32):
+        """Multimodal pipeline from a live ``Gemma3ForConditionalGeneration``.
+
+        Torch is used at conversion only; inference (vision tower included)
+        runs as JAX (reference compresses this model family in-framework,
+        base_press.py:197-202)."""
+        from .models.convert import from_torch_multimodal
+
+        params, cfg, embed_images = from_torch_multimodal(model, dtype=dtype)
+        return KVPressPipeline(
+            Runner.create(cfg), params, tokenizer,
+            vision_params=embed_images.vparams,
+            vision_cfg=embed_images.vcfg,
+            image_token_id=model.config.image_token_index,
+        )
 
     def _eos(self) -> tuple[int, ...]:
         if self.eos_token_ids is not None:
@@ -219,10 +244,20 @@ class KVPressPipeline:
         context_bucket: Optional[int] = None,
         quantized: bool = False,     # int KV cache (reference: cache=QuantizedCache())
         kv_bits: int = 8,            # 8 (int8) or 4 (packed nibbles)
+        pixel_values=None,           # (n_images, C, I, I) for multimodal models
     ) -> dict:
         assert question is None or questions is None, (
             "Either question or questions should be provided, not both."
         )
+        if pixel_values is not None:
+            assert self.vision_params is not None, (
+                "pixel_values requires a multimodal pipeline "
+                "(KVPressPipeline.from_torch_multimodal)."
+            )
+            assert context_bucket is None and not (
+                press is not None and getattr(press, "multi_pass", False)
+            ), ("multimodal prefill does not compose with context_bucket or "
+                "multi-pass presses (their repeat passes re-embed token ids)")
         single = questions is None
         questions = questions or ([question] if question else [""])
         if press is not None and press.compresses_decode and len(questions) > 1:
@@ -266,9 +301,19 @@ class KVPressPipeline:
             valid_len = jnp.asarray(context_length, jnp.int32)
         ids = jnp.asarray(np.asarray(context_ids, np.int32))[None]
 
+        embeds = None
+        if pixel_values is not None:
+            from .models.convert import multimodal_embeds
+            from .models.siglip import encode_images
+
+            feats = encode_images(self.vision_params, pixel_values,
+                                  vcfg=self.vision_cfg)
+            embeds = multimodal_embeds(
+                self.params, self.runner.cfg, ids, feats, self.image_token_id
+            )
         prefill_logits, cache, press_state = _prefill(
-            self.params, ids, valid_len, runner=self.runner, press=press,
-            quantized=quantized, kv_bits=kv_bits,
+            self.params, ids, valid_len, embeds, runner=self.runner,
+            press=press, quantized=quantized, kv_bits=kv_bits,
         )
         logger.debug("Context Length: %d", context_length)
         logger.debug("Compressed Context Length: %d", int(jnp.max(cache.length)))

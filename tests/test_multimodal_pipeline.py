@@ -1,0 +1,115 @@
+"""Multimodal (Gemma3) pipeline: the JAX SigLIP vision tower end to end.
+
+VERDICT r2 item 4: the reference compresses Gemma3ForConditionalGeneration
+wholly in-framework (kvpress/presses/base_press.py:197-202); round 2 ran the
+vision tower host-side in torch. These tests pin (a) feature parity of the
+JAX tower vs HF get_image_features, (b) greedy-generation parity through the
+pipeline with pixel_values, and (c) that inference is torch-free (torch is
+only touched at conversion).
+
+Mask semantics: HF Gemma3 applies plain causal attention when
+token_type_ids is None (modeling_gemma3.py token_type_ids_mask_function
+returns None in that case) — the comparison here uses exactly that regime,
+which is what our causal runner implements.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import jax.numpy as jnp
+from transformers import Gemma3Config, Gemma3ForConditionalGeneration
+from transformers.models.gemma3 import Gemma3TextConfig
+from transformers.models.siglip import SiglipVisionConfig
+
+from kvpress_tpu import KnormPress
+from kvpress_tpu.pipeline import KVPressPipeline
+from toy_tokenizer import ToyTokenizer
+
+IMAGE_TOKEN_ID = 500
+
+
+class ImageTokenizer(ToyTokenizer):
+    """ToyTokenizer that maps the literal word ``<image>`` to the Gemma3
+    placeholder id (the HF processor expands each image to
+    mm_tokens_per_image copies of it)."""
+
+    def _tok2id(self, tok):
+        if tok == "<image>":
+            return IMAGE_TOKEN_ID
+        return super()._tok2id(tok)
+
+
+def _tiny_model():
+    torch.manual_seed(0)
+    vc = SiglipVisionConfig(hidden_size=32, intermediate_size=64,
+                            num_hidden_layers=2, num_attention_heads=2,
+                            image_size=28, patch_size=14, num_channels=3)
+    tc = Gemma3TextConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                          num_hidden_layers=2, num_attention_heads=4,
+                          num_key_value_heads=2, head_dim=16,
+                          max_position_embeddings=512, pad_token_id=0,
+                          bos_token_id=1, eos_token_id=2,   # == ToyTokenizer
+                          sliding_window=8, tie_word_embeddings=False)
+    hf_cfg = Gemma3Config(text_config=tc, vision_config=vc,
+                          mm_tokens_per_image=4, image_token_index=IMAGE_TOKEN_ID,
+                          boi_token_index=498, eoi_token_index=499)
+    model = Gemma3ForConditionalGeneration(hf_cfg)
+    model.eval()
+    return model
+
+
+def test_vision_tower_feature_parity():
+    """encode_images (pure JAX) == HF get_image_features."""
+    from kvpress_tpu.models.convert import from_torch_multimodal
+
+    model = _tiny_model()
+    _, _, embed_images = from_torch_multimodal(model, dtype=jnp.float32)
+    px = np.random.default_rng(0).standard_normal((2, 3, 28, 28)).astype(np.float32)
+    with torch.no_grad():
+        ref = model.get_image_features(torch.tensor(px)).numpy()
+    got = np.asarray(embed_images(px))
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_multimodal_pipeline_generation_parity():
+    """pipe(context, pixel_values=...) greedy tokens == HF generate, and the
+    compressed path still answers; inference never touches torch."""
+    model = _tiny_model()
+    tok = ImageTokenizer(vocab_size=498)   # hash ids stay below the specials
+    pipe = KVPressPipeline.from_torch_multimodal(model, tok)
+    assert pipe.image_token_id == IMAGE_TOKEN_ID
+
+    rng = np.random.default_rng(1)
+    px = rng.standard_normal((1, 3, 28, 28)).astype(np.float32)
+    words = " ".join(f"w{i}" for i in range(12))
+    context = f"{words} <image> <image> <image> <image> tail0 tail1"
+    question = "q0 q1"
+
+    # HF greedy reference over the exact ids the pipeline feeds the model.
+    ctx_ids, q_idss = pipe.preprocess(context, [question])
+    ids = torch.tensor([list(ctx_ids) + list(q_idss[0])])
+    with torch.no_grad():
+        gen = model.generate(input_ids=ids, pixel_values=torch.tensor(px),
+                             max_new_tokens=6, do_sample=False)
+    ref_tokens = gen[0, ids.shape[1]:].tolist()
+
+    # Torch must be idle during inference: poison the entry points the old
+    # host-side path used.
+    def _boom(*a, **k):
+        raise AssertionError("torch called during inference")
+
+    saved = (torch.as_tensor, torch.tensor)
+    torch.as_tensor = torch.tensor = _boom
+    try:
+        out = pipe(context, question=question, pixel_values=px,
+                   max_new_tokens=6)
+    finally:
+        torch.as_tensor, torch.tensor = saved
+    assert out["answer"] == tok.decode(ref_tokens, skip_special_tokens=True)
+
+    # Compression composes with the multimodal prefill (image rows count as
+    # ordinary KV slots for the press).
+    out2 = pipe(context, question=question, pixel_values=px,
+                press=KnormPress(compression_ratio=0.25), max_new_tokens=4)
+    assert isinstance(out2["answer"], str)
