@@ -10,8 +10,11 @@ import jax.numpy as jnp
 import kvpress_tpu as kp
 from kvpress_tpu.presses import (
     CapPress,
+    CompactorPress,
     CURPress,
     LagKVPress,
+    LeverageScorePress,
+    NonCausalAttnPress,
     KeyDiffPress,
     KnormPress,
     PyramidKVPress,
@@ -45,6 +48,10 @@ PRESSES = [
     KeyDiffPress(0.5),            # anchor = masked mean over valid keys
     CapPress(0.5, n_future_positions=16),  # masked anchor/weights/capacity
     CURPress(0.5, local_window_size=8),    # pad-free block/global normalizers
+    LagKVPress(0.5, lag_size=8),  # static block partition + traced boundary
+    NonCausalAttnPress(0.5, chunk_size=16),  # block-diagonal chunk masking
+    LeverageScorePress(0.5, sketch_dimension=8),  # pad rows zeroed pre-Gram
+    CompactorPress(0.5, chunk_size=16, sketch_dimension=8),  # floating end sink
 ]
 
 
@@ -82,14 +89,18 @@ def test_bucketed_matches_exact(tiny, press, true_len):
             assert (d.min(axis=1) < 1e-4).all(), (type(press).__name__, layer, h)
 
 
-def test_unsafe_press_rejected(tiny):
-    cfg, params, runner = tiny
-    ids = jnp.zeros((1, 64), jnp.int32)
-    with pytest.raises(AssertionError, match="bucketed prefill"):
-        runner.prefill(
-            params, ids, press=LagKVPress(0.5, lag_size=8), dtype=jnp.float32,
-            valid_len=jnp.asarray(40, jnp.int32),
-        )
+def test_all_scorers_padding_safe():
+    """Every scorer press is orthogonal to bucketed serving (round 3: LagKV/
+    Compactor family gained dynamic_score; no press should regress)."""
+    import kvpress_tpu.presses as presses_mod
+    from kvpress_tpu.presses.base import ScorerPress
+
+    bad = [
+        name for name in dir(presses_mod)
+        if isinstance(c := getattr(presses_mod, name), type)
+        and issubclass(c, ScorerPress) and not c.supports_padding
+    ]
+    assert bad == [], bad
 
 
 def test_pipeline_bucketing_single_compile(tiny):
