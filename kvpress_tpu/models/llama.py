@@ -383,6 +383,7 @@ class Runner:
         phase: str,
         valid_len: Optional[jax.Array] = None,
         kv_bits: int = 8,
+        extra_allow: Optional[jax.Array] = None,   # (B, T, S_buf) image spans
     ):
         cfg = self.cfg
         apply_press = press is not None and (
@@ -521,6 +522,13 @@ class Runner:
             self.attn_impl == "flash" and not return_probs and T > 1
             and not use_decode_kernel
         )
+        assert extra_allow is None or not (
+            use_flash or use_decode_kernel or use_headwise
+        ), (
+            "bidirectional image-span attention (token_types) is supported "
+            "on the XLA attention path only — create the Runner with "
+            "attn_impl='xla' for multimodal prefill"
+        )
         if use_headwise:
             from ..ops.decode_headwise import (
                 decode_attention_headwise, prefix_tail_from_mask,
@@ -593,10 +601,14 @@ class Runner:
                 S_buf,
                 sliding_window=None,
                 head_mask=mask,
+                extra_allow=extra_allow,
             )
             if use_sliding:
+                # HF applies the image-span or-mask to the sliding mask too
+                # (modeling_gemma3.py: mask_kwargs are shared).
                 sl_bias = attention_bias(
-                    prior_len, T, S_buf, sliding_window=window, head_mask=mask
+                    prior_len, T, S_buf, sliding_window=window, head_mask=mask,
+                    extra_allow=extra_allow,
                 )
                 bias = jnp.where(sliding_flag, sl_bias, bias)
             if quantized and keys is None:
@@ -733,6 +745,7 @@ class Runner:
         logits_last_only: bool = False,
         inputs_embeds: Optional[jax.Array] = None,   # (B, T, E) overrides ids
         valid_len: Optional[jax.Array] = None,       # () int32: bucketed prefill
+        token_types: Optional[jax.Array] = None,     # (B, T) 1 = image token
     ):
         """Run T tokens through all layers against (and appending to) cache.
 
@@ -766,6 +779,23 @@ class Runner:
         sliding = jnp.asarray(cfg.sliding_flags())
         layer_ids = jnp.arange(L, dtype=jnp.int32)
 
+        # Gemma3 multimodal: tokens of the same image attend each other
+        # bidirectionally (HF token_type_ids_mask_function semantics —
+        # group ids from contiguous image runs; prefill-from-empty only, so
+        # token position == cache slot).
+        extra_allow = None
+        if token_types is not None:
+            is_img = jnp.asarray(token_types) == 1                  # (B, T)
+            new_start = is_img & ~jnp.pad(is_img, ((0, 0), (1, 0)))[:, :-1]
+            group = jnp.cumsum(new_start, axis=1) - 1
+            group = jnp.where(is_img, group, -1)
+            ea = (group[:, :, None] >= 0) & (
+                group[:, :, None] == group[:, None, :]
+            )                                                        # (B, T, T)
+            extra_allow = jnp.pad(
+                ea, ((0, 0), (0, 0), (0, S_buf - T)), constant_values=False
+            )
+
         def body(carry, xs):
             xh = carry
             layer, ck, cv, clen, cmask, cks, cvs, lid, sflag, pstate = xs
@@ -776,6 +806,7 @@ class Runner:
             xh, ncl, nstate = self._layer_step(
                 xh, layer, cache_layer, positions, inv_freq, lid, sflag,
                 press, pstate, phase, valid_len, cache.bits,
+                extra_allow=extra_allow,
             )
             return xh, (
                 ncl["keys"], ncl["values"], ncl["length"], ncl["mask"],
@@ -820,7 +851,7 @@ class Runner:
 
     def prefill(self, params, ids, press=None, max_size=None, dtype=jnp.bfloat16,
                 compute_logits=False, quantized=False, valid_len=None,
-                kv_bits=8, inputs_embeds=None):
+                kv_bits=8, inputs_embeds=None, token_types=None):
         """Compress-on-prefill entry: build a fresh cache for ids (B, S).
 
         ``valid_len`` (traced) enables bucketed prefill over padded ids.
@@ -840,5 +871,5 @@ class Runner:
             params, ids, cache, press=press, press_state=state,
             phase="prefill", compute_logits=compute_logits,
             logits_last_only=True, valid_len=valid_len,
-            inputs_embeds=inputs_embeds,
+            inputs_embeds=inputs_embeds, token_types=token_types,
         )

@@ -29,17 +29,26 @@ def attention_bias(
     buf_size: int,
     sliding_window: Optional[int] = None,
     head_mask: Optional[jax.Array] = None,
+    extra_allow: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Additive bias (…, num_new, buf_size) in f32.
 
     prior_length: () int32 — valid slots before this call's tokens were added.
     head_mask: optional (B, H_kv, buf_size) bool keep-mask.
-    """
+    extra_allow: optional (B, num_new, buf_size) bool ORed over the causal/
+    window rule BEFORE the keep-mask applies — Gemma3's bidirectional
+    image-span attention (HF token_type_ids or_mask_function)."""
     q_slot = prior_length + jnp.arange(num_new, dtype=jnp.int32)[:, None]
     k_slot = jnp.arange(buf_size, dtype=jnp.int32)[None, :]
     allowed = k_slot <= q_slot
     if sliding_window is not None:
         allowed &= k_slot > q_slot - sliding_window
+    if extra_allow is not None:
+        allowed = allowed[None] | extra_allow                  # (B, T, S)
+        bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)[:, None]
+        if head_mask is not None:
+            bias = bias + jnp.where(head_mask, 0.0, NEG_INF)[:, :, None, :]
+        return bias
     bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)
     if head_mask is not None:
         bias = bias[None, None] + jnp.where(head_mask, 0.0, NEG_INF)[:, :, None, :]

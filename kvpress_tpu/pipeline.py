@@ -116,7 +116,8 @@ def _generate_answer(
 
 
 @partial(jax.jit, static_argnames=("runner", "press", "quantized", "kv_bits"))
-def _prefill(params, context_ids, valid_len=None, inputs_embeds=None, *,
+def _prefill(params, context_ids, valid_len=None, inputs_embeds=None,
+             token_types=None, *,
              runner: Runner, press, quantized: bool = False, kv_bits: int = 8):
     # Prefill; press is static (part of the trace). Last-position logits are
     # kept so empty-question generation can continue the context. valid_len
@@ -129,6 +130,7 @@ def _prefill(params, context_ids, valid_len=None, inputs_embeds=None, *,
         params, context_ids, press=press, compute_logits=True,
         dtype=param_dtype(params), valid_len=valid_len,
         quantized=quantized, kv_bits=kv_bits, inputs_embeds=inputs_embeds,
+        token_types=token_types,
     )
 
 
@@ -302,6 +304,7 @@ class KVPressPipeline:
         ids = jnp.asarray(np.asarray(context_ids, np.int32))[None]
 
         embeds = None
+        token_types = None
         if pixel_values is not None:
             from .models.convert import multimodal_embeds
             from .models.siglip import encode_images
@@ -311,8 +314,21 @@ class KVPressPipeline:
             embeds = multimodal_embeds(
                 self.params, self.runner.cfg, ids, feats, self.image_token_id
             )
+            # Bidirectional image-span attention (the HF processor passes
+            # token_type_ids): XLA attention path only — the flash kernel's
+            # block pruning assumes pure causality. On a flash runner fall
+            # back to causal image tokens (= HF with token_type_ids=None).
+            if self.runner.attn_impl == "xla":
+                token_types = (ids == self.image_token_id).astype(jnp.int32)
+            else:
+                logger.warning(
+                    "flash attention path: image tokens attend causally "
+                    "(HF token_type_ids=None semantics); create the Runner "
+                    "with attn_impl='xla' for bidirectional image spans"
+                )
         prefill_logits, cache, press_state = _prefill(
-            self.params, ids, valid_len, embeds, runner=self.runner,
+            self.params, ids, valid_len, embeds, token_types,
+            runner=self.runner,
             press=press, quantized=quantized, kv_bits=kv_bits,
         )
         logger.debug("Context Length: %d", context_length)

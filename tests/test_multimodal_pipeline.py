@@ -7,10 +7,12 @@ JAX tower vs HF get_image_features, (b) greedy-generation parity through the
 pipeline with pixel_values, and (c) that inference is torch-free (torch is
 only touched at conversion).
 
-Mask semantics: HF Gemma3 applies plain causal attention when
-token_type_ids is None (modeling_gemma3.py token_type_ids_mask_function
-returns None in that case) — the comparison here uses exactly that regime,
-which is what our causal runner implements.
+Mask semantics: with token_type_ids, HF Gemma3 lets tokens of the SAME image
+attend each other bidirectionally (token_type_ids_mask_function or-mask);
+with token_type_ids=None it is plain causal. The runner implements both:
+prefill(token_types=...) builds the or-mask on the XLA attention path, and
+the pipeline enables it automatically on XLA runners (falling back to causal
+— the None regime — on the flash path, with a warning).
 """
 
 import numpy as np
@@ -87,10 +89,15 @@ def test_multimodal_pipeline_generation_parity():
     question = "q0 q1"
 
     # HF greedy reference over the exact ids the pipeline feeds the model.
+    # token_type_ids mark the image span: the pipeline (XLA path — CPU here)
+    # applies the same bidirectional image-span or-mask HF's processor
+    # enables, so the reference arm must enable it too.
     ctx_ids, q_idss = pipe.preprocess(context, [question])
     ids = torch.tensor([list(ctx_ids) + list(q_idss[0])])
+    tt = (ids == IMAGE_TOKEN_ID).long()
     with torch.no_grad():
         gen = model.generate(input_ids=ids, pixel_values=torch.tensor(px),
+                             token_type_ids=tt,
                              max_new_tokens=6, do_sample=False)
     ref_tokens = gen[0, ids.shape[1]:].tolist()
 
@@ -113,3 +120,44 @@ def test_multimodal_pipeline_generation_parity():
     out2 = pipe(context, question=question, pixel_values=px,
                 press=KnormPress(compression_ratio=0.25), max_new_tokens=4)
     assert isinstance(out2["answer"], str)
+
+
+def test_bidirectional_image_span_logit_parity():
+    """runner.prefill(token_types=...) == HF forward WITH token_type_ids —
+    image tokens of the same image attend each other bidirectionally
+    (modeling_gemma3.py token_type_ids_mask_function). Two images pin the
+    group separation (image A must NOT attend image B's future tokens)."""
+    from kvpress_tpu import Runner
+    from kvpress_tpu.models.convert import from_torch_multimodal, multimodal_embeds
+
+    model = _tiny_model()
+    params, cfg, embed_images = from_torch_multimodal(model, dtype=jnp.float32)
+    runner = Runner.create(cfg)
+
+    rng = np.random.default_rng(2)
+    T = 20
+    ids = rng.integers(1, 498, (1, T))
+    ids[0, 3:7] = IMAGE_TOKEN_ID                  # image A
+    ids[0, 10:14] = IMAGE_TOKEN_ID                # image B
+    px = rng.standard_normal((2, 3, 28, 28)).astype(np.float32)
+    tt = (ids == IMAGE_TOKEN_ID).astype(np.int64)
+
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.tensor(ids), pixel_values=torch.tensor(px),
+            token_type_ids=torch.tensor(tt),
+        ).logits.float().numpy()
+        ref_causal = model(
+            input_ids=torch.tensor(ids), pixel_values=torch.tensor(px),
+        ).logits.float().numpy()
+    # sanity: the or-mask must actually change something at the image span
+    assert np.abs(ref - ref_causal).max() > 1e-4
+
+    feats = np.asarray(embed_images(px))
+    embeds = multimodal_embeds(params, cfg, ids, feats, IMAGE_TOKEN_ID)
+    logits, _, _ = runner.prefill(
+        params, None, inputs_embeds=embeds, dtype=jnp.float32,
+        compute_logits=True, token_types=jnp.asarray(tt),
+    )
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], ref[:, -1],
+                               atol=2e-3, rtol=2e-3)
