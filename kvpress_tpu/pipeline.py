@@ -172,17 +172,20 @@ class KVPressPipeline:
         return KVPressPipeline(Runner.create(cfg), params, tok)
 
     @staticmethod
-    def from_torch_multimodal(model, tokenizer, dtype=jnp.float32):
+    def from_torch_multimodal(model, tokenizer, dtype=jnp.float32,
+                              attn_impl: str = "auto"):
         """Multimodal pipeline from a live ``Gemma3ForConditionalGeneration``.
 
         Torch is used at conversion only; inference (vision tower included)
         runs as JAX (reference compresses this model family in-framework,
-        base_press.py:197-202)."""
+        base_press.py:197-202). attn_impl="xla" enables bidirectional
+        image-span attention (HF token_type_ids semantics); the flash path
+        keeps image tokens causal."""
         from .models.convert import from_torch_multimodal
 
         params, cfg, embed_images = from_torch_multimodal(model, dtype=dtype)
         return KVPressPipeline(
-            Runner.create(cfg), params, tokenizer,
+            Runner.create(cfg, attn_impl=attn_impl), params, tokenizer,
             vision_params=embed_images.vparams,
             vision_cfg=embed_images.vcfg,
             image_token_id=model.config.image_token_index,
