@@ -13,6 +13,7 @@ model is a single `lax.scan` — compile-friendly and trivially shardable.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -873,3 +874,80 @@ class Runner:
             logits_last_only=True, valid_len=valid_len,
             inputs_embeds=inputs_embeds, token_types=token_types,
         )
+
+    def prefill_chunked(self, params, ids, press=None, chunk_size: int = 8192,
+                        max_size=None, dtype=jnp.bfloat16, compute_logits=False,
+                        quantized=False, kv_bits=8):
+        """Bounded-activation prefill: forward the context in ``chunk_size``
+        pieces (host loop over ONE compiled chunk program — per-chunk
+        activations replace the full-length ones, e.g. the (S, F) MLP
+        intermediate that makes exact 8B@128K prefill OOM on a 16 GB chip),
+        then compress ONCE in the final chunk's pass via the decode-press
+        machinery: the press's ``dynamic_score`` runs against the last
+        chunk's queries with the traced full length, top-k over the whole
+        cache, payload-width gather on quantized caches.
+
+        Exact vs ``prefill`` for content scorers (Knorm/Random/KeyDiff/…)
+        and window scorers whose window fits the last chunk (SnapKV/TOVA/
+        PyramidKV/StreamingLLM — the reference's own observation window
+        contract, snapkv paper §3). Full-context-query scorers (Observed/
+        NonCausalAttn/Leverage/Compactor) score from the trailing window
+        here — supported but not bit-identical to exact prefill.
+
+        NOT a jit target itself (host chunk loop); the two chunk programs
+        are jitted per (runner, press, chunk shape, cache shape) and reused
+        across calls — pass a bucketed ``max_size`` so different context
+        lengths share the same compiled programs."""
+        from ..presses.base import ScorerPress
+        from ..presses.decoding import CompressionRatioDecodingPress
+
+        B, S = ids.shape
+        assert S % chunk_size == 0, (
+            f"context length {S} must be a multiple of chunk_size "
+            f"{chunk_size} (pad the ids; pads beyond a valid length are "
+            "not yet supported on the chunked path)"
+        )
+        cache = init_cache(
+            self.cfg, B, max_size or S, dtype=dtype, quantized=quantized,
+            bits=kv_bits,
+        )
+        wrap = state = None
+        if press is not None:
+            assert isinstance(press, ScorerPress), (
+                "prefill_chunked compresses with a ScorerPress; wrappers/"
+                "multi-pass presses need the exact prefill path"
+            )
+            wrap = CompressionRatioDecodingPress(
+                base_press=press,
+                target_compression_ratio=press.compression_ratio,
+                compression_interval=1,
+                hidden_states_buffer_size=chunk_size,
+            )
+            state = wrap.init_state(self.cfg, B, S, dtype=dtype)
+
+        n_chunks = S // chunk_size
+        logits = None
+        for i in range(n_chunks):
+            last = i == n_chunks - 1
+            logits, cache, _ = _chunk_forward(
+                params, ids[:, i * chunk_size:(i + 1) * chunk_size], cache,
+                state if last else None,
+                runner=self, press=wrap if last else None,
+                compute_logits=compute_logits and last,
+            )
+        return logits, cache, None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("runner", "press", "compute_logits"))
+def _chunk_forward(params, chunk_ids, cache, press_state, *, runner, press,
+                   compute_logits):
+    """One chunk append (+ the final chunk's compression when press is set).
+    Module-level so the compiled programs are shared across prefill_chunked
+    calls; every full chunk has the same shapes -> one compile each for the
+    plain and the final variant."""
+    return runner.forward(
+        params, chunk_ids, cache, press=press, press_state=press_state,
+        phase="decode" if press is not None else "none",
+        compute_logits=compute_logits, logits_last_only=True,
+    )
