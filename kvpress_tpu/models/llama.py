@@ -902,11 +902,11 @@ class Runner:
         from ..presses.decoding import CompressionRatioDecodingPress
 
         B, S = ids.shape
-        assert S % chunk_size == 0, (
-            f"context length {S} must be a multiple of chunk_size "
-            f"{chunk_size} (pad the ids; pads beyond a valid length are "
-            "not yet supported on the chunked path)"
-        )
+        # Ragged lengths: the ragged remainder runs FIRST (chunk boundaries
+        # do not affect exactness — appends are sequential), so the final,
+        # compressing chunk is always a full chunk_size and the score window
+        # never shrinks. One extra compile per distinct remainder size;
+        # bucket contexts (e.g. pipeline context_bucket) to bound that.
         cache = init_cache(
             self.cfg, B, max_size or S, dtype=dtype, quantized=quantized,
             bits=kv_bits,
@@ -925,12 +925,17 @@ class Runner:
             )
             state = wrap.init_state(self.cfg, B, S, dtype=dtype)
 
-        n_chunks = S // chunk_size
+        head = S % chunk_size if S > chunk_size else 0
+        starts = ([0] if head else []) + list(
+            range(head, S, chunk_size)
+        )
         logits = None
-        for i in range(n_chunks):
-            last = i == n_chunks - 1
+        for i, start in enumerate(starts):
+            last = i == len(starts) - 1
+            width = (head if (head and i == 0) else
+                     min(chunk_size, S - start))
             logits, cache, _ = _chunk_forward(
-                params, ids[:, i * chunk_size:(i + 1) * chunk_size], cache,
+                params, ids[:, start:start + width], cache,
                 state if last else None,
                 runner=self, press=wrap if last else None,
                 compute_logits=compute_logits and last,
@@ -939,13 +944,19 @@ class Runner:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("runner", "press", "compute_logits"))
+    jax.jit, static_argnames=("runner", "press", "compute_logits"),
+    donate_argnums=(2,))
 def _chunk_forward(params, chunk_ids, cache, press_state, *, runner, press,
                    compute_logits):
     """One chunk append (+ the final chunk's compression when press is set).
     Module-level so the compiled programs are shared across prefill_chunked
     calls; every full chunk has the same shapes -> one compile each for the
-    plain and the final variant."""
+    plain and the final variant.
+
+    The cache is DONATED: prefill_chunked owns it (created internally), and
+    aliasing input->output buffers removes a full cache copy per chunk —
+    the 8B@64K+ fit depends on it. (Donation's dispatch-serialization
+    penalty, CLAUDE.md, is irrelevant at seconds-long chunk granularity.)"""
     return runner.forward(
         params, chunk_ids, cache, press=press, press_state=press_state,
         phase="decode" if press is not None else "none",

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .cache import KVCache, resize
-from .models.llama import Runner
+from .models.llama import Runner, param_dtype as param_dtype_of
 from .presses.base import BasePress
 
 logger = logging.getLogger(__name__)
@@ -247,6 +247,7 @@ class KVPressPipeline:
         top_p: float = 1.0,
         seed: int = 0,
         context_bucket: Optional[int] = None,
+        context_chunk: Optional[int] = None,  # bounded-activation chunked prefill
         quantized: bool = False,     # int KV cache (reference: cache=QuantizedCache())
         kv_bits: int = 8,            # 8 (int8) or 4 (packed nibbles)
         pixel_values=None,           # (n_images, C, I, I) for multimodal models
@@ -329,11 +330,32 @@ class KVPressPipeline:
                     "(HF token_type_ids=None semantics); create the Runner "
                     "with attn_impl='xla' for bidirectional image spans"
                 )
-        prefill_logits, cache, press_state = _prefill(
-            self.params, ids, valid_len, embeds, token_types,
-            runner=self.runner,
-            press=press, quantized=quantized, kv_bits=kv_bits,
-        )
+        if context_chunk is not None:
+            # Bounded-activation prefill (8B@128K-class contexts on one
+            # chip). Composes with ScorerPress compression (final-chunk
+            # dynamic scoring) and the quantized cache; not with bucketing
+            # (pad semantics), multimodal embeds, multi-pass or wrapper
+            # presses — those need the one-shot path.
+            from .presses.base import ScorerPress
+
+            assert context_bucket is None and embeds is None, (
+                "context_chunk does not compose with context_bucket or "
+                "pixel_values"
+            )
+            assert press is None or isinstance(press, ScorerPress), (
+                "context_chunk compresses with a ScorerPress only"
+            )
+            prefill_logits, cache, press_state = self.runner.prefill_chunked(
+                self.params, ids, press=press, chunk_size=context_chunk,
+                dtype=param_dtype_of(self.params), compute_logits=True,
+                quantized=quantized, kv_bits=kv_bits,
+            )
+        else:
+            prefill_logits, cache, press_state = _prefill(
+                self.params, ids, valid_len, embeds, token_types,
+                runner=self.runner,
+                press=press, quantized=quantized, kv_bits=kv_bits,
+            )
         logger.debug("Context Length: %d", context_length)
         logger.debug("Compressed Context Length: %d", int(jnp.max(cache.length)))
 

@@ -122,12 +122,32 @@ def test_chunked_quantized_int4(tiny):
             assert (d.min(axis=1) < 1e-4).all(), (layer, h)
 
 
-def test_chunked_rejects_misaligned_and_wrappers(tiny):
+def test_chunked_ragged_length(tiny):
+    """Non-multiple context lengths: the ragged remainder runs first so the
+    compressing final chunk stays full — kept sets still match exact."""
     cfg, params, runner = tiny
-    ids = jnp.zeros((1, 50), jnp.int32)
-    with pytest.raises(AssertionError, match="multiple of chunk_size"):
-        runner.prefill_chunked(params, ids, press=KnormPress(0.5),
-                               chunk_size=16, dtype=jnp.float32)
+    S, chunk = 50, 16
+    ids = jax.random.randint(jax.random.PRNGKey(5), (1, S), 0, cfg.vocab_size)
+    press = SnapKVPress(0.5, window_size=8, kernel_size=3)
+    _, c_exact, _ = runner.prefill(params, ids, press=press, dtype=jnp.float32)
+    _, c_chunk, _ = runner.prefill_chunked(
+        params, ids, press=press, chunk_size=chunk, dtype=jnp.float32
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c_exact.length), np.asarray(c_chunk.length)
+    )
+    assert int(c_chunk.offset) == S
+    for layer in range(cfg.num_layers):
+        n = int(c_exact.length[layer])
+        for h in range(cfg.num_kv_heads):
+            a = np.asarray(c_exact.keys[layer, 0, h, :n])
+            b = np.asarray(c_chunk.keys[layer, 0, h, :n])
+            d = np.linalg.norm(a[:, None] - b[None], axis=-1)
+            assert (d.min(axis=1) < 1e-4).all(), (layer, h)
+
+
+def test_chunked_rejects_wrappers(tiny):
+    cfg, params, runner = tiny
     from kvpress_tpu.presses import AdaKVPress
 
     ids = jnp.zeros((1, 64), jnp.int32)
@@ -155,3 +175,21 @@ def test_chunked_single_compile(tiny):
     runner.prefill_chunked(params, ids2, press=press, chunk_size=16,
                            max_size=128, dtype=jnp.float32)
     assert _chunk_forward._cache_size() == n0, "expected zero new compiles"
+
+
+def test_pipeline_context_chunk(tiny):
+    """pipe(..., context_chunk=...) answers identically to the one-shot
+    prefill path (greedy, ScorerPress)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from toy_tokenizer import ToyTokenizer
+    from kvpress_tpu.pipeline import KVPressPipeline
+
+    cfg, params, runner = tiny
+    pipe = KVPressPipeline(runner, params, ToyTokenizer(cfg.vocab_size))
+    press = SnapKVPress(compression_ratio=0.5, window_size=8, kernel_size=3)
+    ctx = " ".join(f"w{i}" for i in range(45))
+    a_exact = pipe(ctx, question="what ?", press=press, max_new_tokens=5)
+    a_chunk = pipe(ctx, question="what ?", press=press, max_new_tokens=5,
+                   context_chunk=16)
+    assert a_exact["answer"] == a_chunk["answer"]

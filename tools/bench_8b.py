@@ -67,6 +67,9 @@ def main():
     ap.add_argument("--wbits", type=int, default=8, choices=(4, 8),
                     help="weight quantization width (int4 = 3.6 GB weights,"
                          " opens paired-baseline contexts ≥32K)")
+    ap.add_argument("--chunk", type=int, default=8192,
+                    help="chunked-prefill chunk size for the compressed-only"
+                         " legs (bounded activations; 0 = exact prefill)")
     args = ap.parse_args()
 
     cfg = llama31_8b_config()
@@ -112,7 +115,7 @@ def main():
             rates.append(args.steps / (time.perf_counter() - t0))
         return statistics.median(rates), rates, cache
 
-    def run(ctx, press, quantized=False, kv_bits=8, label=""):
+    def run(ctx, press, quantized=False, kv_bits=8, label="", chunked=False):
         keep = press.n_kept(ctx) if press is not None else ctx
         room = keep + (args.reps + 1) * args.steps + 8
         ids = jax.random.randint(jax.random.PRNGKey(1), (1, ctx), 0,
@@ -123,13 +126,25 @@ def main():
                   # at ctx (compression needs all slots), shrink after (the
                   # int4 copy is small and the smaller buffer IS the win).
                   max_size=room if press is None else None)
-        cache = prefill(params, ids, **kw)
+
+        def do_prefill():
+            if chunked:
+                # bounded activations: the exact prefill's (S, F=14336) MLP
+                # intermediate OOMs 16 GB at 8B/64K+; per-chunk it does not
+                _, cache, _ = runner.prefill_chunked(
+                    params, ids, press=press, chunk_size=args.chunk,
+                    quantized=quantized, kv_bits=kv_bits,
+                )
+                return cache
+            return prefill(params, ids, **kw)
+
+        cache = do_prefill()
         # block_until_ready returns early on the axon backend (CLAUDE.md);
         # device_get of a dependent scalar forces completion.
         jax.device_get(jnp.max(cache.length))
         del cache                      # never hold two caches across reruns
         tp0 = time.perf_counter()
-        cache = prefill(params, ids, **kw)
+        cache = do_prefill()
         jax.device_get(jnp.max(cache.length))
         t_pre = time.perf_counter() - tp0
         if press is not None:
@@ -170,7 +185,8 @@ def main():
     for ctx in args.ctx_compressed_only:
         try:
             run(ctx, press, quantized=True, kv_bits=4,
-                label=f"knorm{args.ratio}+int4KV (no-baseline)")
+                chunked=args.chunk > 0,
+                label=f"knorm{args.ratio}+int4KV (chunked)")
         except Exception as e:
             print(f"compressed-only ctx={ctx}: FAILED ({type(e).__name__}: "
                   f"{str(e)[:200]})", flush=True)
