@@ -49,6 +49,7 @@ class EvaluationConfig:
     needle_depth: int = 50
     query_aware: bool = False
     context_bucket: Optional[int] = None   # pad contexts to this bucket (padding-safe presses)
+    context_chunk: Optional[int] = None    # bounded-activation chunked prefill (scorer presses)
     # reference --fp8 counterpart (evaluate.py:370): TPU has no fp8 MXU, so
     # "fp8" means int8 weights read directly by the dots (models.llama._lin);
     # fp8 *checkpoints* dequantize at load (convert.py weight_scale_inv).
@@ -269,6 +270,7 @@ class EvaluationRunner:
                 max_new_tokens=max_new,
                 max_context_length=cfg.max_context_length,
                 context_bucket=cfg.context_bucket,
+                context_chunk=cfg.context_chunk,
                 quantized=cfg.kv_bits is not None,
                 kv_bits=cfg.kv_bits or 8,
             )
