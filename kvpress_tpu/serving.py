@@ -430,6 +430,7 @@ class ServingEngine:
         quantized: bool = False,
         kv_bits: int = 8,
         context_bucket: Optional[int] = None,
+        context_chunk: Optional[int] = None,  # bounded-activation admission
         question_bucket: int = 64,
         fetch_lag: int = 4,
         eos_ids: tuple = (),
@@ -482,6 +483,17 @@ class ServingEngine:
         self.quantized = quantized
         self.kv_bits = kv_bits
         self.context_bucket = context_bucket
+        if context_chunk is not None:
+            from .presses.base import ScorerPress
+
+            assert context_bucket is None, (
+                "context_chunk and context_bucket are mutually exclusive"
+            )
+            assert press is None or (
+                isinstance(press, ScorerPress)
+                and not (self.multi_pass or self.post_mask)
+            ), "context_chunk admission compresses with a ScorerPress only"
+        self.context_chunk = context_chunk
         self.question_bucket = question_bucket
         self.fetch_lag = max(1, fetch_lag)
         assert schedule in ("fifo", "sjf"), schedule
@@ -572,12 +584,25 @@ class ServingEngine:
             valid = jnp.asarray(len(ctx), jnp.int32)
             ctx = ctx + [0] * (pad - len(ctx))
         ids = jnp.asarray(np.asarray(ctx, np.int32))[None]
-        from .pipeline import _prefill
+        if self.context_chunk is not None:
+            # Bounded-activation admission: long contexts stream through the
+            # compiled chunk program (one compile per cache bucket instead of
+            # one exact-length prefill compile per context length — the 128K
+            # admission cliff). Still zero host syncs: the chunk loop only
+            # dispatches.
+            logits, cache, press_state = runner.prefill_chunked(
+                params, ids, press=self.press,
+                chunk_size=self.context_chunk, dtype=self.dtype,
+                compute_logits=True, quantized=self.quantized,
+                kv_bits=self.kv_bits,
+            )
+        else:
+            from .pipeline import _prefill
 
-        logits, cache, press_state = _prefill(
-            params, ids, valid, runner=runner, press=self.press,
-            quantized=self.quantized, kv_bits=self.kv_bits,
-        )
+            logits, cache, press_state = _prefill(
+                params, ids, valid, runner=runner, press=self.press,
+                quantized=self.quantized, kv_bits=self.kv_bits,
+            )
 
         press = self.press
         if press is not None and getattr(press, "rerotates", False):

@@ -463,3 +463,25 @@ def test_pipeline_batch_kvzip_and_decode_press(tiny):
     ans2 = pipe.batch(ctxs, questions=["what ?"] * 2, press=press,
                       max_new_tokens=6, n_slots=2)
     assert all(isinstance(a, str) and a for a in ans2)
+
+
+def test_serving_context_chunk_admission(tiny):
+    """context_chunk= admission (bounded-activation chunked prefill) serves
+    the same answers as exact-prefill admission, including ragged context
+    lengths and slot reuse."""
+    cfg, params, runner = tiny
+    press = KnormPress(compression_ratio=0.5)
+    reqs = _mk_requests(cfg, [(50, 4), (64, 8), (33, 4), (48, 4)])
+    base = ServingEngine(runner, params, n_slots=2, capacity=64, press=press,
+                         question_bucket=4, fetch_lag=2)
+    chunked = ServingEngine(runner, params, n_slots=2, capacity=64,
+                            press=press, question_bucket=4, fetch_lag=2,
+                            context_chunk=16)
+    assert base.run(reqs) == chunked.run(reqs)
+
+    import pytest as _pytest
+    from kvpress_tpu.presses import AdaKVPress
+
+    with _pytest.raises(AssertionError, match="ScorerPress"):
+        ServingEngine(runner, params, n_slots=2, capacity=64,
+                      press=AdaKVPress(press=press), context_chunk=16)

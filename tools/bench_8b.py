@@ -56,9 +56,12 @@ def llama31_8b_config(vocab_size: int = 32768) -> ModelConfig:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ctx", type=int, nargs="+", default=[16384, 24576])
-    ap.add_argument("--ctx-compressed-only", type=int, nargs="+",
+    ap.add_argument("--ctx", type=int, nargs="*", default=[16384, 24576])
+    ap.add_argument("--ctx-compressed-only", type=int, nargs="*",
                     default=[32768, 65536, 131072])
+    # OOM legs fragment the allocator and poison later legs in the same
+    # process (measured: 32K-chunked passes fresh, fails after a failed
+    # 32K-paired leg) — run one leg per process for clean measurements.
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--ratio", type=float, default=0.5)
