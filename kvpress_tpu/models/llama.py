@@ -934,13 +934,151 @@ class Runner:
             last = i == len(starts) - 1
             width = (head if (head and i == 0) else
                      min(chunk_size, S - start))
-            logits, cache, _ = _chunk_forward(
-                params, ids[:, start:start + width], cache,
-                state if last else None,
-                runner=self, press=wrap if last else None,
-                compute_logits=compute_logits and last,
-            )
+            if not last:
+                # lean path: scan outputs only the chunk's new K/V — no
+                # stacked full-buffer copy (the 8B@128K fit depends on it)
+                cache = _chunk_forward_lean(
+                    params, ids[:, start:start + width], cache, runner=self
+                )
+            else:
+                logits, cache, _ = _chunk_forward(
+                    params, ids[:, start:start + width], cache,
+                    state, runner=self, press=wrap,
+                    compute_logits=compute_logits,
+                )
         return logits, cache, None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("runner",), donate_argnums=(2,))
+def _chunk_forward_lean(params, chunk_ids, cache, *, runner):
+    """Pressless chunk append with O(chunk) scan outputs.
+
+    The standard forward's layer scan threads the FULL cache buffers as both
+    xs and ys — at 8B/128K that is 2 x 4.3 GB of int4 payload live at once,
+    which (plus weights) OOMs a 16 GB chip. Here the scan emits only the
+    chunk's NEW K/V (L, B, H, T, ·) and ONE batched dynamic_update_slice
+    outside the scan writes them into the donated cache — the full buffers
+    are read-only xs, no stacked output copy exists. Per-layer attention
+    still sees the updated buffer via a transient in-scan update.
+
+    Plain chunks only: no press, no valid_len, no logits (the final chunk
+    runs the standard forward)."""
+    cfg: ModelConfig = runner.cfg
+    B, T = chunk_ids.shape
+    quantized = cache.key_scales is not None
+    x = embed_tokens(params, chunk_ids, cfg)
+    positions = jnp.broadcast_to(
+        (cache.offset + jnp.arange(T, dtype=jnp.int32))[None], (B, T)
+    )
+    inv_freq = runner.inv_freq()
+    cos, sin = rope_cos_sin(inv_freq, positions, runner.attention_scaling)
+    if cfg.rope_local_base_freq is not None:
+        cos_l, sin_l = rope_cos_sin(runner.inv_freq_local(), positions, 1.0)
+    scale = (
+        cfg.query_pre_attn_scalar ** -0.5
+        if cfg.query_pre_attn_scalar is not None else cfg.head_dim ** -0.5
+    )
+    window = cfg.sliding_window
+    sliding = jnp.asarray(cfg.sliding_flags())
+    mask = cache.mask
+    if mask is None:
+        mask = jnp.ones(
+            (cfg.num_layers, B, cfg.num_kv_heads, cache.max_size), bool
+        )
+    use_flash = runner.attn_impl == "flash" and T > 1
+
+    def body(xh, xs):
+        (layer, kb, vb, ks, vs, lmask, ln, sflag) = xs
+        h = rms_norm(xh, layer["ln1"], cfg.rms_norm_eps, cfg.rms_one_offset)
+        q_pre, k_pre, v = _project_qkv(layer, cfg, h)
+        c, sn = cos, sin
+        if cfg.rope_local_base_freq is not None:
+            c = jnp.where(sflag, cos_l, cos)
+            sn = jnp.where(sflag, sin_l, sin)
+        c, sn = c[:, None], sn[:, None]
+        q = apply_rope(q_pre, c, sn)
+        k = apply_rope(k_pre, c, sn)
+
+        if quantized:
+            from ..cache import dequantize_kv, quantize_kv
+
+            qk, k_scale = quantize_kv(k, cache.bits)
+            qv, v_scale = quantize_kv(v, cache.bits)
+            keys = dequantize_kv(kb, ks, cache.bits, xh.dtype)
+            values = dequantize_kv(vb, vs, cache.bits, xh.dtype)
+            ys = (qk, qv, k_scale, v_scale)
+        else:
+            keys, values = kb, vb
+            ys = (k.astype(kb.dtype), v.astype(vb.dtype), None, None)
+        # transient per-layer update: current block attends its fresh bf16
+        # K/V (QuantizedCache semantics, see _layer_step)
+        keys = jax.lax.dynamic_update_slice_in_dim(
+            keys, k.astype(keys.dtype), ln, axis=2
+        )
+        values = jax.lax.dynamic_update_slice_in_dim(
+            values, v.astype(values.dtype), ln, axis=2
+        )
+
+        if use_flash:
+            from ..ops.flash import flash_attention
+
+            def _fl(win):
+                return flash_attention(
+                    q, keys, values, ln, lmask, sm_scale=scale,
+                    softcap=cfg.logit_softcap, window=win,
+                )
+
+            if window is not None:
+                o = jax.lax.cond(sflag, lambda: _fl(window),
+                                 lambda: _fl(None))
+            else:
+                o = _fl(None)
+        else:
+            S_buf = keys.shape[2]
+            bias = attention_bias(ln, T, S_buf, sliding_window=None,
+                                  head_mask=lmask)
+            if window is not None:
+                sl_bias = attention_bias(ln, T, S_buf, sliding_window=window,
+                                         head_mask=lmask)
+                bias = jnp.where(sflag, sl_bias, bias)
+            o, _ = gqa_attention(q, keys, values, bias, scale,
+                                 softcap=cfg.logit_softcap)
+
+        o = _lin(o.transpose(0, 2, 1, 3).reshape(B, T, -1), layer, "wo")
+        if cfg.post_norms:
+            o = rms_norm(o, layer["ln1_post"], cfg.rms_norm_eps,
+                         cfg.rms_one_offset)
+        xh = xh + o
+        h2 = rms_norm(xh, layer["ln2"], cfg.rms_norm_eps, cfg.rms_one_offset)
+        mlp = _act(_lin(h2, layer, "wg"), cfg.act) * _lin(h2, layer, "wu")
+        mlp = _lin(mlp, layer, "wd")
+        if cfg.post_norms:
+            mlp = rms_norm(mlp, layer["ln2_post"], cfg.rms_norm_eps,
+                           cfg.rms_one_offset)
+        return xh + mlp, ys
+
+    xs = (params["layers"], cache.keys, cache.values, cache.key_scales,
+          cache.value_scales, mask, cache.length, sliding)
+    _, (nk, nv, nks, nvs) = jax.lax.scan(body, x, xs)
+
+    start = (0, 0, 0, cache.length[0], 0)
+    keys = jax.lax.dynamic_update_slice(cache.keys, nk, start)
+    values = jax.lax.dynamic_update_slice(cache.values, nv, start)
+    key_scales = value_scales = None
+    if quantized:
+        key_scales = jax.lax.dynamic_update_slice(
+            cache.key_scales, nks, start
+        )
+        value_scales = jax.lax.dynamic_update_slice(
+            cache.value_scales, nvs, start
+        )
+    return dataclasses.replace(
+        cache,
+        keys=keys, values=values,
+        key_scales=key_scales, value_scales=value_scales,
+        length=cache.length + T, offset=cache.offset + T,
+    )
 
 
 @functools.partial(

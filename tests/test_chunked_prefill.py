@@ -97,18 +97,20 @@ def test_chunked_quantized_int4(tiny):
     np.testing.assert_array_equal(
         np.asarray(c_exact.length), np.asarray(c_chunk.length)
     )
-    # Scoring semantics differ by design: exact prefill scores the CURRENT
-    # block's fresh bf16 keys (quantization is storage-only for the pass
-    # that produced them), while the chunked final compress scores the
-    # dequantized payload (the DecodingPress contract). On a RANDOM tiny
-    # model Knorm ranks are noise-dominated (key norms nearly identical), so
-    # kept-set equality is not meaningful here; assert integrity instead —
-    # every kept row must be one of the original tokens' quantized keys
-    # (the payload-width gather never mixes or corrupts rows).
+    # Attention/scoring semantics differ by design between paths (the lean
+    # chunk step attends its current chunk with FRESH bf16 K/V — the
+    # reference QuantizedCache semantics and what the TPU flash path does —
+    # while the one-shot XLA quantized path reads payloads), so hidden
+    # states drift at quantization scale and, on a RANDOM tiny model where
+    # Knorm ranks are noise-dominated, kept-set equality vs one-shot is not
+    # meaningful. Assert integrity instead — every kept row must be one of
+    # the tokens' quantized keys from an identical-semantics pressless
+    # chunked run (the payload-width gather never mixes or corrupts rows).
     from kvpress_tpu.cache import dequantize_kv
 
-    _, c_full, _ = runner.prefill(
-        params, ids, dtype=jnp.float32, quantized=True, kv_bits=4
+    _, c_full, _ = runner.prefill_chunked(
+        params, ids, chunk_size=chunk, dtype=jnp.float32, quantized=True,
+        kv_bits=4,
     )
     kf = np.asarray(dequantize_kv(c_full.keys, c_full.key_scales, 4,
                                   jnp.float32))
