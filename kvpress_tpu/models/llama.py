@@ -877,7 +877,7 @@ class Runner:
 
     def prefill_chunked(self, params, ids, press=None, chunk_size: int = 8192,
                         max_size=None, dtype=jnp.bfloat16, compute_logits=False,
-                        quantized=False, kv_bits=8):
+                        quantized=False, kv_bits=8, score_window: int = 1024):
         """Bounded-activation prefill: forward the context in ``chunk_size``
         pieces (host loop over ONE compiled chunk program — per-chunk
         activations replace the full-length ones, e.g. the (S, F) MLP
@@ -911,7 +911,8 @@ class Runner:
             self.cfg, B, max_size or S, dtype=dtype, quantized=quantized,
             bits=kv_bits,
         )
-        wrap = state = None
+        wrap = None
+        W = min(score_window, chunk_size, S)
         if press is not None:
             assert isinstance(press, ScorerPress), (
                 "prefill_chunked compresses with a ScorerPress; wrappers/"
@@ -921,37 +922,44 @@ class Runner:
                 base_press=press,
                 target_compression_ratio=press.compression_ratio,
                 compression_interval=1,
-                hidden_states_buffer_size=chunk_size,
+                hidden_states_buffer_size=W,
             )
-            state = wrap.init_state(self.cfg, B, S, dtype=dtype)
 
         head = S % chunk_size if S > chunk_size else 0
         starts = ([0] if head else []) + list(
             range(head, S, chunk_size)
         )
-        logits = None
+        logits = hidden_win = None
         for i, start in enumerate(starts):
             last = i == len(starts) - 1
             width = (head if (head and i == 0) else
                      min(chunk_size, S - start))
-            if not last:
-                # lean path: scan outputs only the chunk's new K/V — no
-                # stacked full-buffer copy (the 8B@128K fit depends on it)
-                cache = _chunk_forward_lean(
-                    params, ids[:, start:start + width], cache, runner=self
-                )
-            else:
-                logits, cache, _ = _chunk_forward(
-                    params, ids[:, start:start + width], cache,
-                    state, runner=self, press=wrap,
-                    compute_logits=compute_logits,
+            # lean path everywhere: the scan outputs only the chunk's new
+            # K/V — no stacked full-buffer copy (the 8B@128K fit depends on
+            # it); the final chunk also emits the per-layer scoring window
+            logits, cache, hidden_win = _chunk_forward_lean(
+                params, ids[:, start:start + width], cache, runner=self,
+                compute_logits=compute_logits and last,
+                hidden_window=W if (last and wrap is not None) else None,
+            )
+        if wrap is not None:
+            sliding = self.cfg.sliding_flags()
+            for l in range(self.cfg.num_layers):
+                if sliding[l]:
+                    continue    # sliding layers are never compressed
+                cache = _compress_layer(
+                    params, cache, hidden_win, jnp.asarray(l, jnp.int32),
+                    runner=self, wrap=wrap,
                 )
         return logits, cache, None
 
 
 @functools.partial(
-    jax.jit, static_argnames=("runner",), donate_argnums=(2,))
-def _chunk_forward_lean(params, chunk_ids, cache, *, runner):
+    jax.jit,
+    static_argnames=("runner", "compute_logits", "hidden_window"),
+    donate_argnums=(2,))
+def _chunk_forward_lean(params, chunk_ids, cache, *, runner,
+                        compute_logits=False, hidden_window=None):
     """Pressless chunk append with O(chunk) scan outputs.
 
     The standard forward's layer scan threads the FULL cache buffers as both
@@ -959,11 +967,16 @@ def _chunk_forward_lean(params, chunk_ids, cache, *, runner):
     which (plus weights) OOMs a 16 GB chip. Here the scan emits only the
     chunk's NEW K/V (L, B, H, T, ·) and ONE batched dynamic_update_slice
     outside the scan writes them into the donated cache — the full buffers
-    are read-only xs, no stacked output copy exists. Per-layer attention
-    still sees the updated buffer via a transient in-scan update.
+    are read-only xs, no stacked output copy exists.
 
-    Plain chunks only: no press, no valid_len, no logits (the final chunk
-    runs the standard forward)."""
+    Quantized caches: attention reads the payload at payload width
+    (flash_attention_quant / quant_gqa_attention — the dequantized buffer
+    never exists; int4 = 4x fewer attention HBM bytes than bf16).
+
+    ``hidden_window=W`` additionally emits each layer's last-W post-ln1
+    hidden states (L, B, W, E) — the scoring window for the host-loop
+    compression pass (_compress_layer). ``compute_logits`` returns the last
+    position's logits. Returns (logits | None, cache, hidden_win | None)."""
     cfg: ModelConfig = runner.cfg
     B, T = chunk_ids.shape
     quantized = cache.key_scales is not None
@@ -1001,50 +1014,80 @@ def _chunk_forward_lean(params, chunk_ids, cache, *, runner):
         k = apply_rope(k_pre, c, sn)
 
         if quantized:
-            from ..cache import dequantize_kv, quantize_kv
+            from ..cache import quantize_kv
 
             qk, k_scale = quantize_kv(k, cache.bits)
             qv, v_scale = quantize_kv(v, cache.bits)
-            keys = dequantize_kv(kb, ks, cache.bits, xh.dtype)
-            values = dequantize_kv(vb, vs, cache.bits, xh.dtype)
+            # transient per-layer payload update; attention reads payload
+            # width (current block quantized — the XLA quant-path semantics)
+            kb2 = jax.lax.dynamic_update_slice_in_dim(kb, qk, ln, axis=2)
+            vb2 = jax.lax.dynamic_update_slice_in_dim(vb, qv, ln, axis=2)
+            ks2 = jax.lax.dynamic_update_slice_in_dim(ks, k_scale, ln, axis=2)
+            vs2 = jax.lax.dynamic_update_slice_in_dim(vs, v_scale, ln, axis=2)
             ys = (qk, qv, k_scale, v_scale)
-        else:
-            keys, values = kb, vb
-            ys = (k.astype(kb.dtype), v.astype(vb.dtype), None, None)
-        # transient per-layer update: current block attends its fresh bf16
-        # K/V (QuantizedCache semantics, see _layer_step)
-        keys = jax.lax.dynamic_update_slice_in_dim(
-            keys, k.astype(keys.dtype), ln, axis=2
-        )
-        values = jax.lax.dynamic_update_slice_in_dim(
-            values, v.astype(values.dtype), ln, axis=2
-        )
+            if use_flash:
+                from ..ops.flash import flash_attention_quant
 
-        if use_flash:
-            from ..ops.flash import flash_attention
+                def _flq(win):
+                    return flash_attention_quant(
+                        q, kb2, vb2, ks2, vs2, ln, lmask, bits=cache.bits,
+                        sm_scale=scale, softcap=cfg.logit_softcap, window=win,
+                    )
 
-            def _fl(win):
-                return flash_attention(
-                    q, keys, values, ln, lmask, sm_scale=scale,
-                    softcap=cfg.logit_softcap, window=win,
-                )
-
-            if window is not None:
-                o = jax.lax.cond(sflag, lambda: _fl(window),
-                                 lambda: _fl(None))
+                if window is not None:
+                    o = jax.lax.cond(sflag, lambda: _flq(window),
+                                     lambda: _flq(None))
+                else:
+                    o = _flq(None)
             else:
-                o = _fl(None)
+                S_buf = kb2.shape[2]
+                bias = attention_bias(ln, T, S_buf, sliding_window=None,
+                                      head_mask=lmask)
+                if window is not None:
+                    sl_bias = attention_bias(
+                        ln, T, S_buf, sliding_window=window, head_mask=lmask
+                    )
+                    bias = jnp.where(sflag, sl_bias, bias)
+                o = quant_gqa_attention(
+                    q, kb2, vb2, ks2, vs2, bias, scale, cache.bits,
+                    softcap=cfg.logit_softcap,
+                )
         else:
-            S_buf = keys.shape[2]
-            bias = attention_bias(ln, T, S_buf, sliding_window=None,
-                                  head_mask=lmask)
-            if window is not None:
-                sl_bias = attention_bias(ln, T, S_buf, sliding_window=window,
-                                         head_mask=lmask)
-                bias = jnp.where(sflag, sl_bias, bias)
-            o, _ = gqa_attention(q, keys, values, bias, scale,
-                                 softcap=cfg.logit_softcap)
+            ys = (k.astype(kb.dtype), v.astype(vb.dtype), None, None)
+            keys = jax.lax.dynamic_update_slice_in_dim(
+                kb, k.astype(kb.dtype), ln, axis=2
+            )
+            values = jax.lax.dynamic_update_slice_in_dim(
+                vb, v.astype(vb.dtype), ln, axis=2
+            )
+            if use_flash:
+                from ..ops.flash import flash_attention
 
+                def _fl(win):
+                    return flash_attention(
+                        q, keys, values, ln, lmask, sm_scale=scale,
+                        softcap=cfg.logit_softcap, window=win,
+                    )
+
+                if window is not None:
+                    o = jax.lax.cond(sflag, lambda: _fl(window),
+                                     lambda: _fl(None))
+                else:
+                    o = _fl(None)
+            else:
+                S_buf = keys.shape[2]
+                bias = attention_bias(ln, T, S_buf, sliding_window=None,
+                                      head_mask=lmask)
+                if window is not None:
+                    sl_bias = attention_bias(
+                        ln, T, S_buf, sliding_window=window, head_mask=lmask
+                    )
+                    bias = jnp.where(sflag, sl_bias, bias)
+                o, _ = gqa_attention(q, keys, values, bias, scale,
+                                     softcap=cfg.logit_softcap)
+
+        if hidden_window is not None:
+            ys = ys + (h[:, -hidden_window:],)
         o = _lin(o.transpose(0, 2, 1, 3).reshape(B, T, -1), layer, "wo")
         if cfg.post_norms:
             o = rms_norm(o, layer["ln1_post"], cfg.rms_norm_eps,
@@ -1060,7 +1103,12 @@ def _chunk_forward_lean(params, chunk_ids, cache, *, runner):
 
     xs = (params["layers"], cache.keys, cache.values, cache.key_scales,
           cache.value_scales, mask, cache.length, sliding)
-    _, (nk, nv, nks, nvs) = jax.lax.scan(body, x, xs)
+    x, out_ys = jax.lax.scan(body, x, xs)
+    hidden_win = None
+    if hidden_window is not None:
+        nk, nv, nks, nvs, hidden_win = out_ys
+    else:
+        nk, nv, nks, nvs = out_ys
 
     start = (0, 0, 0, cache.length[0], 0)
     keys = jax.lax.dynamic_update_slice(cache.keys, nk, start)
@@ -1073,30 +1121,87 @@ def _chunk_forward_lean(params, chunk_ids, cache, *, runner):
         value_scales = jax.lax.dynamic_update_slice(
             cache.value_scales, nvs, start
         )
-    return dataclasses.replace(
+    logits = None
+    if compute_logits:
+        xl = rms_norm(x[:, -1:], params["ln_f"], cfg.rms_norm_eps,
+                      cfg.rms_one_offset)
+        logits = lm_head_logits(xl, params, cfg)
+    return logits, dataclasses.replace(
         cache,
         keys=keys, values=values,
         key_scales=key_scales, value_scales=value_scales,
         length=cache.length + T, offset=cache.offset + T,
-    )
+    ), hidden_win
 
 
 @functools.partial(
-    jax.jit, static_argnames=("runner", "press", "compute_logits"),
-    donate_argnums=(2,))
-def _chunk_forward(params, chunk_ids, cache, press_state, *, runner, press,
-                   compute_logits):
-    """One chunk append (+ the final chunk's compression when press is set).
-    Module-level so the compiled programs are shared across prefill_chunked
-    calls; every full chunk has the same shapes -> one compile each for the
-    plain and the final variant.
+    jax.jit, static_argnames=("runner", "wrap"), donate_argnums=(1,))
+def _compress_layer(params, cache, hidden_all, l_idx, *, runner, wrap):
+    """One layer's chunked-prefill compression, in place on the donated
+    cache: score the full (quantized) buffer against the re-projected
+    window queries (the DecodingPress contract), top-k gather at payload
+    width, write the layer back with one dynamic_update_slice.
 
-    The cache is DONATED: prefill_chunked owns it (created internally), and
-    aliasing input->output buffers removes a full cache copy per chunk —
-    the 8B@64K+ fit depends on it. (Donation's dispatch-serialization
-    penalty, CLAUDE.md, is irrelevant at seconds-long chunk granularity.)"""
-    return runner.forward(
-        params, chunk_ids, cache, press=press, press_state=press_state,
-        phase="decode" if press is not None else "none",
-        compute_logits=compute_logits, logits_last_only=True,
+    A host loop over layers (one compile total — l_idx is traced) replaces
+    the in-forward compression whose layer scan held TWO full cache copies
+    (xs + ys): peak memory here is the single donated cache + one layer's
+    transients. ~1 ms dispatch x L layers is noise next to the prefill."""
+    from ..presses.base import LayerCtx
+    from ..presses.decoding import _buffer_queries
+
+    cfg = runner.cfg
+    layer = jax.tree_util.tree_map(lambda a: a[l_idx], params["layers"])
+    hidden_l = hidden_all[l_idx]                     # (B, W, E)
+    B, W, _ = hidden_l.shape
+    length = cache.length[l_idx]
+    last_pos = (cache.offset if cache.offset.ndim == 0
+                else jnp.max(cache.offset)).astype(jnp.int32) - 1
+    positions = jnp.broadcast_to(
+        (last_pos - jnp.arange(W - 1, -1, -1, dtype=jnp.int32))[None], (B, W)
     )
+    ctx = LayerCtx(
+        layer_idx=l_idx, hidden=hidden_l, queries=None, queries_prerope=None,
+        keys_prerope=None, positions=positions, attn_probs=None,
+        layer_params=layer, inv_freq=runner.inv_freq(), cfg=cfg,
+        attention_scaling=runner.attention_scaling,
+    )
+    ctx = dataclasses.replace(
+        ctx, queries=_buffer_queries(ctx, hidden_l, positions)
+    )
+    state = {
+        "buffer": jnp.zeros((B, W, cfg.hidden_size), hidden_l.dtype),
+        "buf_len": jnp.asarray(0, jnp.int32),
+        "steps": jnp.asarray(0, jnp.int32),
+    }
+    keys_l = cache.keys[l_idx]
+    values_l = cache.values[l_idx]
+    mask_l = jnp.ones((B, cfg.num_kv_heads, keys_l.shape[2]), bool)
+    at = (l_idx, 0, 0, 0, 0)
+    if cache.key_scales is not None:
+        (k2, v2, ks2, vs2, nlen, _, _) = wrap.decode_compress_quantized(
+            ctx, keys_l, values_l, cache.key_scales[l_idx],
+            cache.value_scales[l_idx], cache.bits, length, mask_l, state,
+        )
+        cache = dataclasses.replace(
+            cache,
+            keys=jax.lax.dynamic_update_slice(cache.keys, k2[None], at),
+            values=jax.lax.dynamic_update_slice(cache.values, v2[None], at),
+            key_scales=jax.lax.dynamic_update_slice(
+                cache.key_scales, ks2[None], at
+            ),
+            value_scales=jax.lax.dynamic_update_slice(
+                cache.value_scales, vs2[None], at
+            ),
+            length=cache.length.at[l_idx].set(nlen),
+        )
+    else:
+        k2, v2, nlen, _, _ = wrap.decode_compress(
+            ctx, keys_l, values_l, length, mask_l, state
+        )
+        cache = dataclasses.replace(
+            cache,
+            keys=jax.lax.dynamic_update_slice(cache.keys, k2[None], at),
+            values=jax.lax.dynamic_update_slice(cache.values, v2[None], at),
+            length=cache.length.at[l_idx].set(nlen),
+        )
+    return cache

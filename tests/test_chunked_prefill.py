@@ -165,18 +165,19 @@ def test_chunked_single_compile(tiny):
     count is one per (chunk_size, cache bucket), independent of context
     length."""
     cfg, params, runner = tiny
-    from kvpress_tpu.models.llama import _chunk_forward
+    from kvpress_tpu.models.llama import _chunk_forward_lean, _compress_layer
 
     press = KnormPress(0.5)
     ids = jax.random.randint(jax.random.PRNGKey(3), (1, 64), 0, cfg.vocab_size)
     runner.prefill_chunked(params, ids, press=press, chunk_size=16,
                            max_size=128, dtype=jnp.float32)
-    n0 = _chunk_forward._cache_size()
+    n0 = _chunk_forward_lean._cache_size() + _compress_layer._cache_size()
     ids2 = jax.random.randint(jax.random.PRNGKey(4), (1, 128), 0,
                               cfg.vocab_size)
     runner.prefill_chunked(params, ids2, press=press, chunk_size=16,
                            max_size=128, dtype=jnp.float32)
-    assert _chunk_forward._cache_size() == n0, "expected zero new compiles"
+    assert (_chunk_forward_lean._cache_size()
+            + _compress_layer._cache_size()) == n0, "zero new compiles"
 
 
 def test_pipeline_context_chunk(tiny):

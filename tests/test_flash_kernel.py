@@ -57,3 +57,46 @@ def test_chunked_window_probs_mean_matches_dense():
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(dense), atol=1e-6)
 
 
+
+
+QUANT_CASES = [
+    # bits, B, Hq, Hkv, T, S, D, prior, window, softcap
+    (8, 1, 4, 2, 128, 128, 64, 0, None, None),
+    (4, 1, 4, 2, 128, 128, 64, 0, None, None),
+    (8, 2, 8, 4, 100, 356, 64, 256, None, None),   # prior cache, ragged
+    (4, 1, 4, 2, 130, 386, 128, 256, 64, 30.0),    # window + softcap + D128
+]
+
+
+@pytest.mark.parametrize(
+    "case", QUANT_CASES, ids=[f"b{c[0]}T{c[4]}S{c[5]}p{c[7]}" for c in QUANT_CASES]
+)
+def test_flash_quant_matches_xla(case):
+    """Fused-dequant flash == quant_gqa_attention (same algebraic scales):
+    the payload-width prefill path (chunked 8B@128K) must match the XLA
+    quantized reference bit-for-bit up to f32 reduction order."""
+    from kvpress_tpu.cache import quantize_kv
+    from kvpress_tpu.ops.attention import quant_gqa_attention
+    from kvpress_tpu.ops.flash import flash_attention_quant
+
+    bits, B, Hq, Hkv, T, S, D, prior, window, softcap = case
+    ks = jax.random.split(jax.random.PRNGKey(bits + T + S), 4)
+    q = jax.random.normal(ks[0], (B, Hq, T, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, Hkv, S, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, Hkv, S, D), jnp.float32)
+    mask = (jax.random.uniform(ks[3], (B, Hkv, S)) > 0.2).at[:, :, :8].set(True)
+    qk, k_sc = quantize_kv(k, bits)
+    qv, v_sc = quantize_kv(v, bits)
+
+    bias = attention_bias(
+        jnp.asarray(prior, jnp.int32), T, S, sliding_window=window,
+        head_mask=mask,
+    )
+    ref = quant_gqa_attention(q, qk, qv, k_sc, v_sc, bias, D**-0.5, bits,
+                              softcap=softcap)
+    got = flash_attention_quant(
+        q, qk, qv, k_sc, v_sc, jnp.asarray(prior, jnp.int32), mask,
+        bits=bits, sm_scale=D**-0.5, window=window, softcap=softcap,
+        block_q=64, block_k=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
