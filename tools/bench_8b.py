@@ -19,6 +19,11 @@ prefill time + generation time + cache bytes, KnormPress sweep).
   chip compression *enables* them, there is nothing to compare against.
 
 Usage: python tools/bench_8b.py [--ctx 16384 24576] [--steps 64] [--reps 3]
+
+Measured (round 3, one leg per process — OOM legs fragment the heap):
+  int8 weights: 16K paired 55.2 -> 80.6 tok/s (1.46x);
+  chunked (prefill tok/s / decode tok/s): 32K 3,980/71.4; 64K 2,513/59.2;
+  128K 1,440/43.6 — the BASELINE.md:17 north star on a single 16 GB chip.
 """
 
 import argparse
