@@ -476,11 +476,29 @@ class Runner:
                 cache_layer["value_scales"], v_scale, prior_len, axis=2
             )
             new_len = prior_len + T
+            # Multi-token flash over the payload (fused dequant): pressless
+            # prefill/question forwards and quant-decode-press chunks read
+            # the cache at payload width — the dequantized buffer never
+            # exists (ops/flash.flash_attention_quant). int8 only: measured
+            # speed == bf16 (prefill attention is MXU-bound, the int8 read
+            # is free); int4's two half-depth nibble dots are ~30% SLOWER at
+            # multi-token shapes (round 3, probe_quant_prefill), so int4
+            # keeps the dense-dequant path here — the memory-bound chunked
+            # path (_chunk_forward_lean) still fuses int4.
+            use_quant_flash = (
+                self.attn_impl == "flash" and T > 1
+                and kv_bits == 8
+                and not use_decode_kernel
+                and not return_probs
+                and not (apply_press and not quant_press_decode)
+                and not (press is not None and apply_press
+                         and press.wants_lse(T))
+            )
             needs_dense = (
                 (apply_press and not quant_press_decode)
                 or return_probs
                 or (self.attn_impl == "flash" and T > 1
-                    and not use_decode_kernel)
+                    and not use_decode_kernel and not use_quant_flash)
             )
             if needs_dense:
                 keys = dequantize_kv(qkeys, key_scales, kv_bits, x.dtype)
@@ -571,18 +589,26 @@ class Runner:
             probs = None
             attn_lse = None
         elif use_flash:
-            from ..ops.flash import flash_attention
+            from ..ops.flash import flash_attention, flash_attention_quant
 
             want_lse = (
                 press is not None and apply_press and press.wants_lse(T)
             )
 
-            def _flash(win):
-                return flash_attention(
-                    q, keys, values, prior_len, mask,
-                    sm_scale=scale, softcap=cfg.logit_softcap, window=win,
-                    return_lse=want_lse,
-                )
+            if quantized and keys is None:
+                def _flash(win):
+                    return flash_attention_quant(
+                        q, qkeys, qvalues, key_scales, value_scales,
+                        prior_len, mask, bits=kv_bits, sm_scale=scale,
+                        softcap=cfg.logit_softcap, window=win,
+                    )
+            else:
+                def _flash(win):
+                    return flash_attention(
+                        q, keys, values, prior_len, mask,
+                        sm_scale=scale, softcap=cfg.logit_softcap, window=win,
+                        return_lse=want_lse,
+                    )
 
             if use_sliding:
                 res = jax.lax.cond(
