@@ -97,15 +97,14 @@ def test_chunked_quantized_int4(tiny):
     np.testing.assert_array_equal(
         np.asarray(c_exact.length), np.asarray(c_chunk.length)
     )
-    # Attention/scoring semantics differ by design between paths (the lean
-    # chunk step attends its current chunk with FRESH bf16 K/V — the
-    # reference QuantizedCache semantics and what the TPU flash path does —
-    # while the one-shot XLA quantized path reads payloads), so hidden
-    # states drift at quantization scale and, on a RANDOM tiny model where
-    # Knorm ranks are noise-dominated, kept-set equality vs one-shot is not
-    # meaningful. Assert integrity instead — every kept row must be one of
-    # the tokens' quantized keys from an identical-semantics pressless
-    # chunked run (the payload-width gather never mixes or corrupts rows).
+    # Quantized attention order differs between paths (the one-shot path
+    # with a press attends fresh bf16 K/V for the whole context — the press
+    # needs dense keys anyway — while lean chunks read payloads for past
+    # chunks), so hidden states drift at quantization scale and, on a RANDOM
+    # tiny model where Knorm ranks are noise-dominated, kept-set equality vs
+    # one-shot is not meaningful. Assert integrity instead — every kept row
+    # must be one of the tokens' quantized keys from an identical-semantics
+    # pressless chunked run (the payload-width gather never corrupts rows).
     from kvpress_tpu.cache import dequantize_kv
 
     _, c_full, _ = runner.prefill_chunked(
@@ -196,3 +195,34 @@ def test_pipeline_context_chunk(tiny):
     a_chunk = pipe(ctx, question="what ?", press=press, max_new_tokens=5,
                    context_chunk=16)
     assert a_exact["answer"] == a_chunk["answer"]
+
+
+def test_chunked_sliding_window_model():
+    """Gemma3-style interleaved sliding/global layers: chunked prefill
+    matches exact prefill (sliding layers keep everything — compression
+    skips them; global layers compress via the host loop)."""
+    cfg = tiny_config(num_layers=4, sliding_window=8,
+                      rope_local_base_freq=500.0,
+                      layer_is_sliding=tuple(i % 2 == 0 for i in range(4)))
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    runner = Runner.create(cfg)
+    S, chunk = 64, 16
+    ids = jax.random.randint(jax.random.PRNGKey(6), (1, S), 0, cfg.vocab_size)
+    press = KnormPress(0.5)
+    _, c_exact, _ = runner.prefill(params, ids, press=press, dtype=jnp.float32)
+    _, c_chunk, _ = runner.prefill_chunked(
+        params, ids, press=press, chunk_size=chunk, dtype=jnp.float32
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c_exact.length), np.asarray(c_chunk.length)
+    )
+    sliding = cfg.sliding_flags()
+    for layer in range(cfg.num_layers):
+        n = int(c_exact.length[layer])
+        if sliding[layer]:
+            assert n == S          # never compressed
+        for h in range(cfg.num_kv_heads):
+            a = np.asarray(c_exact.keys[layer, 0, h, :n])
+            b = np.asarray(c_chunk.keys[layer, 0, h, :n])
+            d = np.linalg.norm(a[:, None] - b[None], axis=-1)
+            assert (d.min(axis=1) < 1e-4).all(), (layer, h)

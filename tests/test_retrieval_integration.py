@@ -211,3 +211,27 @@ def test_needle_survives_int8_weights(trained):
     )
     acc = float((jnp.argmax(logits[:, 0], -1) == target).mean())
     assert acc > 0.9, acc
+
+
+def test_needle_survives_chunked_prefill(trained):
+    """Chunked prefill + host-loop compression preserves retrieval: the
+    SnapKV window (the in-context query) sits in the FINAL chunk, so the
+    score window sees it — accuracy must match the one-shot compressed path.
+    Also covers the quantized (int8) chunked cache."""
+    cfg, params, runner = trained
+    press = SnapKVPress(compression_ratio=0.3, window_size=4, kernel_size=3)
+    rng = np.random.default_rng(11)
+    seq, target, _ = make_batch(rng, 64)
+    context = seq[:, :CTX]
+    question = seq[:, -2:]
+
+    for kw in (dict(), dict(quantized=True, kv_bits=8)):
+        _, cache, _ = runner.prefill_chunked(
+            params, context, press=press, chunk_size=8,
+            max_size=SEQ + 2, dtype=jnp.float32, **kw,
+        )
+        logits, _, _ = Runner.forward(
+            runner, params, question, cache, logits_last_only=True
+        )
+        acc = float((jnp.argmax(logits[:, 0], -1) == target).mean())
+        assert acc > 0.9, (kw, acc)
