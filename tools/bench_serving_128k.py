@@ -52,7 +52,12 @@ def main():
         "snapkv-0.5": (SnapKVPress(compression_ratio=0.5), None),
         # chunked admission: one compiled chunk program instead of one
         # exact-length prefill compile per context length (the 268 s SnapKV
-        # 128K cliff); scoring uses the trailing window (exact for SnapKV)
+        # 128K cold-compile cliff); scoring uses the trailing window (exact
+        # for SnapKV). Measured (round 3): 3,541 tok/s processed vs 5,068
+        # exact-length — int4 chunks pay the fused nibble-dot tax
+        # (probe_quant_prefill) + chunk dispatch; use context_chunk when
+        # compile variety or memory demands it (8B-class), not for peak
+        # throughput at 1B.
         "snapkv-0.5/chunk8k": (SnapKVPress(compression_ratio=0.5), 8192),
     }
     for label, (press, chunk) in presses.items():
