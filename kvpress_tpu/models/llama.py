@@ -928,6 +928,14 @@ class Runner:
         from ..presses.decoding import CompressionRatioDecodingPress
 
         B, S = ids.shape
+        # int4 chunk attention: fused nibble dots only when the per-layer
+        # dense-dequant transient is too big to afford (8B-class at 128K);
+        # int8 fused is free (== bf16 speed, probe_quant_prefill).
+        dense_bytes = (
+            2 * 2 * B * self.cfg.num_kv_heads
+            * (max_size or S) * self.cfg.head_dim
+        )
+        fused_kv = kv_bits == 8 or dense_bytes > (1 << 29)
         # Ragged lengths: the ragged remainder runs FIRST (chunk boundaries
         # do not affect exactness — appends are sequential), so the final,
         # compressing chunk is always a full chunk_size and the score window
@@ -967,6 +975,7 @@ class Runner:
                 params, ids[:, start:start + width], cache, runner=self,
                 compute_logits=compute_logits and last,
                 hidden_window=W if (last and wrap is not None) else None,
+                fused_kv=fused_kv,
             )
         if wrap is not None:
             sliding = self.cfg.sliding_flags()
@@ -982,10 +991,12 @@ class Runner:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("runner", "compute_logits", "hidden_window"),
+    static_argnames=("runner", "compute_logits", "hidden_window",
+                     "fused_kv"),
     donate_argnums=(2,))
 def _chunk_forward_lean(params, chunk_ids, cache, *, runner,
-                        compute_logits=False, hidden_window=None):
+                        compute_logits=False, hidden_window=None,
+                        fused_kv=True):
     """Pressless chunk append with O(chunk) scan outputs.
 
     The standard forward's layer scan threads the FULL cache buffers as both
@@ -1051,7 +1062,29 @@ def _chunk_forward_lean(params, chunk_ids, cache, *, runner,
             ks2 = jax.lax.dynamic_update_slice_in_dim(ks, k_scale, ln, axis=2)
             vs2 = jax.lax.dynamic_update_slice_in_dim(vs, v_scale, ln, axis=2)
             ys = (qk, qv, k_scale, v_scale)
-            if use_flash:
+            if use_flash and not fused_kv:
+                # dense-dequant attention: int4's fused nibble dots measured
+                # ~30% slower (probe_quant_prefill); when the per-layer
+                # dense transient is affordable (prefill_chunked auto
+                # heuristic), dequantize and run the bf16 kernel instead
+                from ..cache import dequantize_kv
+                from ..ops.flash import flash_attention
+
+                kd = dequantize_kv(kb2, ks2, cache.bits, xh.dtype)
+                vd = dequantize_kv(vb2, vs2, cache.bits, xh.dtype)
+
+                def _fld(win):
+                    return flash_attention(
+                        q, kd, vd, ln, lmask, sm_scale=scale,
+                        softcap=cfg.logit_softcap, window=win,
+                    )
+
+                if window is not None:
+                    o = jax.lax.cond(sflag, lambda: _fld(window),
+                                     lambda: _fld(None))
+                else:
+                    o = _fld(None)
+            elif use_flash:
                 from ..ops.flash import flash_attention_quant
 
                 def _flq(win):

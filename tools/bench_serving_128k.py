@@ -53,11 +53,10 @@ def main():
         # chunked admission: one compiled chunk program instead of one
         # exact-length prefill compile per context length (the 268 s SnapKV
         # 128K cold-compile cliff); scoring uses the trailing window (exact
-        # for SnapKV). Measured (round 3): 3,541 tok/s processed vs 5,068
-        # exact-length — int4 chunks pay the fused nibble-dot tax
-        # (probe_quant_prefill) + chunk dispatch; use context_chunk when
-        # compile variety or memory demands it (8B-class), not for peak
-        # throughput at 1B.
+        # for SnapKV). Measured (round 3): 4,609 tok/s processed vs 5,068
+        # exact-length (within 9%) after the auto dense/fused heuristic —
+        # 1B-class dense transients are affordable so int4 chunks dequantize
+        # and run the bf16 kernel; only 8B-class@128K stays fused.
         "snapkv-0.5/chunk8k": (SnapKVPress(compression_ratio=0.5), 8192),
     }
     for label, (press, chunk) in presses.items():
