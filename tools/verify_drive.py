@@ -122,6 +122,16 @@ def main():
                 press=KnormPress(0.5))
     print(f"step8 sliding-window+press: answer={out['answer']!r} "
           f"({time.perf_counter() - t0:.1f}s)")
+
+    # chunked prefill (bounded activations): answers equal one-shot
+    t0 = time.perf_counter()
+    spress = SnapKVPress(compression_ratio=0.5, window_size=8)
+    a1 = pipe(ctx, question="what is w4 ?", press=spress, max_new_tokens=6)
+    a2 = pipe(ctx, question="what is w4 ?", press=spress, max_new_tokens=6,
+              context_chunk=64)
+    assert a1["answer"] == a2["answer"], (a1, a2)
+    print(f"step9 chunked-prefill: answer={a2['answer']!r} "
+          f"({time.perf_counter() - t0:.1f}s)")
     print("DRIVE OK")
 
 
