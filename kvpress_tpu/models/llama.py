@@ -903,7 +903,8 @@ class Runner:
 
     def prefill_chunked(self, params, ids, press=None, chunk_size: int = 8192,
                         max_size=None, dtype=jnp.bfloat16, compute_logits=False,
-                        quantized=False, kv_bits=8, score_window: int = 1024):
+                        quantized=False, kv_bits=8, score_window: int = 1024,
+                        fused_kv=None):
         """Bounded-activation prefill: forward the context in ``chunk_size``
         pieces (host loop over ONE compiled chunk program — per-chunk
         activations replace the full-length ones, e.g. the (S, F) MLP
@@ -925,17 +926,18 @@ class Runner:
         across calls — pass a bucketed ``max_size`` so different context
         lengths share the same compiled programs."""
         from ..presses.base import ScorerPress
-        from ..presses.decoding import CompressionRatioDecodingPress
+        from ..presses.decoding import BudgetDecodingPress
 
         B, S = ids.shape
         # int4 chunk attention: fused nibble dots only when the per-layer
         # dense-dequant transient is too big to afford (8B-class at 128K);
         # int8 fused is free (== bf16 speed, probe_quant_prefill).
-        dense_bytes = (
-            2 * 2 * B * self.cfg.num_kv_heads
-            * (max_size or S) * self.cfg.head_dim
-        )
-        fused_kv = kv_bits == 8 or dense_bytes > (1 << 29)
+        if fused_kv is None:
+            dense_bytes = (
+                2 * 2 * B * self.cfg.num_kv_heads
+                * (max_size or S) * self.cfg.head_dim
+            )
+            fused_kv = kv_bits == 8 or dense_bytes > (1 << 29)
         # Ragged lengths: the ragged remainder runs FIRST (chunk boundaries
         # do not affect exactness — appends are sequential), so the final,
         # compressing chunk is always a full chunk_size and the score window
@@ -952,7 +954,10 @@ class Runner:
                 "prefill_chunked compresses with a ScorerPress; wrappers/"
                 "multi-pass presses need the exact prefill path"
             )
-            wrap = CompressionRatioDecodingPress(
+            # BudgetDecodingPress: per-layer targets come from the press's
+            # own dynamic_budget — budget-shaping scorers (PyramidKV) keep
+            # their per-layer pyramid instead of a flattened uniform target.
+            wrap = BudgetDecodingPress(
                 base_press=press,
                 target_compression_ratio=press.compression_ratio,
                 compression_interval=1,

@@ -69,6 +69,10 @@ def build_duo_split(cache: KVCache, streaming_mask: np.ndarray,
     reserves append slots for decode."""
     sm = np.asarray(streaming_mask, bool)
     L, B, Hkv, S, D = cache.keys.shape
+    assert S >= sink + recent, (
+        f"buffer ({S}) smaller than sink+recent ({sink}+{recent}) — a split "
+        "cache cannot hold the streaming window; use the dense masked path"
+    )
     n_s = sm.sum(axis=1)
     hs_max = int(n_s.max(initial=0))
     hr_max = Hkv - int(n_s.min(initial=0))
@@ -101,9 +105,14 @@ def build_duo_split(cache: KVCache, streaming_mask: np.ndarray,
 
     def slice_stream(a, ln):
         head = a[:, :, :sink]
+        # tail starts no earlier than `sink`: for sink <= ln < sink+recent
+        # the recent window would otherwise overlap the head (duplicating
+        # early tokens and DROPPING the most recent ones); starting at sink
+        # keeps slot sink+j == token sink+j, contiguous with the head, and
+        # len_s = min(ln, sink+recent) masks the unfilled remainder.
         tail = jax.vmap(
             lambda ab: jax.lax.dynamic_slice_in_dim(
-                ab, jnp.maximum(ln - recent, 0), recent, axis=1),
+                ab, jnp.maximum(ln - recent, sink), recent, axis=1),
             in_axes=1, out_axes=1,
         )(a)
         pad = jnp.zeros(a.shape[:2] + (room,) + a.shape[3:], a.dtype)
@@ -114,9 +123,14 @@ def build_duo_split(cache: KVCache, streaming_mask: np.ndarray,
         take_heads(cache.values, si), cache.length)
 
     len_s = jnp.minimum(cache.length, sink + recent).astype(jnp.int32)
-    grow_r = cache.keys.shape[3] - room
-    if grow_r < 0:
-        pad = -grow_r
+    # Reserve `room` append slots in the retrieval buffer relative to the
+    # LONGEST layer's valid length (host-eager: cache.length is concrete) —
+    # comparing room against the whole buffer silently left zero free slots
+    # on a full prefill cache and decode appends clamped onto the last
+    # context token.
+    free = S - int(np.max(np.asarray(cache.length)))
+    if free < room:
+        pad = room - free
         keys_r = jnp.pad(keys_r, ((0, 0),) * 3 + ((0, pad), (0, 0)))
         values_r = jnp.pad(values_r, ((0, 0),) * 3 + ((0, pad), (0, 0)))
     return DuoSplitCache(

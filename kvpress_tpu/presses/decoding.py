@@ -244,6 +244,24 @@ class CompressionRatioDecodingPress(DecodingPress):
 
 
 @dataclasses.dataclass(frozen=True)
+class BudgetDecodingPress(CompressionRatioDecodingPress):
+    """Target = the base press's OWN per-layer budget (dynamic_budget) —
+    honors budget-shaping scorers (PyramidKV's beta pyramid) where
+    CompressionRatioDecodingPress would silently flatten every layer to a
+    uniform (1 - ratio)·total. Used by Runner.prefill_chunked's final
+    compression pass."""
+
+    def target_value(self, ctx: LayerCtx, length) -> jax.Array:
+        return self.base_press.dynamic_budget(ctx, length)
+
+    def target_value_vec(self, last_positions, length) -> jax.Array:
+        raise NotImplementedError(
+            "BudgetDecodingPress is a chunked-prefill internal; the serving "
+            "engine uses DecodingPress/CompressionRatioDecodingPress"
+        )
+
+
+@dataclasses.dataclass(frozen=True)
 class PrefillDecodingPress(BasePress):
     """Phase router (reference prefill_decoding_press.py:45-81)."""
 

@@ -586,15 +586,18 @@ class ServingEngine:
         ids = jnp.asarray(np.asarray(ctx, np.int32))[None]
         if self.context_chunk is not None:
             # Bounded-activation admission: long contexts stream through the
-            # compiled chunk program (one compile per cache bucket instead of
-            # one exact-length prefill compile per context length — the 128K
-            # admission cliff). Still zero host syncs: the chunk loop only
-            # dispatches.
+            # compiled chunk program. max_size bucketed to a chunk multiple
+            # so the chunk/compress programs are shared across context
+            # lengths (one compile per bucket + one per distinct ragged
+            # remainder width — not one exact-length prefill compile per
+            # length, the 128K admission cliff). Still zero host syncs: the
+            # chunk loop only dispatches.
+            bucketed = -(-ids.shape[1] // self.context_chunk) *                 self.context_chunk
             logits, cache, press_state = runner.prefill_chunked(
                 params, ids, press=self.press,
-                chunk_size=self.context_chunk, dtype=self.dtype,
-                compute_logits=True, quantized=self.quantized,
-                kv_bits=self.kv_bits,
+                chunk_size=self.context_chunk, max_size=bucketed,
+                dtype=self.dtype, compute_logits=True,
+                quantized=self.quantized, kv_bits=self.kv_bits,
             )
         else:
             from .pipeline import _prefill

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 import kvpress_tpu as kp
 from kvpress_tpu import (
     KnormPress,
+    PyramidKVPress,
     Runner,
     SnapKVPress,
     StreamingLLMPress,
@@ -33,6 +34,7 @@ PRESSES = [
     StreamingLLMPress(0.5),
     TOVAPress(0.5),
     SnapKVPress(0.5, window_size=8, kernel_size=3),   # window <= chunk
+    PyramidKVPress(0.5, window_size=8, kernel_size=3),  # per-layer budgets
 ]
 
 

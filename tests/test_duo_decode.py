@@ -103,3 +103,41 @@ def test_duo_split_rejects_sliding_models():
     ds = build_duo_split(cache, press.streaming_mask(), 2, 4, room=4)
     with pytest.raises(AssertionError, match="sliding"):
         duo_decode_step(params, ids[:, -1:], ds, runner=runner)
+
+
+def test_duo_split_short_context_and_room(duo_setup):
+    """Regression (round-3 review): (a) sink <= length < sink+recent must
+    keep the MOST RECENT tokens (the old tail slice overlapped the head and
+    dropped them); (b) build_duo_split must reserve decode room itself on a
+    full prefill cache (no external grow)."""
+    cfg, params, runner, press, _ = duo_setup
+    rng = np.random.default_rng(3)
+    # length 6: sink=3 <= 6 < sink+recent=8
+    ids = jnp.asarray(rng.permutation(cfg.vocab_size)[:12].reshape(2, 6)
+                      ).astype(jnp.int32)
+    n_new = 4
+
+    _, cache, _ = runner.prefill(params, ids, press=press, dtype=jnp.float32,
+                                 max_size=8 + n_new + 2)
+    # no grow: room reservation is build_duo_split's job
+    _, cache_full, _ = runner.prefill(params, ids, press=press,
+                                      dtype=jnp.float32, max_size=8)
+    ds = build_duo_split(cache_full, press.streaming_mask(), press.sink_size,
+                         press.recent_size, room=n_new + 2)
+    cache = grow(cache, 0)
+
+    tok = tok_s = ids[:, -1:]
+    for step in range(n_new):
+        dense_logits, cache, _ = runner.forward(
+            params, tok, cache, logits_last_only=True
+        )
+        tok_split, split_logits, ds = duo_decode_step(
+            params, tok_s, ds, runner=runner
+        )
+        np.testing.assert_allclose(
+            np.asarray(split_logits, np.float32),
+            np.asarray(dense_logits[:, -1], np.float32),
+            rtol=2e-4, atol=2e-4, err_msg=f"step {step}",
+        )
+        nxt = jnp.argmax(dense_logits[:, -1], axis=-1).astype(jnp.int32)
+        tok = tok_s = nxt[:, None]

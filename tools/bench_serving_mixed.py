@@ -73,7 +73,7 @@ def main():
         warm = [Request(rng.integers(0, cfg.vocab_size, n).tolist(), [], 4)
                 for n in (4096, 8192, 16384, 32768)]
         eng.run(warm)                     # compile every context shape once
-        rates, first_lat = [], []
+        rates = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
             outs = eng.run(reqs)
