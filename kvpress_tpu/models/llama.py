@@ -385,6 +385,8 @@ class Runner:
         valid_len: Optional[jax.Array] = None,
         kv_bits: int = 8,
         extra_allow: Optional[jax.Array] = None,   # (B, T, S_buf) image spans
+        img_groups: Optional[jax.Array] = None,    # (B, T) ids (flash path)
+        image_span: Optional[int] = None,          # static span bound
     ):
         cfg = self.cfg
         apply_press = press is not None and (
@@ -488,6 +490,7 @@ class Runner:
             use_quant_flash = (
                 self.attn_impl == "flash" and T > 1
                 and kv_bits == 8
+                and img_groups is None
                 and not use_decode_kernel
                 and not return_probs
                 and not (apply_press and not quant_press_decode)
@@ -541,12 +544,11 @@ class Runner:
             self.attn_impl == "flash" and not return_probs and T > 1
             and not use_decode_kernel
         )
-        assert extra_allow is None or not (
-            use_flash or use_decode_kernel or use_headwise
+        assert (extra_allow is None and img_groups is None) or not (
+            use_decode_kernel or use_headwise
         ), (
-            "bidirectional image-span attention (token_types) is supported "
-            "on the XLA attention path only — create the Runner with "
-            "attn_impl='xla' for multimodal prefill"
+            "bidirectional image-span attention (token_types) is a prefill "
+            "feature — decode kernels do not support it"
         )
         if use_headwise:
             from ..ops.decode_headwise import (
@@ -603,10 +605,21 @@ class Runner:
                         softcap=cfg.logit_softcap, window=win,
                     )
             else:
+                kg = None
+                if img_groups is not None:
+                    # prefill-from-empty contract: token position == slot
+                    S_buf_f = keys.shape[2]
+                    kg = jnp.pad(
+                        img_groups, ((0, 0), (0, S_buf_f - T)),
+                        constant_values=-1,
+                    )
+
                 def _flash(win):
                     return flash_attention(
                         q, keys, values, prior_len, mask,
+                        q_groups=img_groups, k_groups=kg,
                         sm_scale=scale, softcap=cfg.logit_softcap, window=win,
+                        or_span=image_span if img_groups is not None else None,
                         return_lse=want_lse,
                     )
 
@@ -773,6 +786,8 @@ class Runner:
         inputs_embeds: Optional[jax.Array] = None,   # (B, T, E) overrides ids
         valid_len: Optional[jax.Array] = None,       # () int32: bucketed prefill
         token_types: Optional[jax.Array] = None,     # (B, T) 1 = image token
+        image_span: Optional[int] = None,            # static: the max image
+        # span length (mm_tokens_per_image) — required on the flash path
     ):
         """Run T tokens through all layers against (and appending to) cache.
 
@@ -809,19 +824,30 @@ class Runner:
         # Gemma3 multimodal: tokens of the same image attend each other
         # bidirectionally (HF token_type_ids_mask_function semantics —
         # group ids from contiguous image runs; prefill-from-empty only, so
-        # token position == cache slot).
+        # token position == cache slot). The XLA path gets an (B, T, S)
+        # or-mask; the flash path gets group-id vectors + the static span
+        # bound (the kernel extends its causal block skip by it).
         extra_allow = None
+        img_groups = None
         if token_types is not None:
             is_img = jnp.asarray(token_types) == 1                  # (B, T)
             new_start = is_img & ~jnp.pad(is_img, ((0, 0), (1, 0)))[:, :-1]
             group = jnp.cumsum(new_start, axis=1) - 1
             group = jnp.where(is_img, group, -1)
-            ea = (group[:, :, None] >= 0) & (
-                group[:, :, None] == group[:, None, :]
-            )                                                        # (B, T, T)
-            extra_allow = jnp.pad(
-                ea, ((0, 0), (0, 0), (0, S_buf - T)), constant_values=False
-            )
+            if self.attn_impl == "xla":
+                ea = (group[:, :, None] >= 0) & (
+                    group[:, :, None] == group[:, None, :]
+                )                                                    # (B, T, T)
+                extra_allow = jnp.pad(
+                    ea, ((0, 0), (0, 0), (0, S_buf - T)),
+                    constant_values=False,
+                )
+            else:
+                assert image_span is not None, (
+                    "token_types on the flash path needs image_span "
+                    "(mm_tokens_per_image) to bound the or-mask's reach"
+                )
+                img_groups = group.astype(jnp.int32)
 
         def body(carry, xs):
             xh = carry
@@ -833,7 +859,8 @@ class Runner:
             xh, ncl, nstate = self._layer_step(
                 xh, layer, cache_layer, positions, inv_freq, lid, sflag,
                 press, pstate, phase, valid_len, cache.bits,
-                extra_allow=extra_allow,
+                extra_allow=extra_allow, img_groups=img_groups,
+                image_span=image_span,
             )
             return xh, (
                 ncl["keys"], ncl["values"], ncl["length"], ncl["mask"],
@@ -878,7 +905,8 @@ class Runner:
 
     def prefill(self, params, ids, press=None, max_size=None, dtype=jnp.bfloat16,
                 compute_logits=False, quantized=False, valid_len=None,
-                kv_bits=8, inputs_embeds=None, token_types=None):
+                kv_bits=8, inputs_embeds=None, token_types=None,
+                image_span=None):
         """Compress-on-prefill entry: build a fresh cache for ids (B, S).
 
         ``valid_len`` (traced) enables bucketed prefill over padded ids.
@@ -899,6 +927,7 @@ class Runner:
             phase="prefill", compute_logits=compute_logits,
             logits_last_only=True, valid_len=valid_len,
             inputs_embeds=inputs_embeds, token_types=token_types,
+            image_span=image_span,
         )
 
     def prefill_chunked(self, params, ids, press=None, chunk_size: int = 8192,

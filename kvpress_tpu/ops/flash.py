@@ -38,6 +38,9 @@ def _kernel(
     k_ref,                     # (1, 1, bk, D)
     v_ref,                     # (1, 1, bk, D)
     mask_ref,                  # (1, 1, 1, bk) bool
+    gq_ref,                    # (1, 1, G*bq, 1) int32 rows-column of image-
+                               # group ids (pre-expanded host-side) or None
+    gk_ref,                    # (1, 1, 1, bk) int32 or None
     o_ref,                     # (1, 1, G, bq, D)
     lse_ref,                   # (1, 1, G*bq, LANES) f32 or None
     m_scr,                     # (G*bq, LANES) f32
@@ -51,6 +54,9 @@ def _kernel(
     sm_scale: float,
     softcap: Optional[float],
     window: Optional[int],
+    or_span: Optional[int],    # max image-span length — bounds how far the
+                               # bidirectional or-mask reaches above the
+                               # causal diagonal
 ):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
@@ -62,9 +68,12 @@ def _kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    # Skip KV tiles strictly above the causal diagonal.
+    # Skip KV tiles strictly above the causal diagonal (extended by the
+    # image-span bound when the same-image or-mask is active: a token can
+    # attend at most or_span-1 slots ahead, all within its own image).
     max_q_slot = prior + (qi + 1) * bq - 1
-    should_run = ki * bk <= max_q_slot
+    reach = 0 if or_span is None else or_span - 1
+    should_run = ki * bk <= max_q_slot + reach
     if window is not None:
         min_q_slot = prior + qi * bq
         should_run = jnp.logical_and(
@@ -91,6 +100,15 @@ def _kernel(
         allowed = k_slot <= q_slot
         if window is not None:
             allowed = jnp.logical_and(allowed, k_slot > q_slot - window)
+        if or_span is not None:
+            # same-image bidirectional or-mask (HF token_type_ids
+            # semantics): group ids >= 0 mark image tokens; equal groups
+            # attend each other regardless of causality/window. gq arrives
+            # as a (G*bq, 1) rows-column (no lanes->sublanes relayout).
+            gq = gq_ref[0, 0]                                # (G*bq, 1)
+            gk = gk_ref[0, 0, 0][None, :]                    # (1, bk)
+            same = jnp.logical_and(gq >= 0, gq == gk)
+            allowed = jnp.logical_or(allowed, same)
         allowed = jnp.logical_and(allowed, mask_ref[0, 0, 0][None, :])
         s = jnp.where(allowed, s, NEG_INF)
 
@@ -125,7 +143,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "sm_scale", "softcap", "window", "block_q", "block_k", "interpret",
-        "return_lse",
+        "return_lse", "or_span",
     ),
 )
 def flash_attention(
@@ -134,10 +152,15 @@ def flash_attention(
     v: jax.Array,
     prior_length: jax.Array,         # () int32 — cache slots before this call
     head_mask: Optional[jax.Array] = None,   # (B, Hkv, S) bool keep-mask
+    q_groups: Optional[jax.Array] = None,    # (B, T) int32 image-group ids
+    k_groups: Optional[jax.Array] = None,    # (B, S) int32 (-1 = not image)
     *,
     sm_scale: float,
     softcap: Optional[float] = None,
     window: Optional[int] = None,
+    or_span: Optional[int] = None,   # static bound on an image span's length
+                                     # (mm_tokens_per_image) — enables the
+                                     # same-image bidirectional or-mask
     block_q: int = 256,
     block_k: int = 1024,
     interpret: bool = False,         # CPU-testable interpreter mode
@@ -176,7 +199,33 @@ def flash_attention(
     grid = (B, Hkv, Tp // bq, n_k)
     n_q = Tp // bq
 
+    group_inputs, group_specs = [], []
+    if or_span is not None:
+        assert q_groups is not None and k_groups is not None
+        # q side: (qi, g, r) rows-COLUMN (sublane-major — a lanes->sublanes
+        # relayout inside the kernel is a Mosaic unsupported-cast)
+        qg = jnp.pad(q_groups.astype(jnp.int32), ((0, 0), (0, Tp - T)),
+                     constant_values=-1)
+        qg = jnp.broadcast_to(
+            qg.reshape(B, n_q, 1, bq), (B, n_q, G, bq)
+        ).reshape(B, 1, n_q * G * bq, 1)
+        kg = jnp.pad(k_groups.astype(jnp.int32), ((0, 0), (0, Sp - S)),
+                     constant_values=-1).reshape(B, 1, 1, Sp)
+        group_inputs = [qg, kg]
+        group_specs = [
+            pl.BlockSpec(
+                (1, 1, G * bq, 1), lambda b, h, qi, ki, p: (b, 0, qi, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, bk), lambda b, h, qi, ki, p: (b, 0, 0, ki)
+            ),
+        ]
+
     def wrapped(prior_ref, q_r, k_r, v_r, m_r, *rest):
+        gq_r = gk_r = None
+        if or_span is not None:
+            gq_r, gk_r = rest[0], rest[1]
+            rest = rest[2:]
         if return_lse:
             o_r, lse_r = rest[0], rest[1]
             scr = rest[2:]
@@ -184,9 +233,10 @@ def flash_attention(
             o_r, lse_r = rest[0], None
             scr = rest[1:]
         _kernel(
-            prior_ref, q_r, k_r, v_r, m_r, o_r, lse_r, *scr,
+            prior_ref, q_r, k_r, v_r, m_r, gq_r, gk_r, o_r, lse_r, *scr,
             G=G, bq=bq, bk=bk, n_k=n_k,
             sm_scale=sm_scale, softcap=softcap, window=window,
+            or_span=or_span,
         )
 
     out_shape = [jax.ShapeDtypeStruct((B, Hkv, G, Tp, Dp), q.dtype)]
@@ -213,7 +263,7 @@ def flash_attention(
                 pl.BlockSpec((1, 1, bk, Dp), lambda b, h, qi, ki, p: (b, h, ki, 0)),
                 pl.BlockSpec((1, 1, bk, Dp), lambda b, h, qi, ki, p: (b, h, ki, 0)),
                 pl.BlockSpec((1, 1, 1, bk), lambda b, h, qi, ki, p: (b, h, 0, ki)),
-            ],
+            ] + group_specs,
             out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((G * bq, LANES), jnp.float32),
@@ -226,7 +276,8 @@ def flash_attention(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(jnp.asarray([prior_length], jnp.int32).reshape(1), qp, kp, vp, maskp)
+    )(jnp.asarray([prior_length], jnp.int32).reshape(1), qp, kp, vp, maskp,
+      *group_inputs)
     out = res[0].reshape(B, Hq, Tp, Dp)[:, :, :T, :D]
     if not return_lse:
         return out

@@ -115,10 +115,12 @@ def _generate_answer(
     return out, n, cache
 
 
-@partial(jax.jit, static_argnames=("runner", "press", "quantized", "kv_bits"))
+@partial(jax.jit, static_argnames=("runner", "press", "quantized", "kv_bits",
+                                   "image_span"))
 def _prefill(params, context_ids, valid_len=None, inputs_embeds=None,
              token_types=None, *,
-             runner: Runner, press, quantized: bool = False, kv_bits: int = 8):
+             runner: Runner, press, quantized: bool = False, kv_bits: int = 8,
+             image_span=None):
     # Prefill; press is static (part of the trace). Last-position logits are
     # kept so empty-question generation can continue the context. valid_len
     # (traced) enables bucketed prefill: one compile per bucket instead of
@@ -130,7 +132,7 @@ def _prefill(params, context_ids, valid_len=None, inputs_embeds=None,
         params, context_ids, press=press, compute_logits=True,
         dtype=param_dtype(params), valid_len=valid_len,
         quantized=quantized, kv_bits=kv_bits, inputs_embeds=inputs_embeds,
-        token_types=token_types,
+        token_types=token_types, image_span=image_span,
     )
 
 
@@ -319,17 +321,10 @@ class KVPressPipeline:
                 self.params, self.runner.cfg, ids, feats, self.image_token_id
             )
             # Bidirectional image-span attention (the HF processor passes
-            # token_type_ids): XLA attention path only — the flash kernel's
-            # block pruning assumes pure causality. On a flash runner fall
-            # back to causal image tokens (= HF with token_type_ids=None).
-            if self.runner.attn_impl == "xla":
-                token_types = (ids == self.image_token_id).astype(jnp.int32)
-            else:
-                logger.warning(
-                    "flash attention path: image tokens attend causally "
-                    "(HF token_type_ids=None semantics); create the Runner "
-                    "with attn_impl='xla' for bidirectional image spans"
-                )
+            # token_type_ids): supported on BOTH attention paths — the XLA
+            # path builds an or-mask bias; the flash kernel takes group-id
+            # vectors and extends its causal block skip by the static span.
+            token_types = (ids == self.image_token_id).astype(jnp.int32)
         if context_chunk is not None:
             # Bounded-activation prefill (8B@128K-class contexts on one
             # chip). Composes with ScorerPress compression (final-chunk
@@ -355,6 +350,8 @@ class KVPressPipeline:
                 self.params, ids, valid_len, embeds, token_types,
                 runner=self.runner,
                 press=press, quantized=quantized, kv_bits=kv_bits,
+                image_span=(self.vision_cfg.mm_tokens_per_image
+                            if token_types is not None else None),
             )
         logger.debug("Context Length: %d", context_length)
         logger.debug("Compressed Context Length: %d", int(jnp.max(cache.length)))

@@ -100,3 +100,36 @@ def test_flash_quant_matches_xla(case):
         block_q=64, block_k=128, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_flash_image_span_or_mask():
+    """Same-image bidirectional or-mask (Gemma3 token_type_ids): flash with
+    group-id vectors == XLA attention with the extra_allow bias; and it must
+    actually differ from pure causal at the image spans."""
+    B, Hq, Hkv, T, D = 1, 4, 2, 96, 32
+    ks = jax.random.split(jax.random.PRNGKey(9), 3)
+    q = jax.random.normal(ks[0], (B, Hq, T, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, Hkv, T, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, Hkv, T, D), jnp.float32)
+
+    tt = np.zeros((B, T), np.int64)
+    tt[0, 10:14] = 1
+    tt[0, 40:44] = 1
+    is_img = jnp.asarray(tt == 1)
+    new_start = is_img & ~jnp.pad(is_img, ((0, 0), (1, 0)))[:, :-1]
+    group = jnp.where(is_img, jnp.cumsum(new_start, axis=1) - 1, -1)
+
+    ea = (group[:, :, None] >= 0) & (group[:, :, None] == group[:, None, :])
+    bias = attention_bias(jnp.asarray(0, jnp.int32), T, T, extra_allow=ea)
+    ref, _ = gqa_attention(q, k, v, bias, D**-0.5)
+
+    got = flash_attention(
+        q, k, v, jnp.asarray(0, jnp.int32), None,
+        q_groups=group.astype(jnp.int32), k_groups=group.astype(jnp.int32),
+        or_span=4, sm_scale=D**-0.5, block_q=32, block_k=32, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+    causal = flash_attention(q, k, v, jnp.asarray(0, jnp.int32), None,
+                             sm_scale=D**-0.5, block_q=32, block_k=32,
+                             interpret=True)
+    assert np.abs(np.asarray(got) - np.asarray(causal)).max() > 1e-3
