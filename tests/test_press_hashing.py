@@ -13,7 +13,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from kvpress_tpu import tiny_config
 from kvpress_tpu.presses.duo import DuoAttentionPress, load_duo_head_scores

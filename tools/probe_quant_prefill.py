@@ -1,4 +1,4 @@
-import pathlib, sys, time, functools
+import sys, time, functools
 sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp
 from kvpress_tpu import Runner, init_params
