@@ -439,12 +439,19 @@ class KVPressPipeline:
         context_bucket: Optional[int] = None,
         question_bucket: int = 64,
         mesh=None,                       # tensor-parallel serving
+        context_cache: int = 0,          # compressed-context LRU reuse
+        do_sample: bool = False,
+        temperature: float = 1.0,
+        top_p: float = 1.0,
+        seed: int = 0,
     ) -> list[str]:
         """Serve many (context, question) requests through the continuous-
         batching engine (serving.py): per-request press-compressed prefill,
         one fixed-shape jitted decode step over ``n_slots`` slots, admission
         as slots retire. Per-request semantics are the single ``__call__``
-        contract (greedy decoding); the reference pipeline has no batched
+        contract (greedy, or nucleus sampling via ``do_sample``; requests
+        sharing a context can reuse one compressed cache via
+        ``context_cache``); the reference pipeline has no batched
         surface at all (kvpress/pipeline.py is batch-1 — on TPU the decode
         step is weight-HBM-bound at small batch, so batching is the main
         throughput lever).
@@ -488,6 +495,8 @@ class KVPressPipeline:
             quantized=quantized, kv_bits=kv_bits,
             context_bucket=context_bucket, question_bucket=question_bucket,
             eos_ids=eos, mesh=mesh, tokenizer=self.tokenizer,
+            context_cache=context_cache, do_sample=do_sample,
+            temperature=temperature, top_p=top_p, seed=seed,
         )
         outs = eng.run(reqs)
         answers = []

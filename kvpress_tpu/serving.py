@@ -48,6 +48,7 @@ attention accumulation — use the pipeline).
 from __future__ import annotations
 
 import dataclasses
+from collections import OrderedDict
 from functools import partial
 from typing import Optional
 
@@ -113,10 +114,13 @@ def init_slot_cache(
 # jitted engine steps
 
 
-@partial(jax.jit, static_argnames=("runner", "decode_press"))
+@partial(jax.jit, static_argnames=(
+    "runner", "decode_press", "do_sample", "temperature", "top_p",
+))
 def _decode_step(
     params, tokens: jax.Array, sc: SlotCache, live: jax.Array,
-    dp_state=None, *, runner: Runner, decode_press=None,
+    dp_state=None, rng=None, step=None, *, runner: Runner, decode_press=None,
+    do_sample: bool = False, temperature: float = 1.0, top_p: float = 1.0,
 ):
     """One token for every slot: ``tokens (N,) → logits (N, V)``.
 
@@ -332,7 +336,19 @@ def _decode_step(
     # decode step issued in between must not overwrite it with the dead
     # lane's argmax (the slot's length/offset are frozen, so that first
     # token's KV would never be committed once the slot comes live).
-    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if do_sample:
+        # Per-(step, slot) keys derived inside the jit: rng is the engine's
+        # constant base key and step a traced counter — no per-step host
+        # splits, no recompiles.
+        from .pipeline import _sample_token
+
+        step_key = jax.random.fold_in(rng, step)
+        keys = jax.vmap(lambda i: jax.random.fold_in(step_key, i))(iN)
+        nxt = jax.vmap(_sample_token, in_axes=(0, 0, None, None))(
+            logits, keys, temperature, top_p
+        )
+    else:
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     return jnp.where(live, nxt, tokens), nsc, dp_state
 
 
@@ -437,6 +453,11 @@ class ServingEngine:
         mesh=None,                  # tensor-parallel serving over ("data","model")
         tokenizer=None,             # required for KVzip-family multi-pass
         schedule: str = "fifo",     # "fifo" | "sjf" (shortest job first)
+        context_cache: int = 0,     # LRU of compressed contexts (entries)
+        do_sample: bool = False,    # nucleus sampling instead of greedy
+        temperature: float = 1.0,
+        top_p: float = 1.0,
+        seed: int = 0,
     ):
         # Decode-phase compression: a DecodingPress (or the decoding half of
         # a PrefillDecodingPress) compresses every slot independently inside
@@ -555,20 +576,45 @@ class ServingEngine:
         self.tokens = jnp.zeros((n_slots,), jnp.int32)
         self.live = np.zeros((n_slots,), bool)
         self.slots = [_SlotState() for _ in range(n_slots)]
+        # Compressed-context reuse: the reference pipeline's core UX is one
+        # compressed cache answering many questions (pipeline.py:236-249 in
+        # the reference); context_cache lifts that to the engine. Admissions
+        # whose context_ids match an LRU entry skip prefill + compression
+        # entirely and run only the question forward on the stored cache
+        # (a KVCache is an immutable pytree — sharing is safe). HBM cost:
+        # one kept-bound-sized cache per entry; entries default to 0 (off).
+        self.context_cache = int(context_cache)
+        self._ctx_lru: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self.ctx_hits = 0
+        # Sampling (reference: kvzap/evaluate_aime.py generates with
+        # temperature/top-p sampling): per-(step, slot) keys are folded from
+        # one base key inside the jitted step; admissions use a separate
+        # per-admission counter so first tokens are independent draws.
+        self.do_sample = bool(do_sample)
+        self.temperature = float(temperature)
+        self.top_p = float(top_p)
+        self._base_key = jax.random.PRNGKey(seed)
+        self._step_i = 0
+        self._adm_i = 0
 
     # ---------------- admission ---------------- #
+
+    def _kept_bound(self, ctx_len: int) -> int:
+        """Static upper bound on kept context entries after compression."""
+        bound = (
+            self.press.max_kept(ctx_len, self.runner.cfg)
+            if self.press is not None else ctx_len
+        )
+        if self.runner.cfg.sliding_window is not None:
+            bound = ctx_len   # sliding layers keep everything
+        return bound
 
     def _slots_needed(self, req: Request) -> int:
         """Static upper bound on the cache slots this request occupies once
         admitted: kept context (press.max_kept) + question tokens + the
         token budget + the final-logits slot."""
-        bound = (
-            self.press.max_kept(len(req.context_ids), self.runner.cfg)
-            if self.press is not None else len(req.context_ids)
-        )
-        if self.runner.cfg.sliding_window is not None:
-            bound = len(req.context_ids)   # sliding layers keep everything
-        return bound + len(req.question_ids) + req.max_new_tokens + 1
+        return (self._kept_bound(len(req.context_ids))
+                + len(req.question_ids) + req.max_new_tokens + 1)
 
     def _prefill_issue(self, req: Request):
         """Dispatch a request's press-compressed prefill + question forward
@@ -578,6 +624,15 @@ class ServingEngine:
         overlaps decode compute (admission-time host overlap)."""
         runner, params = self.runner, self.params
         ctx = list(req.context_ids)
+        key = tuple(req.context_ids) if self.context_cache else None
+        if key is not None and key in self._ctx_lru:
+            # Compressed-context reuse: skip prefill + compression entirely.
+            # The stored cache is an immutable pytree — the question forward
+            # below operates on (functional) copies, so sharing is safe.
+            cache, pre_row = self._ctx_lru[key]
+            self._ctx_lru.move_to_end(key)
+            self.ctx_hits += 1
+            return self._finish_issue(req, ctx, cache, pre_row)
         valid = None
         if self.context_bucket is not None:
             pad = -(-len(ctx) // self.context_bucket) * self.context_bucket
@@ -628,6 +683,38 @@ class ServingEngine:
             if self.post_mask:
                 cache = press.apply_post_mask(cache, press_state)
 
+        pre_row = logits[0, -1]
+        if key is not None:
+            # Store the compressed pre-question cache, shrunk to the static
+            # kept bound (entries are front-compacted, so the slice is
+            # lossless) — one compact cache per LRU entry of HBM. The last
+            # prefill logits row rides along so questionless admissions
+            # (and sampling) pick their first token from it.
+            bound = min(self._kept_bound(len(ctx)), cache.max_size)
+            if cache.max_size > bound:
+                cache = shrink(cache, bound)
+            self._ctx_lru[key] = (cache, pre_row)
+            while len(self._ctx_lru) > self.context_cache:
+                self._ctx_lru.popitem(last=False)
+        return self._finish_issue(req, ctx, cache, pre_row)
+
+    def _pick_first(self, row):
+        """First token from a (V,) logits row: argmax, or an independent
+        per-admission sampling draw."""
+        if not self.do_sample:
+            return jnp.argmax(row).astype(jnp.int32)
+        from .pipeline import _sample_token
+
+        key = jax.random.fold_in(
+            jax.random.fold_in(self._base_key, 0x5EED), self._adm_i
+        )
+        self._adm_i += 1
+        return _sample_token(row, key, self.temperature, self.top_p)
+
+    def _finish_issue(self, req: Request, ctx: list, cache, pre_row):
+        """Question forward + capacity re-bucket on a compressed-context
+        cache (fresh from prefill or reused from the LRU)."""
+        runner, params = self.runner, self.params
         q_ids = list(req.question_ids)
         if q_ids:
             qb = self.question_bucket
@@ -639,25 +726,22 @@ class ServingEngine:
             # an upper bound, and the final re-bucket to `capacity`
             # normalizes the buffer anyway — one fewer host sync blocking
             # the decode-issue loop during admission.
-            bound = (
-                self.press.max_kept(len(ctx), runner.cfg)
-                if self.press is not None else len(ctx)
-            )
-            if runner.cfg.sliding_window is not None:
-                bound = len(ctx)    # sliding layers keep the full context
+            bound = self._kept_bound(len(ctx))
             need = min(bound, cache.max_size) + qpad
             if cache.max_size < need:
                 cache = grow(cache, need - cache.max_size)
             logits, cache, _ = _question_forward(
                 params, qarr, cache, qvalid, runner=runner
             )
+            first_arr = self._pick_first(logits[0, -1])
+        else:
+            first_arr = self._pick_first(pre_row)
 
         # NO host sync here: kept/first stay on device (async-copied) and
         # are fetched at completion time — the ~25 ms tunneled-backend
         # round-trip (which also waits for the prefill itself to finish)
         # then overlaps decode steps already in the device queue.
         kept_arr = jnp.max(cache.length)
-        first_arr = jnp.argmax(logits[0, -1]).astype(jnp.int32)
         if cache.max_size > self.capacity:
             cache = shrink(cache, self.capacity)
         elif cache.max_size < self.capacity:
@@ -808,10 +892,17 @@ class ServingEngine:
                 # token (observed: last-token-only nondeterministic
                 # divergences on the virtual CPU mesh).
                 live_dev = jnp.asarray(np.array(self.live))
+                step_arr = None
+                if self.do_sample:
+                    step_arr = jnp.asarray(self._step_i, jnp.int32)
+                    self._step_i += 1
                 self.tokens, self.sc, self.dp_state = _decode_step(
                     self.params, self.tokens, self.sc, live_dev,
-                    self.dp_state,
+                    self.dp_state, self._base_key if self.do_sample else None,
+                    step_arr,
                     runner=self.runner, decode_press=self.decode_press,
+                    do_sample=self.do_sample, temperature=self.temperature,
+                    top_p=self.top_p,
                 )
                 snap = self.live.copy()
                 pending.append((self.tokens, snap))

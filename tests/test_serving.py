@@ -485,3 +485,61 @@ def test_serving_context_chunk_admission(tiny):
     with _pytest.raises(AssertionError, match="ScorerPress"):
         ServingEngine(runner, params, n_slots=2, capacity=64,
                       press=AdaKVPress(press=press), context_chunk=16)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_serving_context_cache_reuse(tiny, quantized):
+    """context_cache= admissions sharing a context skip prefill+compression
+    via the LRU (the reference pipeline's one-cache-many-questions UX,
+    pipeline.py:236-249, lifted to the engine) and still match the
+    single-request path; a distinct context misses and evicts."""
+    cfg, params, runner = tiny
+    press = KnormPress(compression_ratio=0.5)
+    rng = np.random.default_rng(3)
+    ctx = rng.permutation(cfg.vocab_size)[:40].tolist()
+    qs = [rng.permutation(cfg.vocab_size)[:4].tolist() for _ in range(3)]
+    reqs = [Request(ctx, q, max_new_tokens=5) for q in qs]
+    reqs.append(Request(rng.permutation(cfg.vocab_size)[:24].tolist(),
+                        rng.permutation(cfg.vocab_size)[:4].tolist(),
+                        max_new_tokens=5))
+    eng = ServingEngine(runner, params, n_slots=2, capacity=64, press=press,
+                        question_bucket=4, fetch_lag=2, context_cache=1,
+                        quantized=quantized)
+    answers = eng.run(reqs)
+    # shared-context request 0 misses (stored at issue time); 1 and 2 hit
+    assert eng.ctx_hits == 2
+    assert len(eng._ctx_lru) == 1   # the distinct 4th context evicted ctx
+    (stored_key,) = eng._ctx_lru
+    assert stored_key == tuple(reqs[3].context_ids)
+    for req, got in zip(reqs, answers):
+        assert len(got) == req.max_new_tokens
+        assert_generation_matches_ref(runner, params, press, req, got,
+                                      quantized=quantized)
+
+
+def test_serving_sampling(tiny):
+    """Nucleus sampling in the engine (reference: kvzap/evaluate_aime.py
+    samples with temperature/top-p): near-zero temperature reproduces the
+    greedy path exactly; a fixed seed is reproducible; different seeds
+    draw different answers."""
+    cfg, params, runner = tiny
+    press = KnormPress(compression_ratio=0.5)
+    reqs = _mk_requests(cfg, [(32, 4), (40, 4), (24, 0)], n_new=6)
+
+    greedy = ServingEngine(runner, params, n_slots=2, capacity=64,
+                           press=press, question_bucket=4, fetch_lag=2)
+    cold = ServingEngine(runner, params, n_slots=2, capacity=64, press=press,
+                         question_bucket=4, fetch_lag=2, do_sample=True,
+                         temperature=1e-4, seed=7)
+    assert greedy.run(reqs) == cold.run(reqs)
+
+    hot = lambda seed: ServingEngine(
+        runner, params, n_slots=2, capacity=64, press=press,
+        question_bucket=4, fetch_lag=2, do_sample=True, temperature=2.0,
+        top_p=0.95, seed=seed,
+    ).run(reqs)
+    a, b, c = hot(1), hot(1), hot(2)
+    assert a == b                       # same seed reproduces
+    assert a != c                       # 18 draws at T=2: collision ~ 0
+    for got, req in zip(a, reqs):
+        assert len(got) == req.max_new_tokens
