@@ -834,7 +834,15 @@ class Runner:
             new_start = is_img & ~jnp.pad(is_img, ((0, 0), (1, 0)))[:, :-1]
             group = jnp.cumsum(new_start, axis=1) - 1
             group = jnp.where(is_img, group, -1)
-            if self.attn_impl == "xla":
+            # A wants_probs press (ObservedAttention) routes every layer to
+            # the dense fallback even on a flash runner — that path consumes
+            # the (B, T, S) or-mask, so build it whenever any layer can go
+            # dense, not only for attn_impl == "xla" (a flash runner that
+            # silently dropped token_types was a confirmed parity bug).
+            dense_layers = self.attn_impl == "xla" or (
+                press is not None and press.wants_probs(T)
+            )
+            if dense_layers:
                 ea = (group[:, :, None] >= 0) & (
                     group[:, :, None] == group[:, None, :]
                 )                                                    # (B, T, T)
@@ -842,7 +850,7 @@ class Runner:
                     ea, ((0, 0), (0, 0), (0, S_buf - T)),
                     constant_values=False,
                 )
-            else:
+            if self.attn_impl != "xla":
                 assert image_span is not None, (
                     "token_types on the flash path needs image_span "
                     "(mm_tokens_per_image) to bound the or-mask's reach"

@@ -76,8 +76,13 @@ def _kernel(
     should_run = ki * bk <= max_q_slot + reach
     if window is not None:
         min_q_slot = prior + qi * bq
+        # The or-mask overrides the window: a same-image key can sit up to
+        # `reach` slots behind the query even when that is outside the
+        # window, so the lower skip bound must be extended by the same
+        # reach as the causal (upper) skip above.
+        low = max(window - 1, reach)
         should_run = jnp.logical_and(
-            should_run, (ki + 1) * bk - 1 > min_q_slot - window
+            should_run, (ki + 1) * bk - 1 >= min_q_slot - low
         )
 
     @pl.when(should_run)

@@ -180,9 +180,10 @@ class KVPressPipeline:
 
         Torch is used at conversion only; inference (vision tower included)
         runs as JAX (reference compresses this model family in-framework,
-        base_press.py:197-202). attn_impl="xla" enables bidirectional
-        image-span attention (HF token_type_ids semantics); the flash path
-        keeps image tokens causal."""
+        base_press.py:197-202). Bidirectional image-span attention (HF
+        token_type_ids semantics) works on BOTH attention paths: the XLA
+        path builds an or-mask bias, the flash kernel takes image-group-id
+        vectors and extends its block skips by the static span bound."""
         from .models.convert import from_torch_multimodal
 
         params, cfg, embed_images = from_torch_multimodal(model, dtype=dtype)

@@ -352,6 +352,16 @@ def _decode_step(
     return jnp.where(live, nxt, tokens), nsc, dp_state
 
 
+@partial(jax.jit, static_argnames=("temperature", "top_p"))
+def _sample_first(row, adm_key, i, *, temperature: float, top_p: float):
+    """Per-admission first-token draw, fused to one dispatch; ``i`` is a
+    traced counter so every admission shares one compile."""
+    from .pipeline import _sample_token
+
+    return _sample_token(row, jax.random.fold_in(adm_key, i),
+                         temperature, top_p)
+
+
 @partial(jax.jit, static_argnames=("runner",))
 def _question_forward(params, ids, cache, valid_len, *, runner: Runner):
     """Question tokens against the compressed context (bucketed via
@@ -593,7 +603,12 @@ class ServingEngine:
         self.do_sample = bool(do_sample)
         self.temperature = float(temperature)
         self.top_p = float(top_p)
-        self._base_key = jax.random.PRNGKey(seed)
+        # Two independent streams split from the seed: folding both from one
+        # base key would let a per-admission key collide with some decode
+        # step's per-slot key (fold_in is not namespaced).
+        self._step_key, self._adm_key = jax.random.split(
+            jax.random.PRNGKey(seed)
+        )
         self._step_i = 0
         self._adm_i = 0
 
@@ -689,8 +704,12 @@ class ServingEngine:
             # kept bound (entries are front-compacted, so the slice is
             # lossless) — one compact cache per LRU entry of HBM. The last
             # prefill logits row rides along so questionless admissions
-            # (and sampling) pick their first token from it.
-            bound = min(self._kept_bound(len(ctx)), cache.max_size)
+            # (and sampling) pick their first token from it. Bound on the
+            # UNPADDED length (ctx may carry context_bucket padding; kept is
+            # a function of the valid length) so hit- and miss-path question
+            # forwards see identical buffer sizes — one compile, less HBM.
+            bound = min(self._kept_bound(len(req.context_ids)),
+                        cache.max_size)
             if cache.max_size > bound:
                 cache = shrink(cache, bound)
             self._ctx_lru[key] = (cache, pre_row)
@@ -700,16 +719,16 @@ class ServingEngine:
 
     def _pick_first(self, row):
         """First token from a (V,) logits row: argmax, or an independent
-        per-admission sampling draw."""
+        per-admission sampling draw (one jitted dispatch — the admission
+        path is deliberately dispatch-only)."""
         if not self.do_sample:
             return jnp.argmax(row).astype(jnp.int32)
-        from .pipeline import _sample_token
-
-        key = jax.random.fold_in(
-            jax.random.fold_in(self._base_key, 0x5EED), self._adm_i
+        first = _sample_first(
+            row, self._adm_key, jnp.asarray(self._adm_i, jnp.int32),
+            temperature=self.temperature, top_p=self.top_p,
         )
         self._adm_i += 1
-        return _sample_token(row, key, self.temperature, self.top_p)
+        return first
 
     def _finish_issue(self, req: Request, ctx: list, cache, pre_row):
         """Question forward + capacity re-bucket on a compressed-context
@@ -898,7 +917,7 @@ class ServingEngine:
                     self._step_i += 1
                 self.tokens, self.sc, self.dp_state = _decode_step(
                     self.params, self.tokens, self.sc, live_dev,
-                    self.dp_state, self._base_key if self.do_sample else None,
+                    self.dp_state, self._step_key if self.do_sample else None,
                     step_arr,
                     runner=self.runner, decode_press=self.decode_press,
                     do_sample=self.do_sample, temperature=self.temperature,

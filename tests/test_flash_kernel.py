@@ -133,3 +133,34 @@ def test_flash_image_span_or_mask():
                              sm_scale=D**-0.5, block_q=32, block_k=32,
                              interpret=True)
     assert np.abs(np.asarray(got) - np.asarray(causal)).max() > 1e-3
+
+def test_flash_image_span_overrides_window():
+    """or_span > window: a same-image key farther behind the query than the
+    sliding window must still be attended (HF shares mask_kwargs between the
+    causal and sliding masks). Regression: the kernel's window block-skip
+    once dropped whole KV blocks the or-mask needed (max err 0.497)."""
+    B, Hq, Hkv, T, D = 1, 2, 1, 32, 32
+    window, span = 8, 16
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = jax.random.normal(ks[0], (B, Hq, T, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, Hkv, T, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, Hkv, T, D), jnp.float32)
+
+    tt = np.zeros((B, T), np.int64)
+    tt[0, 4:20] = 1                     # one 16-token image span
+    is_img = jnp.asarray(tt == 1)
+    new_start = is_img & ~jnp.pad(is_img, ((0, 0), (1, 0)))[:, :-1]
+    group = jnp.where(is_img, jnp.cumsum(new_start, axis=1) - 1, -1)
+
+    ea = (group[:, :, None] >= 0) & (group[:, :, None] == group[:, None, :])
+    bias = attention_bias(jnp.asarray(0, jnp.int32), T, T,
+                          sliding_window=window, extra_allow=ea)
+    ref, _ = gqa_attention(q, k, v, bias, D**-0.5)
+
+    got = flash_attention(
+        q, k, v, jnp.asarray(0, jnp.int32), None,
+        q_groups=group.astype(jnp.int32), k_groups=group.astype(jnp.int32),
+        window=window, or_span=span, sm_scale=D**-0.5,
+        block_q=8, block_k=8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)

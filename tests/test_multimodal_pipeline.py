@@ -9,16 +9,18 @@ only touched at conversion).
 
 Mask semantics: with token_type_ids, HF Gemma3 lets tokens of the SAME image
 attend each other bidirectionally (token_type_ids_mask_function or-mask);
-with token_type_ids=None it is plain causal. The runner implements both:
-prefill(token_types=...) builds the or-mask on the XLA attention path, and
-the pipeline enables it automatically on XLA runners (falling back to causal
-— the None regime — on the flash path, with a warning).
+with token_type_ids=None it is plain causal. The runner implements both
+regimes on BOTH attention paths: prefill(token_types=...) builds the
+or-mask bias on the XLA path, and the flash kernel takes image-group-id
+vectors plus the static span bound (image_span=); the pipeline enables it
+automatically whenever pixel_values are passed.
 """
 
 import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
+import jax
 import jax.numpy as jnp
 from transformers import Gemma3Config, Gemma3ForConditionalGeneration
 from transformers.models.gemma3 import Gemma3TextConfig
@@ -161,3 +163,37 @@ def test_bidirectional_image_span_logit_parity():
     )
     np.testing.assert_allclose(np.asarray(logits)[:, -1], ref[:, -1],
                                atol=2e-3, rtol=2e-3)
+
+
+def test_observed_press_keeps_image_span_on_flash_runner():
+    """A wants_probs press (ObservedAttention) routes prefill to the dense
+    fallback even on a flash runner — that path must still apply the
+    image-span or-mask. Regression: the or-mask was only built for
+    attn_impl='xla', so flash+Observed silently dropped token_types
+    (flash-with-tt was bit-identical to flash-without-tt)."""
+    from kvpress_tpu import Runner, init_params, tiny_config
+    from kvpress_tpu.presses import ObservedAttentionPress
+
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    flash = Runner.create(cfg, attn_impl="flash")
+    xla = Runner.create(cfg, attn_impl="xla")
+    press = ObservedAttentionPress(compression_ratio=0.5)
+
+    rng = np.random.default_rng(4)
+    T = 24
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (1, T)))
+    tt = np.zeros((1, T), np.int64)
+    tt[0, 3:7] = 1
+    tt[0, 12:16] = 1
+    tt = jnp.asarray(tt)
+
+    kw = dict(dtype=jnp.float32, compute_logits=True, press=press)
+    lf, cf, _ = flash.prefill(params, ids, token_types=tt, image_span=4, **kw)
+    lx, cx, _ = xla.prefill(params, ids, token_types=tt, **kw)
+    lplain, _, _ = flash.prefill(params, ids, **kw)
+
+    np.testing.assert_allclose(np.asarray(lf)[:, -1], np.asarray(lx)[:, -1],
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(cf.length), np.asarray(cx.length))
+    assert np.abs(np.asarray(lf)[:, -1] - np.asarray(lplain)[:, -1]).max() > 1e-5

@@ -543,3 +543,23 @@ def test_serving_sampling(tiny):
     assert a != c                       # 18 draws at T=2: collision ~ 0
     for got, req in zip(a, reqs):
         assert len(got) == req.max_new_tokens
+
+
+def test_serving_context_cache_with_bucketing(tiny):
+    """context_cache composes with context_bucket admission: hits reuse the
+    stored cache (shrunk to the UNPADDED kept bound) and answers equal the
+    unbucketed engine's."""
+    cfg, params, runner = tiny
+    press = KnormPress(compression_ratio=0.5)
+    rng = np.random.default_rng(5)
+    ctx = rng.permutation(cfg.vocab_size)[:40].tolist()   # pads 40 -> 48
+    qs = [rng.permutation(cfg.vocab_size)[:4].tolist() for _ in range(3)]
+    reqs = [Request(ctx, q, max_new_tokens=5) for q in qs]
+    plain = ServingEngine(runner, params, n_slots=2, capacity=64,
+                          press=press, question_bucket=4, fetch_lag=2)
+    bucketed = ServingEngine(runner, params, n_slots=2, capacity=64,
+                             press=press, question_bucket=4, fetch_lag=2,
+                             context_bucket=16, context_cache=1)
+    a, b = plain.run(reqs), bucketed.run(reqs)
+    assert bucketed.ctx_hits == 2
+    assert a == b
