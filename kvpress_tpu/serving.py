@@ -836,6 +836,11 @@ class ServingEngine:
                 "static bound kept + question + max_new_tokens + 1 exceeds "
                 "the slot — raise capacity or compress more"
             )
+        import time as _time
+
+        t_start = _time.perf_counter()
+        hits0 = self.ctx_hits
+        n_steps = 0
         answers: list[Optional[list]] = [None] * len(requests)
         queue = list(range(len(requests)))
         pending: list[tuple[jax.Array, np.ndarray]] = []  # (tokens, live snapshot)
@@ -923,6 +928,7 @@ class ServingEngine:
                     do_sample=self.do_sample, temperature=self.temperature,
                     top_p=self.top_p,
                 )
+                n_steps += 1
                 snap = self.live.copy()
                 pending.append((self.tokens, snap))
                 for s in range(self.n_slots):
@@ -940,4 +946,22 @@ class ServingEngine:
                     print(f"admitted request {adm['req_idx']} -> "
                           f"slot {adm['slot']}", flush=True)
             admits.clear()
+        wall = _time.perf_counter() - t_start
+        gen = sum(len(a) for a in answers)
+        proc = gen + sum(
+            len(r.context_ids) + len(r.question_ids) for r in requests
+        )
+        self.last_stats = {
+            "wall_s": wall,
+            "requests": len(requests),
+            "generated_tokens": gen,
+            "generated_tok_s": gen / wall if wall > 0 else float("inf"),
+            "processed_tokens": proc,
+            "processed_tok_s": proc / wall if wall > 0 else float("inf"),
+            "decode_steps": n_steps,
+            "slot_step_utilization": (
+                gen / (n_steps * self.n_slots) if n_steps else 0.0
+            ),
+            "ctx_hits": self.ctx_hits - hits0,
+        }
         return answers

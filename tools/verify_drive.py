@@ -132,6 +132,24 @@ def main():
     assert a1["answer"] == a2["answer"], (a1, a2)
     print(f"step9 chunked-prefill: answer={a2['answer']!r} "
           f"({time.perf_counter() - t0:.1f}s)")
+
+    # serving: compressed-context reuse + nucleus sampling through batch()
+    t0 = time.perf_counter()
+    qs = ["what is w1 ?", "what is w2 ?", "what is w3 ?"]
+    plain = pipe.batch([ctx] * 3, questions=qs, press=KnormPress(0.5),
+                       max_new_tokens=6, n_slots=2)
+    reuse = pipe.batch([ctx] * 3, questions=qs, press=KnormPress(0.5),
+                       max_new_tokens=6, n_slots=2, context_cache=1)
+    assert plain == reuse, (plain, reuse)
+    s1 = pipe.batch([ctx] * 2, questions=qs[:2], press=KnormPress(0.5),
+                    max_new_tokens=6, n_slots=2, do_sample=True,
+                    temperature=1.5, top_p=0.9, seed=3)
+    s2 = pipe.batch([ctx] * 2, questions=qs[:2], press=KnormPress(0.5),
+                    max_new_tokens=6, n_slots=2, do_sample=True,
+                    temperature=1.5, top_p=0.9, seed=3)
+    assert s1 == s2, (s1, s2)
+    print(f"step10 serving reuse+sampling: reuse answers match greedy, "
+          f"sampled reproducible ({time.perf_counter() - t0:.1f}s)")
     print("DRIVE OK")
 
 
