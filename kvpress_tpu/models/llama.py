@@ -962,6 +962,33 @@ class Runner:
         are jitted per (runner, press, chunk shape, cache shape) and reused
         across calls — pass a bucketed ``max_size`` so different context
         lengths share the same compiled programs."""
+        gen = self.prefill_chunked_steps(
+            params, ids, press=press, chunk_size=chunk_size,
+            max_size=max_size, dtype=dtype, compute_logits=compute_logits,
+            quantized=quantized, kv_bits=kv_bits, score_window=score_window,
+            fused_kv=fused_kv,
+        )
+        while True:
+            try:
+                next(gen)
+            except StopIteration as stop:
+                return stop.value
+
+    def prefill_chunked_steps(self, params, ids, press=None,
+                              chunk_size: int = 8192, max_size=None,
+                              dtype=jnp.bfloat16, compute_logits=False,
+                              quantized=False, kv_bits=8,
+                              score_window: int = 1024, fused_kv=None):
+        """Generator form of :meth:`prefill_chunked`: yields after each
+        bounded dispatch unit (one chunk forward; one compressed layer) and
+        returns the same ``(logits, cache, press_state)`` triple via
+        StopIteration. A serving loop can interleave decode-step dispatches
+        between the yields (Sarathi-style chunked-prefill scheduling,
+        arXiv:2308.16369) so live slots' inter-token stall is bounded by
+        one chunk instead of the whole admission prefill — the device
+        executes in dispatch order, so yield granularity IS the scheduling
+        granularity. Semantics are identical to prefill_chunked (which
+        drives this generator to completion)."""
         from ..presses.base import ScorerPress
         from ..presses.decoding import BudgetDecodingPress
 
@@ -1019,6 +1046,7 @@ class Runner:
                 hidden_window=W if (last and wrap is not None) else None,
                 fused_kv=fused_kv,
             )
+            yield
         if wrap is not None:
             sliding = self.cfg.sliding_flags()
             for l in range(self.cfg.num_layers):
@@ -1028,6 +1056,7 @@ class Runner:
                     params, cache, hidden_win, jnp.asarray(l, jnp.int32),
                     runner=self, wrap=wrap,
                 )
+                yield
         return logits, cache, None
 
 

@@ -438,6 +438,8 @@ class KVPressPipeline:
         quantized: bool = False,
         kv_bits: int = 8,
         context_bucket: Optional[int] = None,
+        context_chunk: Optional[int] = None,  # chunked-prefill admission
+        interleave: bool = False,        # chunk-interleaved admission
         question_bucket: int = 64,
         mesh=None,                       # tensor-parallel serving
         context_cache: int = 0,          # compressed-context LRU reuse
@@ -494,7 +496,8 @@ class KVPressPipeline:
             n_slots=max(1, min(n_slots, len(reqs))),
             capacity=capacity, press=press,
             quantized=quantized, kv_bits=kv_bits,
-            context_bucket=context_bucket, question_bucket=question_bucket,
+            context_bucket=context_bucket, context_chunk=context_chunk,
+            interleave=interleave, question_bucket=question_bucket,
             eos_ids=eos, mesh=mesh, tokenizer=self.tokenizer,
             context_cache=context_cache, do_sample=do_sample,
             temperature=temperature, top_p=top_p, seed=seed,

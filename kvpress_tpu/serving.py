@@ -463,6 +463,9 @@ class ServingEngine:
         mesh=None,                  # tensor-parallel serving over ("data","model")
         tokenizer=None,             # required for KVzip-family multi-pass
         schedule: str = "fifo",     # "fifo" | "sjf" (shortest job first)
+        interleave: bool = False,   # chunk-interleaved admission (needs
+                                    # context_chunk): bound live slots'
+                                    # inter-token stall to ~one chunk
         context_cache: int = 0,     # LRU of compressed contexts (entries)
         do_sample: bool = False,    # nucleus sampling instead of greedy
         temperature: float = 1.0,
@@ -529,6 +532,12 @@ class ServingEngine:
         self.fetch_lag = max(1, fetch_lag)
         assert schedule in ("fifo", "sjf"), schedule
         self.schedule = schedule
+        assert not interleave or context_chunk is not None, (
+            "interleave=True requires context_chunk= (the chunk is the "
+            "scheduling unit — exact-length prefill is one indivisible "
+            "dispatch)"
+        )
+        self.interleave = bool(interleave)
         self.eos_ids = set(int(e) for e in eos_ids)
         from .models.llama import param_dtype
 
@@ -637,6 +646,19 @@ class ServingEngine:
         ``(cache, kept_arr, first_arr)`` — all device values; the caller
         fetches ``kept``/``first`` at completion time so the round-trip
         overlaps decode compute (admission-time host overlap)."""
+        gen = self._prefill_issue_steps(req)
+        while True:
+            try:
+                next(gen)
+            except StopIteration as stop:
+                return stop.value
+
+    def _prefill_issue_steps(self, req: Request):
+        """Generator form of :meth:`_prefill_issue`: on the chunked path it
+        yields after each bounded dispatch unit (one prefill chunk / one
+        compressed layer) so the run loop can interleave decode-step
+        dispatches between them (``interleave=True``); non-chunked paths
+        return without yielding (one indivisible prefill program)."""
         runner, params = self.runner, self.params
         ctx = list(req.context_ids)
         key = tuple(req.context_ids) if self.context_cache else None
@@ -662,13 +684,21 @@ class ServingEngine:
             # remainder width — not one exact-length prefill compile per
             # length, the 128K admission cliff). Still zero host syncs: the
             # chunk loop only dispatches.
-            bucketed = -(-ids.shape[1] // self.context_chunk) *                 self.context_chunk
-            logits, cache, press_state = runner.prefill_chunked(
+            bucketed = -(-ids.shape[1] // self.context_chunk) * \
+                self.context_chunk
+            chunk_gen = runner.prefill_chunked_steps(
                 params, ids, press=self.press,
                 chunk_size=self.context_chunk, max_size=bucketed,
                 dtype=self.dtype, compute_logits=True,
                 quantized=self.quantized, kv_bits=self.kv_bits,
             )
+            while True:
+                try:
+                    next(chunk_gen)
+                except StopIteration as stop:
+                    logits, cache, press_state = stop.value
+                    break
+                yield
         else:
             from .pipeline import _prefill
 
@@ -776,6 +806,13 @@ class ServingEngine:
         """Dispatch the prefill and insert the compressed cache into the
         slot — all device work, no host sync. The slot is NOT live yet."""
         cache, kept_arr, first_arr = self._prefill_issue(req)
+        return self._insert_admitted(slot, req_idx, req,
+                                     cache, kept_arr, first_arr)
+
+    def _insert_admitted(self, slot: int, req_idx: int, req: Request,
+                         cache, kept_arr, first_arr) -> dict:
+        """Insert an issued admission's compressed cache into the slot pool
+        (device work only; the slot is NOT live until _complete_admission)."""
         self.sc = _insert_slot(self.sc, cache, jnp.asarray(slot, jnp.int32))
         if self.dp_state is not None:
             self.dp_state = _reset_slot_state(
@@ -845,11 +882,14 @@ class ServingEngine:
         queue = list(range(len(requests)))
         pending: list[tuple[jax.Array, np.ndarray]] = []  # (tokens, live snapshot)
         admits: list[dict] = []      # issued-but-not-completed admissions
+        inflight: list[dict] = []    # chunk-interleaved admissions in progress
         reserved: set[int] = set()   # slots held by in-flight admissions
+        drain_times: list[float] = []   # per-step fetch timestamps (gap stats)
 
         def drain_one():
             toks, live_snap = pending.pop(0)
             host = np.asarray(jax.device_get(toks))
+            drain_times.append(_time.perf_counter())
             for s in range(self.n_slots):
                 if not live_snap[s]:
                     continue
@@ -874,7 +914,8 @@ class ServingEngine:
         # Loop until every admitted request is *retired* (not merely until
         # pending drains — the final drain must still be followed by a
         # retirement sweep).
-        while queue or admits or any(st.req_idx >= 0 for st in self.slots):
+        while (queue or admits or inflight
+               or any(st.req_idx >= 0 for st in self.slots)):
             while len(pending) > self.fetch_lag:
                 drain_one()
             for s in range(self.n_slots):
@@ -901,11 +942,33 @@ class ServingEngine:
                     else:
                         pos = 0
                     idx = queue.pop(pos)
-                    admits.append(self._issue_admission(s, idx, requests[idx]))
+                    if self.interleave:
+                        inflight.append(dict(
+                            slot=s, req_idx=idx, req=requests[idx],
+                            gen=self._prefill_issue_steps(requests[idx]),
+                        ))
+                    else:
+                        admits.append(
+                            self._issue_admission(s, idx, requests[idx]))
                     reserved.add(s)
                     if progress:
                         print(f"admitting request {idx} -> slot {s}",
                               flush=True)
+            # Chunk-interleaved admission: advance each in-flight admission
+            # by ONE dispatch unit (one prefill chunk / compressed layer)
+            # per loop iteration, so this iteration's decode step lands
+            # between chunk programs in the device queue — live slots'
+            # inter-token stall is bounded by ~one chunk instead of the
+            # whole admission prefill (Sarathi-style scheduling).
+            for st in list(inflight):
+                try:
+                    next(st["gen"])
+                except StopIteration as stop:
+                    cache, kept_arr, first_arr = stop.value
+                    inflight.remove(st)
+                    admits.append(self._insert_admitted(
+                        st["slot"], st["req_idx"], st["req"],
+                        cache, kept_arr, first_arr))
             if any(self.live):
                 # A FRESH buffer every issue: jnp.asarray of a numpy array
                 # can be ZERO-COPY on the CPU backend, and self.live is
@@ -937,7 +1000,7 @@ class ServingEngine:
                         st.in_flight += 1
                         if len(st.generated) + st.in_flight >= st.budget:
                             self.live[s] = False   # budget fully issued
-            elif pending and not admits:
+            elif pending and not admits and not inflight:
                 drain_one()
             for adm in admits:
                 self._complete_admission(adm)
@@ -964,4 +1027,11 @@ class ServingEngine:
             ),
             "ctx_hits": self.ctx_hits - hits0,
         }
+        # Inter-token stall profile: gaps between consecutive step fetches.
+        # The max gap is the latency a live slot saw across a concurrent
+        # admission — the number interleave= exists to shrink.
+        gaps = sorted(b - a for a, b in zip(drain_times, drain_times[1:]))
+        if gaps:
+            self.last_stats["p50_intertoken_gap_s"] = gaps[len(gaps) // 2]
+            self.last_stats["max_intertoken_gap_s"] = gaps[-1]
         return answers

@@ -487,6 +487,34 @@ def test_serving_context_chunk_admission(tiny):
                       press=AdaKVPress(press=press), context_chunk=16)
 
 
+def test_serving_interleaved_admission(tiny):
+    """interleave=True (chunk-interleaved, Sarathi-style admission — decode
+    steps dispatched between prefill chunk programs) is a pure scheduling
+    change: answers match non-interleaved chunked admission exactly on a
+    staggered workload (heterogeneous budgets + contexts force admissions
+    while other slots are mid-decode), and the gap stats land in last_stats.
+    interleave without context_chunk is rejected (nothing to interleave)."""
+    cfg, params, runner = tiny
+    press = KnormPress(compression_ratio=0.5)
+    reqs = _mk_requests(cfg, [(50, 9), (64, 3), (33, 7), (48, 4), (61, 5)])
+    for i, r in enumerate(reqs):     # ragged budgets -> staggered retirement
+        r.max_new_tokens = 3 + 2 * i
+    base = ServingEngine(runner, params, n_slots=2, capacity=64, press=press,
+                         question_bucket=4, fetch_lag=2, context_chunk=16)
+    inter = ServingEngine(runner, params, n_slots=2, capacity=64,
+                          press=press, question_bucket=4, fetch_lag=2,
+                          context_chunk=16, interleave=True)
+    assert base.run(reqs) == inter.run(reqs)
+    assert inter.last_stats["max_intertoken_gap_s"] >= \
+        inter.last_stats["p50_intertoken_gap_s"] > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="context_chunk"):
+        ServingEngine(runner, params, n_slots=2, capacity=64, press=press,
+                      interleave=True)
+
+
 @pytest.mark.parametrize("quantized", [False, True])
 def test_serving_context_cache_reuse(tiny, quantized):
     """context_cache= admissions sharing a context skip prefill+compression
