@@ -91,6 +91,32 @@ class EvaluationConfig:
         return yaml.safe_dump(dataclasses.asdict(self), sort_keys=True)
 
 
+def duo_calibration_samples(tokenizer, n_samples: int = 2,
+                            sample_len: int = 1024):
+    """Calibration token batches for duo_attention_on_the_fly from the
+    bundled calibration text (evaluation/calibration_text.txt) — the offline
+    stand-in for the reference's held-out booksum samples
+    (duo_attention_press.py:144-210). Deliberately independent of the
+    evaluation dataset so head scores never see the eval distribution.
+
+    The text is tiled to reach ``n_samples * sample_len`` tokens — head
+    calibration only needs representative attention patterns, not novelty.
+    """
+    import jax.numpy as jnp
+
+    text = (Path(__file__).parent / "calibration_text.txt").read_text()
+    ids = tokenizer.encode(text, add_special_tokens=False)
+    need = n_samples * sample_len
+    while len(ids) < need:
+        ids = ids + ids
+    return [
+        jnp.asarray(
+            np.asarray(ids[i * sample_len:(i + 1) * sample_len], np.int32)
+        )[None]
+        for i in range(n_samples)
+    ]
+
+
 def configure_press(config: EvaluationConfig):
     """Registry lookup + parameter dispatch (reference :255-316). Frozen
     presses are rebuilt with dataclasses.replace instead of mutated."""
@@ -296,21 +322,17 @@ class EvaluationRunner:
         if (self.config.press_name == "duo_attention_on_the_fly"
                 and getattr(self.press, "head_scores", None) is None):
             # Reference duo_attention_on_the_fly (:144-210) scores heads from
-            # calibration samples at setup; here the first dataset contexts
-            # serve as the calibration set (no hub download needed).
+            # held-out booksum calibration samples at setup; here a bundled
+            # calibration text plays that role (no hub download needed). The
+            # calibration source is DISJOINT from the evaluation rows — an
+            # earlier revision calibrated on the first dataset contexts,
+            # which quietly leaked the eval distribution into head scores.
             import dataclasses as _dc
-
-            import jax.numpy as _jnp
 
             from kvpress_tpu.presses.duo import duo_attention_on_the_fly
 
             pipe = self.pipeline
-            samples = []
-            for ctx in self.df["context"].unique()[:2]:
-                ids = pipe.tokenizer.encode(ctx, add_special_tokens=False)
-                samples.append(
-                    _jnp.asarray(np.asarray(ids[:1024], np.int32))[None]
-                )
+            samples = duo_calibration_samples(pipe.tokenizer)
             scores = duo_attention_on_the_fly(pipe.runner, pipe.params, samples)
             self.press = _dc.replace(self.press, head_scores=scores)
         self._run_inference()

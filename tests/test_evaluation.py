@@ -5,6 +5,7 @@ the tiny model pipeline."""
 import json
 import sys
 
+import numpy as np
 import pandas as pd
 import jax
 import jax.numpy as jnp
@@ -164,11 +165,13 @@ def test_cli_parse_args_yaml_merge(tmp_path):
     assert cfg.dataset == "ruler"           # CLI
 
 
-def test_duo_on_the_fly_scores_from_dataset(tmp_path):
+def test_duo_on_the_fly_scores_from_bundled_calibration(tmp_path):
     """press_name=duo_attention_on_the_fly: head scores computed at setup
-    from the first dataset contexts (the reference downloads booksum
-    calibration samples; here the dataset itself calibrates)."""
-    from evaluate import EvaluationConfig, EvaluationRunner
+    from the BUNDLED calibration text (the reference downloads held-out
+    booksum samples, duo_attention_press.py:144-210) — never from the
+    evaluation rows (calibration leakage)."""
+    from evaluate import (EvaluationConfig, EvaluationRunner,
+                          duo_calibration_samples)
 
     cfg = tiny_config()
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
@@ -193,6 +196,12 @@ def test_duo_on_the_fly_scores_from_dataset(tmp_path):
     assert runner.press.head_scores is not None
     assert runner.press.head_scores.shape == (cfg.num_layers, cfg.num_kv_heads)
     assert runner.press.head_compression_ratio == 0.5
+    # Calibration-source disjointness: the calibration token stream is the
+    # bundled text, not the dataset contexts (protocol-leakage regression).
+    cal = duo_calibration_samples(pipe.tokenizer)
+    ctx_ids = pipe.tokenizer.encode(ctx, add_special_tokens=False)
+    for s in cal:
+        assert list(np.asarray(s[0])[: len(ctx_ids)]) != ctx_ids
 
 
 def test_evaluation_runner_quantized_kv(tmp_path):
