@@ -605,6 +605,14 @@ class ServingEngine:
         self.context_cache = int(context_cache)
         self._ctx_lru: "OrderedDict[tuple, tuple]" = OrderedDict()
         self.ctx_hits = 0
+        # Contexts with an in-flight (interleaved) prefill: a concurrent
+        # same-context admission waits for the first one's LRU store instead
+        # of running a duplicate chunked prefill.
+        self._ctx_pending: set = set()
+        # Context tokens NOT forwarded because an admission hit the LRU —
+        # subtracted from last_stats processed_tokens so processed_tok_s
+        # reflects device work actually done (advisor r3).
+        self._skipped_ctx_tokens = 0
         # Sampling (reference: kvzap/evaluate_aime.py generates with
         # temperature/top-p sampling): per-(step, slot) keys are folded from
         # one base key inside the jitted step; admissions use a separate
@@ -662,14 +670,36 @@ class ServingEngine:
         runner, params = self.runner, self.params
         ctx = list(req.context_ids)
         key = tuple(req.context_ids) if self.context_cache else None
-        if key is not None and key in self._ctx_lru:
-            # Compressed-context reuse: skip prefill + compression entirely.
-            # The stored cache is an immutable pytree — the question forward
-            # below operates on (functional) copies, so sharing is safe.
-            cache, pre_row = self._ctx_lru[key]
-            self._ctx_lru.move_to_end(key)
-            self.ctx_hits += 1
-            return self._finish_issue(req, ctx, cache, pre_row)
+        if key is not None:
+            # In-flight prefill dedup (interleave mode): another admission
+            # may already be chunk-prefilling this exact context — yield
+            # until its LRU store lands instead of running a duplicate
+            # prefill (the run loop keeps advancing the first admission's
+            # generator between our yields, so this always terminates).
+            while key in self._ctx_pending and key not in self._ctx_lru:
+                yield
+            if key in self._ctx_lru:
+                # Compressed-context reuse: skip prefill + compression
+                # entirely. The stored cache is an immutable pytree — the
+                # question forward below operates on (functional) copies,
+                # so sharing is safe.
+                cache, pre_row = self._ctx_lru[key]
+                self._ctx_lru.move_to_end(key)
+                self.ctx_hits += 1
+                self._skipped_ctx_tokens += len(req.context_ids)
+                return self._finish_issue(req, ctx, cache, pre_row)
+            self._ctx_pending.add(key)
+        try:
+            return (yield from self._prefill_issue_miss(req, ctx, key))
+        finally:
+            if key is not None:
+                self._ctx_pending.discard(key)
+
+    def _prefill_issue_miss(self, req: Request, ctx: list, key):
+        """The LRU-miss body of :meth:`_prefill_issue_steps` (same generator
+        contract): full press-compressed prefill, multi-pass orchestration,
+        LRU store."""
+        runner, params = self.runner, self.params
         valid = None
         if self.context_bucket is not None:
             pad = -(-len(ctx) // self.context_bucket) * self.context_bucket
@@ -877,12 +907,14 @@ class ServingEngine:
 
         t_start = _time.perf_counter()
         hits0 = self.ctx_hits
+        skipped0 = self._skipped_ctx_tokens
         n_steps = 0
         answers: list[Optional[list]] = [None] * len(requests)
         queue = list(range(len(requests)))
         pending: list[tuple[jax.Array, np.ndarray]] = []  # (tokens, live snapshot)
         admits: list[dict] = []      # issued-but-not-completed admissions
         inflight: list[dict] = []    # chunk-interleaved admissions in progress
+        rr = 0                       # round-robin cursor over inflight
         reserved: set[int] = set()   # slots held by in-flight admissions
         drain_times: list[float] = []   # per-step fetch timestamps (gap stats)
 
@@ -954,15 +986,21 @@ class ServingEngine:
                     if progress:
                         print(f"admitting request {idx} -> slot {s}",
                               flush=True)
-            # Chunk-interleaved admission: advance each in-flight admission
-            # by ONE dispatch unit (one prefill chunk / compressed layer)
-            # per loop iteration, so this iteration's decode step lands
-            # between chunk programs in the device queue — live slots'
-            # inter-token stall is bounded by ~one chunk instead of the
-            # whole admission prefill (Sarathi-style scheduling).
-            for st in list(inflight):
+            # Chunk-interleaved admission: advance exactly ONE in-flight
+            # admission by one dispatch unit (one prefill chunk / compressed
+            # layer) per loop iteration — round-robin across admissions — so
+            # this iteration's decode step lands between chunk programs in
+            # the device queue and live slots' inter-token stall is bounded
+            # by ~one chunk REGARDLESS of how many admissions are in flight
+            # (advancing every admission per iteration made the stall ~k
+            # chunks at k concurrent admissions; Sarathi-style scheduling,
+            # arXiv:2308.16369).
+            if inflight:
+                rr %= len(inflight)
+                st = inflight[rr]
                 try:
                     next(st["gen"])
+                    rr += 1
                 except StopIteration as stop:
                     cache, kept_arr, first_arr = stop.value
                     inflight.remove(st)
@@ -1011,9 +1049,13 @@ class ServingEngine:
             admits.clear()
         wall = _time.perf_counter() - t_start
         gen = sum(len(a) for a in answers)
+        # Context tokens skipped by LRU hits were never forwarded —
+        # processed_tok_s must reflect device work actually done, not the
+        # nominal workload size (advisor r3).
+        skipped = self._skipped_ctx_tokens - skipped0
         proc = gen + sum(
             len(r.context_ids) + len(r.question_ids) for r in requests
-        )
+        ) - skipped
         self.last_stats = {
             "wall_s": wall,
             "requests": len(requests),
@@ -1026,6 +1068,7 @@ class ServingEngine:
                 gen / (n_steps * self.n_slots) if n_steps else 0.0
             ),
             "ctx_hits": self.ctx_hits - hits0,
+            "skipped_context_tokens": skipped,
         }
         # Inter-token stall profile: gaps between consecutive step fetches.
         # The max gap is the latency a live slot saw across a concurrent

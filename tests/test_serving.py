@@ -545,6 +545,37 @@ def test_serving_context_cache_reuse(tiny, quantized):
                                       quantized=quantized)
 
 
+def test_serving_context_cache_inflight_dedup(tiny):
+    """Two same-context requests admitted CONCURRENTLY in interleave mode:
+    the second waits on the first admission's in-flight prefill instead of
+    running a duplicate chunked prefill (advisor r3), then hits the LRU.
+    last_stats reports the skipped context tokens and processed_tokens
+    reflects tokens actually forwarded."""
+    cfg, params, runner = tiny
+    press = KnormPress(compression_ratio=0.5)
+    rng = np.random.default_rng(11)
+    ctx = rng.permutation(cfg.vocab_size)[:48].tolist()
+    qs = [rng.permutation(cfg.vocab_size)[:4].tolist() for _ in range(2)]
+    reqs = [Request(ctx, q, max_new_tokens=5) for q in qs]
+
+    eng = ServingEngine(runner, params, n_slots=2, capacity=64, press=press,
+                        question_bucket=4, fetch_lag=2, context_chunk=16,
+                        interleave=True, context_cache=1)
+    answers = eng.run(reqs)
+    # Both slots free -> both admissions issued in the same loop iteration;
+    # the dedup path makes the second a hit instead of a duplicate prefill.
+    assert eng.ctx_hits == 1
+    assert eng.last_stats["skipped_context_tokens"] == len(ctx)
+    assert eng.last_stats["processed_tokens"] == (
+        sum(len(a) for a in answers)
+        + sum(len(r.context_ids) + len(r.question_ids) for r in reqs)
+        - len(ctx)
+    )
+    for req, got in zip(reqs, answers):
+        assert len(got) == req.max_new_tokens
+        assert_generation_matches_ref(runner, params, press, req, got)
+
+
 def test_serving_sampling(tiny):
     """Nucleus sampling in the engine (reference: kvzap/evaluate_aime.py
     samples with temperature/top-p): near-zero temperature reproduces the
