@@ -199,15 +199,20 @@ def quantize_params_int4(params: dict) -> dict:
 
 
 def init_params_int8(cfg: ModelConfig, key: jax.Array,
-                     dtype=jnp.bfloat16, bits: int = 8) -> dict:
+                     dtype=jnp.bfloat16, bits: int = 8,
+                     int8_embeddings: bool = False) -> dict:
     """Random init DIRECTLY in int8/int4 payload + per-channel scale form.
 
     For benchmarking at scales where a bf16 init + quantize round-trip does
     not fit HBM (an 8B-class model is 14.5 GB bf16 + 7.25 GB int8 during
     conversion on a 16 GB chip). Matches the layout quantize_params_int8 /
     quantize_params_int4 produce, so the same Runner serves it; ``dtype``
-    sets the compute dtype via the norm weights. Reference scale analogue:
-    notebooks/speed_and_memory.ipynb measures Llama-3.1-8B."""
+    sets the compute dtype via the norm weights.
+    ``int8_embeddings=True`` also emits int8 embed/lm_head payloads
+    (per-row / per-output-channel scales, the quantize_params_int8
+    include_embeddings layout) — the full-vocab (128,256) Llama-3.1-8B
+    bench needs it: bf16 embed+head alone are 2.1 GB. Reference scale
+    analogue: notebooks/speed_and_memory.ipynb measures Llama-3.1-8B."""
     E, F, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
     Hq, Hkv, D, V = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, cfg.vocab_size
     ks = jax.random.split(key, 16)
@@ -244,15 +249,27 @@ def init_params_int8(cfg: ModelConfig, key: jax.Array,
         layers["ln1_post"] = jnp.ones((L, E), dtype)
         layers["ln2_post"] = jnp.ones((L, E), dtype)
     params = {
-        "embed": (jax.random.normal(ks[7], (V, E), jnp.float32) * 0.02
-                  ).astype(dtype),
         "ln_f": jnp.ones((E,), dtype),
         "layers": layers,
     }
-    if not cfg.tie_word_embeddings:
-        params["lm_head"] = (
-            jax.random.normal(ks[8], (E, V), jnp.float32) * 0.02
+    if int8_embeddings:
+        params["embed"] = jax.random.randint(ks[7], (V, E), -127, 128,
+                                             jnp.int32).astype(jnp.int8)
+        params["embed_scale"] = jnp.full((V, 1), 0.02 / 127.0, jnp.float32)
+        if not cfg.tie_word_embeddings:
+            params["lm_head"] = jax.random.randint(
+                ks[8], (E, V), -127, 128, jnp.int32
+            ).astype(jnp.int8)
+            params["lm_head_scale"] = jnp.full((1, V), 0.02 / 127.0,
+                                               jnp.float32)
+    else:
+        params["embed"] = (
+            jax.random.normal(ks[7], (V, E), jnp.float32) * 0.02
         ).astype(dtype)
+        if not cfg.tie_word_embeddings:
+            params["lm_head"] = (
+                jax.random.normal(ks[8], (E, V), jnp.float32) * 0.02
+            ).astype(dtype)
     return params
 
 
@@ -1012,27 +1029,63 @@ class Runner:
             bits=kv_bits,
         )
         wrap = None
+        post_press = None
         W = min(score_window, chunk_size, S)
+        if press is not None and getattr(press, "post_mask", False):
+            # FastKVzip-style presses: gate scores are collected per chunk
+            # during the forward (no in-forward compression); the pipeline
+            # applies the cross-layer post-mask afterwards.
+            post_press = press
+            press = None
+        if press is not None and not press.compresses_prefill:
+            # Multi-pass presses (KVzip family): the initial prefill stays
+            # uncompressed; the pipeline runs the repeat-pass scoring after
+            # (kvzip is natively chunked — reference kvzip_press.py:204-264).
+            press = None
         if press is not None:
-            assert isinstance(press, ScorerPress), (
-                "prefill_chunked compresses with a ScorerPress; wrappers/"
-                "multi-pass presses need the exact prefill path"
-            )
-            # BudgetDecodingPress: per-layer targets come from the press's
-            # own dynamic_budget — budget-shaping scorers (PyramidKV) keep
-            # their per-layer pyramid instead of a flattened uniform target.
-            wrap = BudgetDecodingPress(
-                base_press=press,
-                target_compression_ratio=press.compression_ratio,
-                compression_interval=1,
-                hidden_states_buffer_size=W,
-            )
+            if hasattr(press, "chunked_compress"):
+                # Wrapper / head-wise presses (AdaKV family, KeyRerotation,
+                # Chunk, Composed): their own traced-length compression
+                # runs per layer in _compress_layer. Head-wise presses flip
+                # keep-mask bits → materialize the cache mask up front.
+                wrap = press
+                if getattr(press, "headwise_mask", False) and cache.mask is None:
+                    cache = dataclasses.replace(
+                        cache,
+                        mask=jnp.ones(
+                            (self.cfg.num_layers, B, self.cfg.num_kv_heads,
+                             cache.max_size), bool,
+                        ),
+                    )
+            else:
+                assert isinstance(press, ScorerPress) or getattr(
+                    press, "scorer_like", False
+                ), (
+                    "prefill_chunked compresses with a ScorerPress, a "
+                    "scorer-like wrapper (CriticalKV, PerLayerCompression) "
+                    "or a chunked-composable wrapper (AdaKV family, "
+                    "KeyRerotation, Chunk, Composed); multi-pass presses "
+                    "run their repeat passes after the chunked prefill "
+                    "(pipeline orchestration)"
+                )
+                # BudgetDecodingPress: per-layer targets come from the
+                # press's own dynamic_budget — budget-shaping scorers
+                # (PyramidKV, PerLayerCompression) keep their per-layer
+                # shape instead of a flattened uniform target.
+                wrap = BudgetDecodingPress(
+                    base_press=press,
+                    target_compression_ratio=press.compression_ratio,
+                    compression_interval=1,
+                    hidden_states_buffer_size=W,
+                )
 
         head = S % chunk_size if S > chunk_size else 0
         starts = ([0] if head else []) + list(
             range(head, S, chunk_size)
         )
         logits = hidden_win = None
+        collect_gates = post_press.gates if post_press is not None else None
+        all_scores = []
         for i, start in enumerate(starts):
             last = i == len(starts) - 1
             width = (head if (head and i == 0) else
@@ -1040,12 +1093,14 @@ class Runner:
             # lean path everywhere: the scan outputs only the chunk's new
             # K/V — no stacked full-buffer copy (the 8B@128K fit depends on
             # it); the final chunk also emits the per-layer scoring window
-            logits, cache, hidden_win = _chunk_forward_lean(
+            logits, cache, hidden_win, chunk_scores = _chunk_forward_lean(
                 params, ids[:, start:start + width], cache, runner=self,
                 compute_logits=compute_logits and last,
                 hidden_window=W if (last and wrap is not None) else None,
-                fused_kv=fused_kv,
+                fused_kv=fused_kv, collect_gates=collect_gates,
             )
+            if chunk_scores is not None:
+                all_scores.append(chunk_scores)
             yield
         if wrap is not None:
             sliding = self.cfg.sliding_flags()
@@ -1057,7 +1112,16 @@ class Runner:
                     runner=self, wrap=wrap,
                 )
                 yield
-        return logits, cache, None
+        state = None
+        if post_press is not None:
+            # Post-mask (FastKVzip) press state: per-chunk gate scores
+            # concatenated over positions, protected window applied over the
+            # FULL context length — identical semantics to the one-shot
+            # collector (presses/fastkvzip.py layer_compress), so the
+            # pipeline's apply_post_mask consumes it unchanged.
+            scores = jnp.concatenate(all_scores, axis=-1)     # (L, B, H, S)
+            state = {"scores": post_press.protect_scores(scores, S)}
+        return logits, cache, state
 
 
 @functools.partial(
@@ -1065,8 +1129,8 @@ class Runner:
     static_argnames=("runner", "compute_logits", "hidden_window",
                      "fused_kv"),
     donate_argnums=(2,))
-def _chunk_forward_lean(params, chunk_ids, cache, *, runner,
-                        compute_logits=False, hidden_window=None,
+def _chunk_forward_lean(params, chunk_ids, cache, collect_gates=None, *,
+                        runner, compute_logits=False, hidden_window=None,
                         fused_kv=True):
     """Pressless chunk append with O(chunk) scan outputs.
 
@@ -1084,7 +1148,11 @@ def _chunk_forward_lean(params, chunk_ids, cache, *, runner,
     ``hidden_window=W`` additionally emits each layer's last-W post-ln1
     hidden states (L, B, W, E) — the scoring window for the host-loop
     compression pass (_compress_layer). ``compute_logits`` returns the last
-    position's logits. Returns (logits | None, cache, hidden_win | None)."""
+    position's logits. ``collect_gates`` (FastKVzip gate pytree — an ARG,
+    not a closure capture: gates as HLO constants would bloat/hang the axon
+    remote-compile POST) additionally emits each layer's per-position gate
+    scores for this chunk (L, B, Hkv, T). Returns
+    (logits | None, cache, hidden_win | None, chunk_scores | None)."""
     cfg: ModelConfig = runner.cfg
     B, T = chunk_ids.shape
     quantized = cache.key_scales is not None
@@ -1110,7 +1178,7 @@ def _chunk_forward_lean(params, chunk_ids, cache, *, runner,
     use_flash = runner.attn_impl == "flash" and T > 1
 
     def body(xh, xs):
-        (layer, kb, vb, ks, vs, lmask, ln, sflag) = xs
+        (layer, kb, vb, ks, vs, lmask, ln, sflag, lid) = xs
         h = rms_norm(xh, layer["ln1"], cfg.rms_norm_eps, cfg.rms_one_offset)
         q_pre, k_pre, v = _project_qkv(layer, cfg, h)
         c, sn = cos, sin
@@ -1218,6 +1286,10 @@ def _chunk_forward_lean(params, chunk_ids, cache, *, runner,
 
         if hidden_window is not None:
             ys = ys + (h[:, -hidden_window:],)
+        if collect_gates is not None:
+            from ..presses.fastkvzip import gate_scores
+
+            ys = ys + (gate_scores(collect_gates, lid, h),)
         o = _lin(o.transpose(0, 2, 1, 3).reshape(B, T, -1), layer, "wo")
         if cfg.post_norms:
             o = rms_norm(o, layer["ln1_post"], cfg.rms_norm_eps,
@@ -1232,13 +1304,14 @@ def _chunk_forward_lean(params, chunk_ids, cache, *, runner,
         return xh + mlp, ys
 
     xs = (params["layers"], cache.keys, cache.values, cache.key_scales,
-          cache.value_scales, mask, cache.length, sliding)
+          cache.value_scales, mask, cache.length, sliding,
+          jnp.arange(cfg.num_layers, dtype=jnp.int32))
     x, out_ys = jax.lax.scan(body, x, xs)
-    hidden_win = None
-    if hidden_window is not None:
-        nk, nv, nks, nvs, hidden_win = out_ys
-    else:
-        nk, nv, nks, nvs = out_ys
+    out_ys = list(out_ys)
+    nk, nv, nks, nvs = out_ys[:4]
+    rest = out_ys[4:]
+    hidden_win = rest.pop(0) if hidden_window is not None else None
+    chunk_scores = rest.pop(0) if collect_gates is not None else None
 
     start = (0, 0, 0, cache.length[0], 0)
     keys = jax.lax.dynamic_update_slice(cache.keys, nk, start)
@@ -1261,7 +1334,7 @@ def _chunk_forward_lean(params, chunk_ids, cache, *, runner,
         keys=keys, values=values,
         key_scales=key_scales, value_scales=value_scales,
         length=cache.length + T, offset=cache.offset + T,
-    ), hidden_win
+    ), hidden_win, chunk_scores
 
 
 @functools.partial(
@@ -1305,13 +1378,25 @@ def _compress_layer(params, cache, hidden_all, l_idx, *, runner, wrap):
     }
     keys_l = cache.keys[l_idx]
     values_l = cache.values[l_idx]
-    mask_l = jnp.ones((B, cfg.num_kv_heads, keys_l.shape[2]), bool)
+    mask_l = (
+        cache.mask[l_idx] if cache.mask is not None
+        else jnp.ones((B, cfg.num_kv_heads, keys_l.shape[2]), bool)
+    )
     at = (l_idx, 0, 0, 0, 0)
+    is_wrapper = hasattr(wrap, "chunked_compress")
+    new_mask_l = None
     if cache.key_scales is not None:
-        (k2, v2, ks2, vs2, nlen, _, _) = wrap.decode_compress_quantized(
-            ctx, keys_l, values_l, cache.key_scales[l_idx],
-            cache.value_scales[l_idx], cache.bits, length, mask_l, state,
-        )
+        if is_wrapper:
+            (k2, v2, ks2, vs2, nlen,
+             new_mask_l) = wrap.chunked_compress_quantized(
+                ctx, keys_l, values_l, cache.key_scales[l_idx],
+                cache.value_scales[l_idx], cache.bits, length, mask_l,
+            )
+        else:
+            (k2, v2, ks2, vs2, nlen, _, _) = wrap.decode_compress_quantized(
+                ctx, keys_l, values_l, cache.key_scales[l_idx],
+                cache.value_scales[l_idx], cache.bits, length, mask_l, state,
+            )
         cache = dataclasses.replace(
             cache,
             keys=jax.lax.dynamic_update_slice(cache.keys, k2[None], at),
@@ -1325,13 +1410,25 @@ def _compress_layer(params, cache, hidden_all, l_idx, *, runner, wrap):
             length=cache.length.at[l_idx].set(nlen),
         )
     else:
-        k2, v2, nlen, _, _ = wrap.decode_compress(
-            ctx, keys_l, values_l, length, mask_l, state
-        )
+        if is_wrapper:
+            k2, v2, nlen, new_mask_l = wrap.chunked_compress(
+                ctx, keys_l, values_l, length, mask_l
+            )
+        else:
+            k2, v2, nlen, _, _ = wrap.decode_compress(
+                ctx, keys_l, values_l, length, mask_l, state
+            )
         cache = dataclasses.replace(
             cache,
             keys=jax.lax.dynamic_update_slice(cache.keys, k2[None], at),
             values=jax.lax.dynamic_update_slice(cache.values, v2[None], at),
             length=cache.length.at[l_idx].set(nlen),
+        )
+    if new_mask_l is not None and cache.mask is not None:
+        cache = dataclasses.replace(
+            cache,
+            mask=jax.lax.dynamic_update_slice(
+                cache.mask, new_mask_l[None], (l_idx, 0, 0, 0)
+            ),
         )
     return cache

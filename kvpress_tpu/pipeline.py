@@ -329,17 +329,16 @@ class KVPressPipeline:
         if context_chunk is not None:
             # Bounded-activation prefill (8B@128K-class contexts on one
             # chip). Composes with ScorerPress compression (final-chunk
-            # dynamic scoring) and the quantized cache; not with bucketing
-            # (pad semantics), multimodal embeds, multi-pass or wrapper
-            # presses — those need the one-shot path.
+            # dynamic scoring), scorer-like and chunked-composable wrappers
+            # (AdaKV family, CriticalKV, KeyRerotation, Chunk, Composed,
+            # PerLayerCompression — presses/wrappers.py chunked_compress)
+            # and the quantized cache; not with bucketing (pad semantics)
+            # or multimodal embeds — those need the one-shot path.
             from .presses.base import ScorerPress
 
             assert context_bucket is None and embeds is None, (
                 "context_chunk does not compose with context_bucket or "
                 "pixel_values"
-            )
-            assert press is None or isinstance(press, ScorerPress), (
-                "context_chunk compresses with a ScorerPress only"
             )
             prefill_logits, cache, press_state = self.runner.prefill_chunked(
                 self.params, ids, press=press, chunk_size=context_chunk,

@@ -108,6 +108,16 @@ class FastKVzipPress(BasePress):
         scores = jnp.where(protected, 1.0, scores)
         return keys, values, length, mask, {"scores": scores}
 
+    def protect_scores(self, scores: jax.Array, S: int) -> jax.Array:
+        """Apply the sink/recent protected window over FULL-context scores
+        (L, B, H, S) — the chunked-prefill collector path concatenates raw
+        per-chunk gate scores, then protects once here with the same
+        semantics as layer_compress (which sees the whole context)."""
+        pos = jnp.arange(S)[None, None, None]
+        window = int(S * self.window_ratio) if S < 32000 else self.window_size
+        protected = (pos < self.n_sink) | (pos >= S - window)
+        return jnp.where(protected, 1.0, scores)
+
     def apply_post_mask(self, cache, state):
         """Cross-layer bottom-k mask from collected scores (reference
         compress_post, :255-280 — identical mechanics to KVzip)."""

@@ -20,6 +20,64 @@ from ..rope import rotate_half
 from .base import BasePress, LayerCtx, ScorerPress, topk_keep
 
 BIG = jnp.finfo(jnp.float32).max
+NEG_INF = -2.0e38
+
+
+# ---------------------------------------------------------------------- #
+# Chunked-prefill composition (Runner.prefill_chunked host-loop compression,
+# models/llama._compress_layer). Wrapper presses implement
+# ``chunked_compress`` / ``chunked_compress_quantized``: one layer's FULL
+# buffer with a traced valid ``length``, scored from the trailing-window
+# LayerCtx (the decode-press scoring contract — press.dynamic_score against
+# window queries re-projected from the hidden window). Selection is
+# rank-based (double argsort: traced budgets, no scatters — scatters are
+# fine in the per-layer host loop but ranks keep selection identical to the
+# one-shot path's tie-breaking). The quantized variants dequantize ONE
+# layer as a transient for scoring and gather kept entries at payload
+# width (scales ride the same gather); only rerotated keys requantize.
+#
+# Exactness contract (same as the ScorerPress chunked path,
+# models/llama.py prefill_chunked docstring): content scorers score
+# identically to the one-shot path; window scorers match when their
+# observation window fits the scoring window.
+
+
+def _rank_desc(scores: jax.Array) -> jax.Array:
+    """Per-row rank of each element in descending-score order (rank 0 =
+    highest). ``rank < k`` selects the same set as top_k with k traced."""
+    return jnp.argsort(jnp.argsort(-scores, axis=-1), axis=-1)
+
+
+def _dyn_budget(length: jax.Array, ratio: float) -> jax.Array:
+    """Traced kept count, same float32 floor convention as
+    ScorerPress.dynamic_budget."""
+    return jnp.maximum(
+        (length.astype(jnp.float32) * (1.0 - ratio)).astype(jnp.int32), 1
+    )
+
+
+def _window_scores(press: ScorerPress, ctx: LayerCtx, keys, values, length):
+    """Scores from the trailing-window ctx with invalid slots at NEG_INF.
+    Returns (scores (B,H,S) f32, valid (1,1,S) bool)."""
+    S = keys.shape[2]
+    dctx = dataclasses.replace(ctx, kv_len=length)
+    scores = press.dynamic_score(dctx, keys, values, length).astype(jnp.float32)
+    valid = jnp.arange(S)[None, None] < length
+    return jnp.where(valid, scores, NEG_INF), valid
+
+
+def _compact_order(keep: jax.Array) -> jax.Array:
+    """Stable front-compaction order for a keep mask (kept entries first,
+    original relative order preserved)."""
+    return jnp.argsort(jnp.where(keep, 0, 1), axis=-1, stable=True)
+
+
+def _gather_seq(arrs, order):
+    """take_along_axis over the sequence axis (2) for each array."""
+    return tuple(
+        None if a is None else jnp.take_along_axis(a, order[..., None], axis=2)
+        for a in arrs
+    )
 
 
 def _slice_seq(ctx: LayerCtx, start: int, size: int) -> LayerCtx:
@@ -118,10 +176,69 @@ class AdaKVPress(BasePress):
             )
         return keys, values, length, new_mask, state
 
+    # -- chunked-prefill composition (traced length, window scoring) ------ #
+
+    headwise_mask = True      # the cache must carry a materialized keep-mask
+
+    def _chunked_keep(self, ctx, keys, values, length, mask):
+        """Head-wise keep mask with traced budgets: per-head safeguard pin
+        (rank < n_safe), then global top n_kept*H across heads×seq. Invalid
+        slots (NEG_INF) can never be pinned or kept: their per-head rank is
+        >= length >= n_kept >= n_safe and per-head valid slots alone fill
+        the global budget."""
+        scores, _ = _window_scores(self.press, ctx, keys, values, length)
+        B, H, S, _ = keys.shape
+        n_kept = _dyn_budget(length, self.compression_ratio)
+        n_safe = (n_kept.astype(jnp.float32)
+                  * self.alpha_safeguard).astype(jnp.int32)
+        rank = _rank_desc(scores)
+        scores = jnp.where(rank < n_safe, BIG, scores)
+        flat_rank = _rank_desc(scores.reshape(B, H * S))
+        keep = (flat_rank < n_kept * H).reshape(B, H, S)
+        return mask & keep
+
+    def chunked_compress(self, ctx, keys, values, length, mask):
+        if self.compression_ratio == 0.0:
+            return keys, values, length, mask
+        keep = self._chunked_keep(ctx, keys, values, length, mask)
+        if not self.compact:
+            return keys, values, length, keep
+        k2, v2, nlen, nmask = compact_headwise(keys, values, keep)
+        return k2, v2, nlen, nmask
+
+    def chunked_compress_quantized(self, ctx, keys, values, key_scales,
+                                   value_scales, bits, length, mask):
+        from ..cache import dequantize_kv
+
+        if self.compression_ratio == 0.0:
+            return keys, values, key_scales, value_scales, length, mask
+        dt = ctx.hidden.dtype
+        kd = dequantize_kv(keys, key_scales, bits, dt)
+        vd = dequantize_kv(values, value_scales, bits, dt)
+        keep = self._chunked_keep(ctx, kd, vd, length, mask)
+        if not self.compact:
+            return keys, values, key_scales, value_scales, length, keep
+        order = _compact_order(keep)
+        keys, values, key_scales, value_scales = _gather_seq(
+            (keys, values, key_scales, value_scales), order
+        )
+        counts = jnp.sum(keep, axis=-1)
+        S = keep.shape[-1]
+        new_mask = jnp.arange(S)[None, None, :] < counts[..., None]
+        return (keys, values, key_scales, value_scales,
+                jnp.max(counts).astype(jnp.int32), new_mask)
+
 
 class WrappedScorerMixin:
     """ScorerPress behavior with compression_ratio delegated to the wrapped
-    press (reference wrappers expose the same property passthrough)."""
+    press (reference wrappers expose the same property passthrough).
+
+    ``scorer_like = True`` admits these wrappers to every ScorerPress code
+    path that scores-then-keeps (chunked prefill via BudgetDecodingPress,
+    bucketed prefill budgets)."""
+
+    scorer_like = True
+    supports_padding = True
 
     @property
     def compression_ratio(self):
@@ -138,6 +255,15 @@ class WrappedScorerMixin:
 
     def budget(self, ctx, seq_len: int):
         return jnp.asarray(self.n_kept(seq_len), jnp.int32)
+
+    def dynamic_budget(self, ctx, length):
+        return _dyn_budget(length, self.compression_ratio)
+
+    def dynamic_score(self, ctx, keys, values, length):
+        """Traced-length fallback: plain score (sufficient when the wrapped
+        scorer is content-based; window scorers come through the wrapped
+        press's own dynamic_score in subclass overrides)."""
+        return self.score(ctx, keys, values)
 
     layer_compress = ScorerPress.layer_compress
 
@@ -183,6 +309,21 @@ class CriticalKVPress(WrappedScorerMixin, BasePress):
         if budget > 0:
             scores = jnp.put_along_axis(scores, top_idx, BIG, axis=-1, inplace=False)
         return scores
+
+    def dynamic_score(self, ctx, keys, values, length):
+        """Traced-length variant (chunked/bucketed prefill): the first-stage
+        pin budget derives from the traced valid length and selection is
+        rank-based; invalid slots are NEG_INF-masked BEFORE the pin so pad
+        slots never consume stage-1 budget, and re-masked after the rescale
+        (zero pad values make ||Wo·v||=0 → NEG_INF·0 = NaN otherwise)."""
+        base, valid = _window_scores(self.press, ctx, keys, values, length)
+        budget = ((1 - self.compression_ratio) * self.first_stage_ratio
+                  * length.astype(jnp.float32)).astype(jnp.int32)
+        rank = _rank_desc(base)
+        projected = self.vwl1norm(ctx, values)
+        scores = (base + self.epsilon) * projected
+        scores = jnp.where(rank < budget, BIG, scores)
+        return jnp.where(valid, scores, NEG_INF)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -246,6 +387,46 @@ class CriticalAdaKVPress(BasePress):
             )
         return keys, values, length, new_mask, state
 
+    # -- chunked-prefill composition (traced length, window scoring) ------ #
+
+    headwise_mask = True
+
+    def _chunked_keep(self, ctx, keys, values, length, mask):
+        """layer_compress's selection with traced budgets: safeguard pin,
+        head budgets from the global top, two-stage CriticalKV rescale, then
+        the global keep — all rank-based. Invalid slots NEG_INF throughout
+        (re-masked after the rescale: zero pad values give ||Wo·v||=0 and
+        NEG_INF·0 = NaN)."""
+        scores, valid = _window_scores(self.press, ctx, keys, values, length)
+        B, H, S, _ = keys.shape
+        n_kept = _dyn_budget(length, self.compression_ratio)
+        n_safe = (n_kept.astype(jnp.float32)
+                  * self.alpha_safeguard).astype(jnp.int32)
+        rank0 = _rank_desc(scores)
+        scores = jnp.where(rank0 < n_safe, BIG, scores)
+
+        flat_rank = _rank_desc(scores.reshape(B, H * S))
+        top_mask = flat_rank < n_kept * H
+        head_budgets = jnp.sum(top_mask.reshape(B, H, S), axis=(0, 2))  # (H,)
+
+        rank = _rank_desc(scores)
+        stage1 = (head_budgets.astype(jnp.float32)
+                  * self.first_stage_ratio).astype(jnp.int32)
+        scores = jnp.where(rank < stage1[None, :, None], BIG, scores)
+
+        projected = CriticalKVPress.vwl1norm(ctx, values)
+        scores = (scores + self.epsilon) * projected
+        scores = jnp.where(valid, scores, NEG_INF)
+        rank = _rank_desc(scores)
+        scores = jnp.where(rank < head_budgets[None, :, None], BIG, scores)
+
+        flat_rank = _rank_desc(scores.reshape(B, H * S))
+        keep = (flat_rank < n_kept * H).reshape(B, H, S)
+        return mask & keep
+
+    chunked_compress = AdaKVPress.chunked_compress
+    chunked_compress_quantized = AdaKVPress.chunked_compress_quantized
+
 
 @dataclasses.dataclass(frozen=True)
 class KeyRerotationPress(BasePress):
@@ -297,6 +478,50 @@ class KeyRerotationPress(BasePress):
         B, H = keys.shape[:2]
         new_mask = jnp.ones((B, H, S), bool)
         return keys, values, jnp.asarray(n_kept, jnp.int32), new_mask, state
+
+    # -- chunked-prefill composition (traced length, window scoring) ------ #
+
+    def _chunked_order(self, ctx, keys, values, length):
+        """Kept slots (rank < traced budget) compacted to the front in
+        POSITION order — exactly the one-shot path's sorted-idx gather.
+        Returns (order (B,H,S), n_kept ())."""
+        scores, _ = _window_scores(self.press, ctx, keys, values, length)
+        S = keys.shape[2]
+        n_kept = _dyn_budget(length, self.compression_ratio)
+        keep = _rank_desc(scores) < n_kept
+        pos = jnp.broadcast_to(jnp.arange(S)[None, None], keep.shape)
+        order = jnp.argsort(jnp.where(keep, pos, S + pos), axis=-1)
+        return order, n_kept
+
+    def chunked_compress(self, ctx, keys, values, length, mask):
+        if self.compression_ratio == 0.0:
+            return keys, values, length, mask
+        order, n_kept = self._chunked_order(ctx, keys, values, length)
+        k2, v2 = _gather_seq((keys, values), order)
+        # new position of the slot now at j is j itself; garbage beyond
+        # n_kept is rerotated too but sits past the valid length.
+        k2 = self.rerotate(k2, order, ctx.inv_freq)
+        B, H, S = mask.shape
+        return k2, v2, n_kept, jnp.ones((B, H, S), bool)
+
+    def chunked_compress_quantized(self, ctx, keys, values, key_scales,
+                                   value_scales, bits, length, mask):
+        from ..cache import dequantize_kv, quantize_kv
+
+        if self.compression_ratio == 0.0:
+            return keys, values, key_scales, value_scales, length, mask
+        dt = ctx.hidden.dtype
+        kd = dequantize_kv(keys, key_scales, bits, dt)
+        vd = dequantize_kv(values, value_scales, bits, dt)
+        order, n_kept = self._chunked_order(ctx, kd, vd, length)
+        # Keys change value under rerotation → requantize (keys only);
+        # values gather at payload width.
+        kd2 = jnp.take_along_axis(kd, order[..., None], axis=2)
+        kd2 = self.rerotate(kd2, order, ctx.inv_freq)
+        k2, ks2 = quantize_kv(kd2, bits)
+        v2, vs2 = _gather_seq((values, value_scales), order)
+        B, H, S = mask.shape
+        return k2, v2, ks2, vs2, n_kept, jnp.ones((B, H, S), bool)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -351,6 +576,65 @@ class ChunkPress(BasePress):
             keys, values, jnp.asarray(n, jnp.int32),
             jnp.ones((B, H, S), bool), state,
         )
+
+    # -- chunked-prefill composition (traced length, window scoring) ------ #
+    # Exact for content scorers (per-position scores identical to the
+    # one-shot path's per-chunk sliced scoring); window scorers score the
+    # whole buffer from the trailing window here, where the one-shot path
+    # gives each chunk its own local window — supported but not
+    # bit-identical (same contract as prefill_chunked's scorer note).
+
+    def _chunked_keep(self, ctx, keys, values, length):
+        """Per-chunk rank selection with traced per-chunk budgets. A chunk
+        that starts past ``length`` keeps 0; the partial boundary chunk
+        budgets from its traced valid size (one-shot floor convention).
+        Returns (keep (B,H,S), total ())."""
+        scores, _ = _window_scores(self.press, ctx, keys, values, length)
+        S = keys.shape[2]
+        pieces, total = [], jnp.asarray(0, jnp.int32)
+        for start in range(0, S, self.chunk_length):
+            size = min(self.chunk_length, S - start)
+            valid_c = jnp.clip(length - start, 0, size)
+            budget = jnp.where(
+                valid_c > 0,
+                jnp.maximum(
+                    (valid_c.astype(jnp.float32)
+                     * (1 - self.compression_ratio)).astype(jnp.int32), 1,
+                ),
+                0,
+            )
+            pieces.append(
+                _rank_desc(scores[..., start:start + size]) < budget
+            )
+            total = total + budget
+        keep = jnp.concatenate(pieces, axis=-1)
+        return keep, total
+
+    def chunked_compress(self, ctx, keys, values, length, mask):
+        if self.compression_ratio == 0.0:
+            return keys, values, length, mask
+        keep, total = self._chunked_keep(ctx, keys, values, length)
+        order = _compact_order(keep)
+        k2, v2 = _gather_seq((keys, values), order)
+        B, H, S = mask.shape
+        return k2, v2, total, jnp.ones((B, H, S), bool)
+
+    def chunked_compress_quantized(self, ctx, keys, values, key_scales,
+                                   value_scales, bits, length, mask):
+        from ..cache import dequantize_kv
+
+        if self.compression_ratio == 0.0:
+            return keys, values, key_scales, value_scales, length, mask
+        dt = ctx.hidden.dtype
+        kd = dequantize_kv(keys, key_scales, bits, dt)
+        vd = dequantize_kv(values, value_scales, bits, dt)
+        keep, total = self._chunked_keep(ctx, kd, vd, length)
+        order = _compact_order(keep)
+        k2, v2, ks2, vs2 = _gather_seq(
+            (keys, values, key_scales, value_scales), order
+        )
+        B, H, S = mask.shape
+        return k2, v2, ks2, vs2, total, jnp.ones((B, H, S), bool)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -551,6 +835,90 @@ class ComposedPress(BasePress):
             jnp.ones((B, H, S), bool), state,
         )
 
+    # -- chunked-prefill composition (traced length, window scoring) ------ #
+    # Rank composition: instead of physically slicing the buffer per stage
+    # (static shapes), each scorer stage shrinks an `alive` mask by its
+    # traced budget; ThinK stages zero key channels in place with the k-norm
+    # statistic restricted to alive slots (matching the one-shot path's
+    # sliced buffer). Exact for per-position (content) scorers.
+
+    def _chunked_stages(self, ctx, keys, values, length):
+        """Returns (keys (ThinK-modified), alive (B,H,S), count (),
+        keys_modified: bool static)."""
+        B, H, S, _ = keys.shape
+        alive = jnp.broadcast_to(
+            jnp.arange(S)[None, None] < length, (B, H, S)
+        )
+        count = jnp.asarray(length, jnp.int32)
+        keys_modified = False
+        for p in self.presses:
+            if isinstance(p, ThinKPress):
+                if p.key_channel_compression_ratio == 0.0:
+                    continue
+                W = min(p.window_size, ctx.queries.shape[2])
+                q_win = ctx.queries[:, :, -W:].astype(jnp.float32)
+                q_norm = (q_win ** 2).mean(axis=2)              # (B,Hq,D)
+                G = q_norm.shape[1] // H
+                q_norm = q_norm.reshape(B, H, G, -1).mean(axis=2)
+                kf = keys.astype(jnp.float32) ** 2
+                k_norm = (
+                    jnp.sum(kf * alive[..., None], axis=2)
+                    / jnp.maximum(count.astype(jnp.float32), 1.0)
+                )                                               # (B,H,D)
+                channel_scores = q_norm * k_norm
+                D = keys.shape[-1]
+                n_pruned = int(D * p.key_channel_compression_ratio)
+                if n_pruned == 0:
+                    continue
+                _, pruned = jax.lax.top_k(-channel_scores, n_pruned)
+                ch_keep = jnp.ones((B, H, D), bool)
+                ch_keep = jnp.put_along_axis(
+                    ch_keep, pruned, False, axis=-1, inplace=False
+                )
+                keys = jnp.where(ch_keep[:, :, None, :], keys, 0)
+                keys_modified = True
+                continue
+            assert isinstance(p, ScorerPress), (
+                f"{type(p).__name__} is not chunked-composable"
+            )
+            if p.compression_ratio == 0.0:
+                continue
+            dctx = dataclasses.replace(ctx, kv_len=length)
+            s = p.dynamic_score(dctx, keys, values, length).astype(jnp.float32)
+            s = jnp.where(alive, s, NEG_INF)
+            budget = _dyn_budget(count, p.compression_ratio)
+            alive = _rank_desc(s) < budget
+            count = budget
+        return keys, alive, count, keys_modified
+
+    def chunked_compress(self, ctx, keys, values, length, mask):
+        keys, alive, count, _ = self._chunked_stages(ctx, keys, values, length)
+        order = _compact_order(alive)
+        k2, v2 = _gather_seq((keys, values), order)
+        B, H, S = mask.shape
+        return k2, v2, count, jnp.ones((B, H, S), bool)
+
+    def chunked_compress_quantized(self, ctx, keys, values, key_scales,
+                                   value_scales, bits, length, mask):
+        from ..cache import dequantize_kv, quantize_kv
+
+        dt = ctx.hidden.dtype
+        kd = dequantize_kv(keys, key_scales, bits, dt)
+        vd = dequantize_kv(values, value_scales, bits, dt)
+        kd, alive, count, keys_modified = self._chunked_stages(
+            ctx, kd, vd, length
+        )
+        order = _compact_order(alive)
+        if keys_modified:
+            # ThinK zeroed key channels → requantize the gathered dense keys.
+            kd2 = jnp.take_along_axis(kd, order[..., None], axis=2)
+            k2, ks2 = quantize_kv(kd2, bits)
+        else:
+            k2, ks2 = _gather_seq((keys, key_scales), order)
+        v2, vs2 = _gather_seq((values, value_scales), order)
+        B, H, S = mask.shape
+        return k2, v2, ks2, vs2, count, jnp.ones((B, H, S), bool)
+
 
 @dataclasses.dataclass(frozen=True)
 class PerLayerCompressionPress(BasePress):
@@ -588,3 +956,18 @@ class PerLayerCompressionPress(BasePress):
         return (
             keys, values, new_length, jnp.ones((B, H, S), bool), state,
         )
+
+    # -- chunked-prefill composition: rides the ScorerPress path (a
+    # BudgetDecodingPress whose per-layer target comes from dynamic_budget).
+    scorer_like = True
+    supports_padding = True
+
+    def dynamic_budget(self, ctx, length):
+        ratios = jnp.asarray(np.asarray(self.compression_ratios, np.float32))
+        r = ratios[ctx.layer_idx]
+        return jnp.maximum(
+            (length.astype(jnp.float32) * (1.0 - r)).astype(jnp.int32), 1
+        )
+
+    def dynamic_score(self, ctx, keys, values, length):
+        return self.press.dynamic_score(ctx, keys, values, length)

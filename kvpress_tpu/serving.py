@@ -525,8 +525,15 @@ class ServingEngine:
             )
             assert press is None or (
                 isinstance(press, ScorerPress)
-                and not (self.multi_pass or self.post_mask)
-            ), "context_chunk admission compresses with a ScorerPress only"
+                or getattr(press, "scorer_like", False)
+                or hasattr(press, "chunked_compress")
+                or self.multi_pass or self.post_mask
+            ), (
+                "context_chunk admission compresses with a ScorerPress, a "
+                "scorer-like or chunked-composable wrapper, or a multi-pass/"
+                "post-mask press (repeat passes run after the chunked "
+                "prefill)"
+            )
         self.context_chunk = context_chunk
         self.question_bucket = question_bucket
         self.fetch_lag = max(1, fetch_lag)
@@ -628,6 +635,8 @@ class ServingEngine:
         )
         self._step_i = 0
         self._adm_i = 0
+        self._t_run_start = None    # set per run(); TTFT bookkeeping
+        self._ttfts: list = []
 
     # ---------------- admission ---------------- #
 
@@ -859,6 +868,12 @@ class ServingEngine:
         slot, req = adm["slot"], adm["req"]
         kept, first = jax.device_get((adm["kept"], adm["first"]))
         kept, first = int(kept), int(first)
+        if self._t_run_start is not None:
+            # TTFT (queueing included — every request is available at run
+            # start): the first token exists once the admission completes.
+            import time as _time
+
+            self._ttfts.append(_time.perf_counter() - self._t_run_start)
         assert kept + req.max_new_tokens + 1 <= self.capacity, (
             f"request needs {kept + req.max_new_tokens + 1} slots, "
             f"capacity is {self.capacity} — raise capacity or compress more"
@@ -906,6 +921,8 @@ class ServingEngine:
         import time as _time
 
         t_start = _time.perf_counter()
+        self._t_run_start = t_start
+        self._ttfts: list[float] = []
         hits0 = self.ctx_hits
         skipped0 = self._skipped_ctx_tokens
         n_steps = 0
@@ -1076,5 +1093,16 @@ class ServingEngine:
         gaps = sorted(b - a for a, b in zip(drain_times, drain_times[1:]))
         if gaps:
             self.last_stats["p50_intertoken_gap_s"] = gaps[len(gaps) // 2]
+            self.last_stats["p99_intertoken_gap_s"] = gaps[
+                min(len(gaps) - 1, int(len(gaps) * 0.99))
+            ]
             self.last_stats["max_intertoken_gap_s"] = gaps[-1]
+        if self._ttfts:
+            ts = sorted(self._ttfts)
+            self.last_stats["p50_ttft_s"] = ts[len(ts) // 2]
+            self.last_stats["p99_ttft_s"] = ts[
+                min(len(ts) - 1, int(len(ts) * 0.99))
+            ]
+            self.last_stats["max_ttft_s"] = ts[-1]
+        self._t_run_start = None
         return answers

@@ -149,14 +149,17 @@ def test_chunked_ragged_length(tiny):
             assert (d.min(axis=1) < 1e-4).all(), (layer, h)
 
 
-def test_chunked_rejects_wrappers(tiny):
+def test_chunked_rejects_unsupported_presses(tiny):
+    """Presses with neither a chunked_compress nor scorer-like contract
+    (BlockPress's iterative streaming selection) still need the one-shot
+    path."""
     cfg, params, runner = tiny
-    from kvpress_tpu.presses import AdaKVPress
+    from kvpress_tpu.presses import BlockPress
 
     ids = jnp.zeros((1, 64), jnp.int32)
     with pytest.raises(AssertionError, match="ScorerPress"):
         runner.prefill_chunked(params, ids,
-                               press=AdaKVPress(press=KnormPress(0.5)),
+                               press=BlockPress(press=KnormPress(0.5)),
                                chunk_size=16, dtype=jnp.float32)
 
 

@@ -480,11 +480,11 @@ def test_serving_context_chunk_admission(tiny):
     assert base.run(reqs) == chunked.run(reqs)
 
     import pytest as _pytest
-    from kvpress_tpu.presses import AdaKVPress
+    from kvpress_tpu.presses import BlockPress
 
     with _pytest.raises(AssertionError, match="ScorerPress"):
         ServingEngine(runner, params, n_slots=2, capacity=64,
-                      press=AdaKVPress(press=press), context_chunk=16)
+                      press=BlockPress(press=press), context_chunk=16)
 
 
 def test_serving_interleaved_admission(tiny):
