@@ -78,12 +78,25 @@ def main():
     ap.add_argument("--chunk", type=int, default=8192,
                     help="chunked-prefill chunk size for the compressed-only"
                          " legs (bounded activations; 0 = exact prefill)")
+    ap.add_argument("--vocab", type=int, default=32768,
+                    help="vocab size (128256 = true Llama-3.1-8B shape; "
+                         "pair with --int8-embeddings to fit 16 GB)")
+    ap.add_argument("--int8-embeddings", action="store_true",
+                    help="int8 embed + lm_head (evaluate.py int8_embeddings"
+                         " counterpart; required for --vocab 128256)")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--press", default="knorm",
+                    choices=("knorm", "adakv_snapkv"),
+                    help="compression press for the compressed legs "
+                         "(adakv_snapkv = AdaKV(SnapKV) head-wise wrapper "
+                         "through the chunked path)")
     args = ap.parse_args()
 
-    cfg = llama31_8b_config()
+    cfg = llama31_8b_config(vocab_size=args.vocab)
     runner = Runner.create(cfg)
     t0 = time.perf_counter()
-    params = init_params_int8(cfg, jax.random.PRNGKey(0), bits=args.wbits)
+    params = init_params_int8(cfg, jax.random.PRNGKey(0), bits=args.wbits,
+                              int8_embeddings=args.int8_embeddings)
     jax.block_until_ready(params["layers"]["wd"])
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"init int8 params: {n_params/1e9:.2f}B in "
@@ -124,9 +137,14 @@ def main():
         return statistics.median(rates), rates, cache
 
     def run(ctx, press, quantized=False, kv_bits=8, label="", chunked=False):
-        keep = press.n_kept(ctx) if press is not None else ctx
+        if press is None:
+            keep = ctx
+        elif hasattr(press, "n_kept"):
+            keep = press.n_kept(ctx)
+        else:         # wrapper presses (AdaKV): budget = (1-ratio)*ctx
+            keep = max(1, int(ctx * (1 - press.compression_ratio)))
         room = keep + (args.reps + 1) * args.steps + 8
-        ids = jax.random.randint(jax.random.PRNGKey(1), (1, ctx), 0,
+        ids = jax.random.randint(jax.random.PRNGKey(1), (args.batch, ctx), 0,
                                  cfg.vocab_size)
         kw = dict(press=press, quantized=quantized, kv_bits=kv_bits,
                   # baseline: preallocate decode room — a later grow would
@@ -160,18 +178,33 @@ def main():
         kv_bytes = cache.keys.size * cache.keys.dtype.itemsize * 2
         tok = ids[:, -1:]
         med, rates, cache = time_decode(step, tok, cache)
-        print(f"{label:26s} ctx={ctx//1024:4d}K prefill {t_pre:6.2f}s "
-              f"({ctx / t_pre:7.0f} tok/s) decode med {med:6.1f} tok/s "
-              f"(reps {['%.1f' % r for r in rates]}) "
+        med *= args.batch
+        print(f"{label:26s} ctx={ctx//1024:4d}K b={args.batch} "
+              f"prefill {t_pre:6.2f}s "
+              f"({args.batch * ctx / t_pre:7.0f} tok/s) decode med "
+              f"{med:6.1f} tok/s "
+              f"(reps {['%.1f' % (args.batch * r) for r in rates]}) "
               f"kv {kv_bytes/2**30:.2f} GiB", flush=True)
         if args.donate:
             medd, ratesd, cache = time_decode(step_donated, tok, cache)
+            medd *= args.batch
             print(f"{'':26s}   donated decode med {medd:6.1f} tok/s "
-                  f"(reps {['%.1f' % r for r in ratesd]})", flush=True)
+                  f"(reps {['%.1f' % (args.batch * r) for r in ratesd]})",
+                  flush=True)
+            med = max(med, medd)
         del cache
         return med, t_pre
 
-    press = KnormPress(compression_ratio=args.ratio)
+    if args.press == "adakv_snapkv":
+        from kvpress_tpu import SnapKVPress
+        from kvpress_tpu.presses import AdaKVPress
+
+        press = AdaKVPress(
+            press=SnapKVPress(compression_ratio=args.ratio, window_size=64),
+            compact=True,
+        )
+    else:
+        press = KnormPress(compression_ratio=args.ratio)
     results = {}
     for ctx in args.ctx:
         base = comp = None
