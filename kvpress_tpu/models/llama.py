@@ -18,6 +18,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..cache import KVCache, append_layer_kv, init_cache
 from ..config import ModelConfig
@@ -958,7 +959,8 @@ class Runner:
     def prefill_chunked(self, params, ids, press=None, chunk_size: int = 8192,
                         max_size=None, dtype=jnp.bfloat16, compute_logits=False,
                         quantized=False, kv_bits=8, score_window: int = 1024,
-                        fused_kv=None):
+                        fused_kv=None, inputs_embeds=None, token_types=None,
+                        image_span=None):
         """Bounded-activation prefill: forward the context in ``chunk_size``
         pieces (host loop over ONE compiled chunk program — per-chunk
         activations replace the full-length ones, e.g. the (S, F) MLP
@@ -983,7 +985,8 @@ class Runner:
             params, ids, press=press, chunk_size=chunk_size,
             max_size=max_size, dtype=dtype, compute_logits=compute_logits,
             quantized=quantized, kv_bits=kv_bits, score_window=score_window,
-            fused_kv=fused_kv,
+            fused_kv=fused_kv, inputs_embeds=inputs_embeds,
+            token_types=token_types, image_span=image_span,
         )
         while True:
             try:
@@ -995,7 +998,9 @@ class Runner:
                               chunk_size: int = 8192, max_size=None,
                               dtype=jnp.bfloat16, compute_logits=False,
                               quantized=False, kv_bits=8,
-                              score_window: int = 1024, fused_kv=None):
+                              score_window: int = 1024, fused_kv=None,
+                              inputs_embeds=None, token_types=None,
+                              image_span=None):
         """Generator form of :meth:`prefill_chunked`: yields after each
         bounded dispatch unit (one chunk forward; one compressed layer) and
         returns the same ``(logits, cache, press_state)`` triple via
@@ -1009,7 +1014,7 @@ class Runner:
         from ..presses.base import ScorerPress
         from ..presses.decoding import BudgetDecodingPress
 
-        B, S = ids.shape
+        B, S = (ids if inputs_embeds is None else inputs_embeds).shape[:2]
         # int4 chunk attention: fused nibble dots only when the per-layer
         # dense-dequant transient is too big to afford (8B-class at 128K);
         # int8 fused is free (== bf16 speed, probe_quant_prefill).
@@ -1019,6 +1024,29 @@ class Runner:
                 * (max_size or S) * self.cfg.head_dim
             )
             fused_kv = kv_bits == 8 or dense_bytes > (1 << 29)
+        groups_full = k_groups_pad = None
+        if token_types is not None:
+            # Bidirectional image-span attention through the chunked path:
+            # group ids from contiguous image runs over the FULL context
+            # (slot == position holds — compression runs only after the
+            # last chunk); each chunk gets its query-slice, the kernel the
+            # padded full-buffer key groups.
+            is_img = jnp.asarray(token_types) == 1                  # (B, S)
+            new_start = is_img & ~jnp.pad(is_img, ((0, 0), (1, 0)))[:, :-1]
+            grp = jnp.cumsum(new_start, axis=1) - 1
+            groups_full = jnp.where(is_img, grp, -1).astype(jnp.int32)
+            k_groups_pad = jnp.pad(
+                groups_full, ((0, 0), (0, (max_size or S) - S)),
+                constant_values=-1,
+            )
+            if self.attn_impl != "xla":
+                assert image_span is not None, (
+                    "token_types on the flash path needs image_span"
+                )
+            if quantized:
+                # flash_attention_quant has no group-id support — take the
+                # dense-dequant kernel for multimodal chunks.
+                fused_kv = False
         # Ragged lengths: the ragged remainder runs FIRST (chunk boundaries
         # do not affect exactness — appends are sequential), so the final,
         # compressing chunk is always a full chunk_size and the score window
@@ -1083,21 +1111,46 @@ class Runner:
         starts = ([0] if head else []) + list(
             range(head, S, chunk_size)
         )
+        if token_types is not None:
+            # A chunk boundary must not SPLIT an image span: the span's
+            # early tokens attend bidirectionally to its later tokens, which
+            # would not exist yet if they fell in the next chunk. Shift each
+            # boundary back to the span's first token (spans are
+            # mm_tokens_per_image << chunk_size, so widths stay bounded by
+            # chunk_size + span; one compile per distinct width).
+            tt_np = np.asarray(jax.device_get(token_types))
+            img_any = (tt_np != 0).any(axis=0)
+            adj = []
+            for st in starts:
+                while st > 0 and img_any[st] and img_any[st - 1]:
+                    st -= 1
+                adj.append(st)
+            starts = sorted(set(adj))
         logits = hidden_win = None
         collect_gates = post_press.gates if post_press is not None else None
         all_scores = []
         for i, start in enumerate(starts):
             last = i == len(starts) - 1
-            width = (head if (head and i == 0) else
-                     min(chunk_size, S - start))
+            width = (starts[i + 1] if not last else S) - start
             # lean path everywhere: the scan outputs only the chunk's new
             # K/V — no stacked full-buffer copy (the 8B@128K fit depends on
             # it); the final chunk also emits the per-layer scoring window
             logits, cache, hidden_win, chunk_scores = _chunk_forward_lean(
-                params, ids[:, start:start + width], cache, runner=self,
+                params,
+                ids[:, start:start + width] if ids is not None else None,
+                cache, runner=self,
                 compute_logits=compute_logits and last,
                 hidden_window=W if (last and wrap is not None) else None,
                 fused_kv=fused_kv, collect_gates=collect_gates,
+                chunk_embeds=(
+                    inputs_embeds[:, start:start + width]
+                    if inputs_embeds is not None else None
+                ),
+                img_groups=(
+                    groups_full[:, start:start + width]
+                    if groups_full is not None else None
+                ),
+                k_groups=k_groups_pad, image_span=image_span,
             )
             if chunk_scores is not None:
                 all_scores.append(chunk_scores)
@@ -1127,11 +1180,12 @@ class Runner:
 @functools.partial(
     jax.jit,
     static_argnames=("runner", "compute_logits", "hidden_window",
-                     "fused_kv"),
+                     "fused_kv", "image_span"),
     donate_argnums=(2,))
-def _chunk_forward_lean(params, chunk_ids, cache, collect_gates=None, *,
+def _chunk_forward_lean(params, chunk_ids, cache, collect_gates=None,
+                        chunk_embeds=None, img_groups=None, k_groups=None, *,
                         runner, compute_logits=False, hidden_window=None,
-                        fused_kv=True):
+                        fused_kv=True, image_span=None):
     """Pressless chunk append with O(chunk) scan outputs.
 
     The standard forward's layer scan threads the FULL cache buffers as both
@@ -1152,11 +1206,19 @@ def _chunk_forward_lean(params, chunk_ids, cache, collect_gates=None, *,
     not a closure capture: gates as HLO constants would bloat/hang the axon
     remote-compile POST) additionally emits each layer's per-position gate
     scores for this chunk (L, B, Hkv, T). Returns
-    (logits | None, cache, hidden_win | None, chunk_scores | None)."""
+    (logits | None, cache, hidden_win | None, chunk_scores | None).
+
+    Multimodal chunks: ``chunk_embeds`` (B, T, E) overrides the token
+    embedding; ``img_groups`` (B, T) / ``k_groups`` (B, S_buf) carry
+    image-group ids for bidirectional image-span attention (slot == position
+    holds through the whole chunked prefill — compression runs only after
+    the last chunk), with ``image_span`` the static span bound for the flash
+    kernel's extended block skip."""
     cfg: ModelConfig = runner.cfg
-    B, T = chunk_ids.shape
+    B, T = (chunk_ids if chunk_embeds is None else chunk_embeds).shape[:2]
     quantized = cache.key_scales is not None
-    x = embed_tokens(params, chunk_ids, cfg)
+    x = chunk_embeds if chunk_embeds is not None else \
+        embed_tokens(params, chunk_ids, cfg)
     positions = jnp.broadcast_to(
         (cache.offset + jnp.arange(T, dtype=jnp.int32))[None], (B, T)
     )
@@ -1176,6 +1238,20 @@ def _chunk_forward_lean(params, chunk_ids, cache, collect_gates=None, *,
             (cfg.num_layers, B, cfg.num_kv_heads, cache.max_size), bool
         )
     use_flash = runner.attn_impl == "flash" and T > 1
+    extra_allow = None
+    if img_groups is not None:
+        assert k_groups is not None
+        assert not (quantized and fused_kv and use_flash), (
+            "image-span chunks need the dense attention path "
+            "(flash_attention_quant has no group-id support) — "
+            "prefill_chunked sets fused_kv=False for multimodal"
+        )
+        if not use_flash:
+            # XLA path: (B, T, S_buf) or-mask from group-id equality
+            # (slot == position through the whole chunked prefill).
+            extra_allow = (img_groups[:, :, None] >= 0) & (
+                img_groups[:, :, None] == k_groups[:, None, :]
+            )
 
     def body(xh, xs):
         (layer, kb, vb, ks, vs, lmask, ln, sflag, lid) = xs
@@ -1216,6 +1292,8 @@ def _chunk_forward_lean(params, chunk_ids, cache, collect_gates=None, *,
                     return flash_attention(
                         q, kd, vd, ln, lmask, sm_scale=scale,
                         softcap=cfg.logit_softcap, window=win,
+                        q_groups=img_groups, k_groups=k_groups,
+                        or_span=image_span if img_groups is not None else None,
                     )
 
                 if window is not None:
@@ -1240,10 +1318,11 @@ def _chunk_forward_lean(params, chunk_ids, cache, collect_gates=None, *,
             else:
                 S_buf = kb2.shape[2]
                 bias = attention_bias(ln, T, S_buf, sliding_window=None,
-                                      head_mask=lmask)
+                                      head_mask=lmask, extra_allow=extra_allow)
                 if window is not None:
                     sl_bias = attention_bias(
-                        ln, T, S_buf, sliding_window=window, head_mask=lmask
+                        ln, T, S_buf, sliding_window=window, head_mask=lmask,
+                        extra_allow=extra_allow,
                     )
                     bias = jnp.where(sflag, sl_bias, bias)
                 o = quant_gqa_attention(
@@ -1265,6 +1344,8 @@ def _chunk_forward_lean(params, chunk_ids, cache, collect_gates=None, *,
                     return flash_attention(
                         q, keys, values, ln, lmask, sm_scale=scale,
                         softcap=cfg.logit_softcap, window=win,
+                        q_groups=img_groups, k_groups=k_groups,
+                        or_span=image_span if img_groups is not None else None,
                     )
 
                 if window is not None:
@@ -1275,10 +1356,11 @@ def _chunk_forward_lean(params, chunk_ids, cache, collect_gates=None, *,
             else:
                 S_buf = keys.shape[2]
                 bias = attention_bias(ln, T, S_buf, sliding_window=None,
-                                      head_mask=lmask)
+                                      head_mask=lmask, extra_allow=extra_allow)
                 if window is not None:
                     sl_bias = attention_bias(
-                        ln, T, S_buf, sliding_window=window, head_mask=lmask
+                        ln, T, S_buf, sliding_window=window, head_mask=lmask,
+                        extra_allow=extra_allow,
                     )
                     bias = jnp.where(sflag, sl_bias, bias)
                 o, _ = gqa_attention(q, keys, values, bias, scale,

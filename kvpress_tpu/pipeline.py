@@ -331,19 +331,20 @@ class KVPressPipeline:
             # chip). Composes with ScorerPress compression (final-chunk
             # dynamic scoring), scorer-like and chunked-composable wrappers
             # (AdaKV family, CriticalKV, KeyRerotation, Chunk, Composed,
-            # PerLayerCompression — presses/wrappers.py chunked_compress)
-            # and the quantized cache; not with bucketing (pad semantics)
-            # or multimodal embeds — those need the one-shot path.
-            from .presses.base import ScorerPress
-
-            assert context_bucket is None and embeds is None, (
-                "context_chunk does not compose with context_bucket or "
-                "pixel_values"
+            # PerLayerCompression — presses/wrappers.py chunked_compress),
+            # multimodal embeds + image-span attention, and the quantized
+            # cache; not with bucketing (pad semantics) — that needs the
+            # one-shot path.
+            assert context_bucket is None, (
+                "context_chunk does not compose with context_bucket"
             )
             prefill_logits, cache, press_state = self.runner.prefill_chunked(
                 self.params, ids, press=press, chunk_size=context_chunk,
                 dtype=param_dtype_of(self.params), compute_logits=True,
                 quantized=quantized, kv_bits=kv_bits,
+                inputs_embeds=embeds, token_types=token_types,
+                image_span=(self.vision_cfg.mm_tokens_per_image
+                            if token_types is not None else None),
             )
         else:
             prefill_logits, cache, press_state = _prefill(
@@ -446,6 +447,7 @@ class KVPressPipeline:
         temperature: float = 1.0,
         top_p: float = 1.0,
         seed: int = 0,
+        pixel_values: Optional[list] = None,   # per-request images (or None)
     ) -> list[str]:
         """Serve many (context, question) requests through the continuous-
         batching engine (serving.py): per-request press-compressed prefill,
@@ -466,13 +468,38 @@ class KVPressPipeline:
         if questions is None:
             questions = [None] * len(contexts)
         assert len(questions) == len(contexts)
+        if pixel_values is None:
+            pixel_values = [None] * len(contexts)
+        assert len(pixel_values) == len(contexts)
+        image_span = None
         reqs = []
-        for ctx, q in zip(contexts, questions):
+        for ctx, q, px in zip(contexts, questions, pixel_values):
             context_ids, q_ids = self.preprocess(
                 ctx, [q] if q else [""], answer_prefix, max_context_length,
                 enable_thinking,
             )
-            reqs.append(Request(context_ids, q_ids[0], max_new_tokens))
+            embeds = token_types = None
+            if px is not None:
+                assert self.vision_params is not None, (
+                    "pixel_values requires a multimodal pipeline"
+                )
+                from .models.convert import multimodal_embeds
+                from .models.siglip import encode_images
+
+                ids_arr = jnp.asarray(
+                    np.asarray(context_ids, np.int32))[None]
+                feats = encode_images(self.vision_params, px,
+                                      vcfg=self.vision_cfg)
+                embeds = multimodal_embeds(
+                    self.params, self.runner.cfg, ids_arr, feats,
+                    self.image_token_id,
+                )
+                token_types = (ids_arr == self.image_token_id).astype(
+                    jnp.int32)
+                image_span = self.vision_cfg.mm_tokens_per_image
+            reqs.append(Request(context_ids, q_ids[0], max_new_tokens,
+                                inputs_embeds=embeds,
+                                token_types=token_types))
         if capacity is None:
             longest = max(len(r.context_ids) for r in reqs)
             if context_bucket is not None:
@@ -500,6 +527,7 @@ class KVPressPipeline:
             eos_ids=eos, mesh=mesh, tokenizer=self.tokenizer,
             context_cache=context_cache, do_sample=do_sample,
             temperature=temperature, top_p=top_p, seed=seed,
+            image_span=image_span,
         )
         outs = eng.run(reqs)
         answers = []

@@ -427,6 +427,13 @@ class Request:
     context_ids: list
     question_ids: list
     max_new_tokens: int = 64
+    # Multimodal admission (Gemma3): precomputed context embeds (1, S, E)
+    # override the token embedding (vision features scattered into text
+    # embeds — models/convert.multimodal_embeds), with token_types (1, S)
+    # marking image placeholder tokens for bidirectional image-span
+    # attention. The engine's image_span= carries the static span bound.
+    inputs_embeds: Optional[object] = None
+    token_types: Optional[object] = None
 
 
 @dataclasses.dataclass
@@ -471,6 +478,9 @@ class ServingEngine:
         temperature: float = 1.0,
         top_p: float = 1.0,
         seed: int = 0,
+        image_span: Optional[int] = None,   # static image-span bound for
+        # multimodal admissions (mm_tokens_per_image; Requests carry
+        # inputs_embeds + token_types)
     ):
         # Decode-phase compression: a DecodingPress (or the decoding half of
         # a PrefillDecodingPress) compresses every slot independently inside
@@ -517,6 +527,7 @@ class ServingEngine:
         self.quantized = quantized
         self.kv_bits = kv_bits
         self.context_bucket = context_bucket
+        self.image_span = image_span
         if context_chunk is not None:
             from .presses.base import ScorerPress
 
@@ -678,7 +689,10 @@ class ServingEngine:
         return without yielding (one indivisible prefill program)."""
         runner, params = self.runner, self.params
         ctx = list(req.context_ids)
-        key = tuple(req.context_ids) if self.context_cache else None
+        # Multimodal admissions bypass the LRU: the key is context_ids only,
+        # and identical ids with different images must not collide.
+        key = (tuple(req.context_ids)
+               if self.context_cache and req.inputs_embeds is None else None)
         if key is not None:
             # In-flight prefill dedup (interleave mode): another admission
             # may already be chunk-prefilling this exact context — yield
@@ -710,7 +724,16 @@ class ServingEngine:
         LRU store."""
         runner, params = self.runner, self.params
         valid = None
+        if req.inputs_embeds is not None:
+            assert not self.multi_pass, (
+                "multi-pass presses re-embed token ids — not compatible "
+                "with multimodal (inputs_embeds) admissions"
+            )
         if self.context_bucket is not None:
+            assert req.inputs_embeds is None, (
+                "multimodal admissions need context_chunk or exact-length "
+                "prefill (bucket pads break the image-span or-mask)"
+            )
             pad = -(-len(ctx) // self.context_bucket) * self.context_bucket
             valid = jnp.asarray(len(ctx), jnp.int32)
             ctx = ctx + [0] * (pad - len(ctx))
@@ -730,6 +753,10 @@ class ServingEngine:
                 chunk_size=self.context_chunk, max_size=bucketed,
                 dtype=self.dtype, compute_logits=True,
                 quantized=self.quantized, kv_bits=self.kv_bits,
+                inputs_embeds=req.inputs_embeds,
+                token_types=req.token_types,
+                image_span=(self.image_span
+                            if req.token_types is not None else None),
             )
             while True:
                 try:
@@ -742,8 +769,11 @@ class ServingEngine:
             from .pipeline import _prefill
 
             logits, cache, press_state = _prefill(
-                params, ids, valid, runner=runner, press=self.press,
+                params, ids, valid, req.inputs_embeds, req.token_types,
+                runner=runner, press=self.press,
                 quantized=self.quantized, kv_bits=self.kv_bits,
+                image_span=(self.image_span
+                            if req.token_types is not None else None),
             )
 
         press = self.press

@@ -172,6 +172,47 @@ def test_every_press_preserves_needle_at_low_ratio(trained, name, mk):
     assert acc > 0.9, (name, acc)
 
 
+# Reference leaderboard protocol sweeps ratios {0.25, 0.5, 0.75, 0.875}
+# (evaluation/leaderboard.sh). The quality bar above 0.1 lives here: every
+# scoring press must still retrieve at ratio 0.5 (query-aware), and the
+# pruning-by-position presses must show the DECLINING accuracy-vs-ratio
+# curve (a scoring regression that only bites at high ratios flips these).
+MID_RATIO_PRESSES = [
+    ("knorm", lambda r: KnormPress(r)),
+    ("snapkv", lambda r: SnapKVPress(r, window_size=4, kernel_size=3)),
+    ("tova", lambda r: TOVAPress(r)),
+    ("observed", lambda r: ObservedAttentionPress(r)),
+    ("expected", lambda r: ExpectedAttentionPress(
+        r, n_future_positions=8, n_sink=2)),
+    ("keydiff", lambda r: KeyDiffPress(r)),
+    ("adakv_snapkv", lambda r: AdaKVPress(
+        press=SnapKVPress(r, window_size=4, kernel_size=3))),
+    ("rerotate_snapkv", lambda r: KeyRerotationPress(
+        press=SnapKVPress(r, window_size=4, kernel_size=3))),
+]
+
+
+@pytest.mark.parametrize(
+    "name,mk", MID_RATIO_PRESSES, ids=[p[0] for p in MID_RATIO_PRESSES]
+)
+def test_scoring_press_holds_needle_at_ratio_half(trained, name, mk):
+    cfg, params, runner = trained
+    acc = _accuracy(cfg, params, runner, mk(0.5))
+    assert acc > 0.85, (name, acc)
+
+
+def test_accuracy_declines_with_ratio_for_positional_presses(trained):
+    """StreamingLLM / Random destroy progressively more needles as the ratio
+    rises — the curve must actually decline (measured reference points:
+    streaming 0.96→0.66, random 1.0→0.50 across 0.25→0.875)."""
+    cfg, params, runner = trained
+    for mk in (lambda r: StreamingLLMPress(r, n_sink=2),
+               lambda r: RandomPress(r)):
+        lo = _accuracy(cfg, params, runner, mk(0.25))
+        hi = _accuracy(cfg, params, runner, mk(0.875))
+        assert lo > hi + 0.1, (lo, hi)
+
+
 def test_needle_survives_quantized_cache(trained):
     """Ratio 0.1 over an int8-quantized cache (reference bar's quantized leg)."""
     cfg, params, runner = trained

@@ -156,10 +156,13 @@ def main():
         def do_prefill():
             if chunked:
                 # bounded activations: the exact prefill's (S, F=14336) MLP
-                # intermediate OOMs 16 GB at 8B/64K+; per-chunk it does not
+                # intermediate (and, pressless, the layer scan's xs+ys
+                # double cache copy) OOMs 16 GB at 8B/64K+ (b2/16K for the
+                # baseline); the lean chunk path has neither
                 _, cache, _ = runner.prefill_chunked(
                     params, ids, press=press, chunk_size=args.chunk,
                     quantized=quantized, kv_bits=kv_bits,
+                    max_size=room if press is None else None,
                 )
                 return cache
             return prefill(params, ids, **kw)
@@ -206,16 +209,23 @@ def main():
     else:
         press = KnormPress(compression_ratio=args.ratio)
     results = {}
+    # paired legs: the lean chunked prefill for BOTH arms once batch*ctx
+    # is large enough that the one-shot scan's xs+ys double-cache copy
+    # OOMs (measured: b2/16K baseline OOMs one-shot, fits chunked)
+    paired_chunked = args.chunk > 0 and args.batch * args.ctx[0] > 16384 \
+        if args.ctx else False
     for ctx in args.ctx:
         base = comp = None
         try:
-            base, _ = run(ctx, None, label="baseline bf16-KV")
+            base, _ = run(ctx, None, label="baseline bf16-KV",
+                          chunked=paired_chunked)
         except Exception as e:
             print(f"baseline ctx={ctx}: FAILED ({type(e).__name__}: "
                   f"{str(e)[:200]})", flush=True)
         try:
             comp, _ = run(ctx, press, quantized=True, kv_bits=4,
-                          label=f"knorm{args.ratio}+int4KV")
+                          chunked=paired_chunked,
+                          label=f"{args.press}{args.ratio}+int4KV")
         except Exception as e:
             print(f"compressed ctx={ctx}: FAILED ({type(e).__name__}: "
                   f"{str(e)[:200]})", flush=True)

@@ -39,7 +39,9 @@ import numpy as np
 import pandas as pd
 
 QUICK = bool(os.environ.get("KVPRESS_QUICK"))
-RATIOS = (0.25, 0.5, 0.75)
+# Full reference leaderboard ratio grid (evaluation/leaderboard.sh) — the
+# per-press row across these IS the accuracy-vs-ratio curve CSV.
+RATIOS = (0.25, 0.5, 0.75, 0.875)
 
 # press_name → config overrides for non-ratio axes (reference
 # leaderboard.sh: threshold presses get thresholds, decoding presses get
