@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 import kvpress_tpu as kp
-from kvpress_tpu import KnormPress, Runner, SnapKVPress, init_params
+from kvpress_tpu import KnormPress, SnapKVPress
 from kvpress_tpu.presses import (
     AdaKVPress,
     ChunkPress,

