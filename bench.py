@@ -137,6 +137,76 @@ def main():
     base8, comp8 = bench_model(runner8, params8, batch=1, press=press,
                                ctx=16384)
     emit(f"decode_tok_s_8B_b1_16k_ratio{RATIO}_int4_wint8", base8, comp8)
+    del params8, runner8
+
+    # Line 3 (north star, KV-bound): 8B body, int4 weights (3.6 GB), b2/16K
+    # — the operating point where KV traffic dominates weight traffic, so
+    # the ≥1.9× target is meaningful (b1 is weights-bound; 1.43× IS its
+    # bandwidth ceiling — README/BASELINE.md math). Baseline decodes
+    # DONATED (two bf16 cache copies cannot exist at this shape; donated
+    # single-cache residency is its only feasible mode) with periodic syncs
+    # bounding the dispatch queue's output allocations; both arms prefill
+    # through the lean chunk path (the one-shot scan's xs+ys double cache
+    # OOMs). Guarded: a failure here must not lose lines 1-2.
+    try:
+        base_kb, comp_kb = bench_8b_kvbound(press)
+        emit(f"decode_tok_s_8B_b2_16k_ratio{RATIO}_int4kv_int4w_kvbound",
+             base_kb, comp_kb)
+    except Exception as e:                                   # noqa: BLE001
+        print(f"# kvbound leg failed: {type(e).__name__}: {str(e)[:160]}",
+              flush=True)
+
+
+def bench_8b_kvbound(press, ctx=16384, batch=2):
+    from tools.bench_8b import llama31_8b_config
+
+    cfg = llama31_8b_config()
+    runner = Runner.create(cfg)
+    params = init_params_int8(cfg, jax.random.PRNGKey(0), bits=4)
+    jax.block_until_ready(params["layers"]["wd"])
+    ids = jax.random.randint(jax.random.PRNGKey(1), (batch, ctx), 0,
+                             cfg.vocab_size)
+
+    @jax.jit
+    def step(params, tok, cache):
+        logits, cache, _ = runner.forward(params, tok, cache,
+                                          logits_last_only=True)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def step_donated(params, tok, cache):
+        logits, cache, _ = runner.forward(params, tok, cache,
+                                          logits_last_only=True)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+    def run(press, keep, quantized, kv_bits, donate):
+        room = keep + (REPS + 1) * DECODE_STEPS + 8
+        _, cache, _ = runner.prefill_chunked(
+            params, ids, press=press, chunk_size=8192,
+            quantized=quantized, kv_bits=kv_bits,
+            max_size=room if press is None else None,
+        )
+        if press is not None:
+            cache = shrink(cache, room)
+        tok = ids[:, -1:]
+        fn = step_donated if donate else step
+        tok, cache = fn(params, tok, cache)
+        jax.device_get(tok)
+        rates = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            for i in range(DECODE_STEPS):
+                tok, cache = fn(params, tok, cache)
+                if donate and (i + 1) % 4 == 0:
+                    jax.device_get(tok)   # bound queued cache allocations
+            jax.device_get(tok)
+            rates.append(batch * DECODE_STEPS / (time.perf_counter() - t0))
+        del cache
+        return rates
+
+    base = run(None, ctx, False, 8, donate=True)
+    comp = run(press, press.n_kept(ctx), True, 4, donate=False)
+    return base, comp
 
 
 if __name__ == "__main__":

@@ -262,7 +262,7 @@ def main():
         try:
             run(ctx, press, quantized=True, kv_bits=4,
                 chunked=args.chunk > 0,
-                label=f"knorm{args.ratio}+int4KV (chunked)")
+                label=f"{args.press}{args.ratio}+int4KV (chunked)")
         except Exception as e:
             print(f"compressed-only ctx={ctx}: FAILED ({type(e).__name__}: "
                   f"{str(e)[:200]})", flush=True)
