@@ -135,15 +135,41 @@ class KVzipChunkScorer(BasePress):
                 axis=2,
             )
 
-        ks = sub(keys).astype(jnp.float32)                       # (B,Hkv,n_sub,D)
-        q = ctx.queries.reshape(B, Hkv, G, T, D).astype(jnp.float32)
-        attn = jnp.einsum("bhgtd,bhsd->bhgts", q, ks) / jnp.sqrt(D * 1.0)
+        # Dot at native (bf16) width with f32 accumulation — casting the
+        # operands to f32 first would halve MXU rate for no extra info (the
+        # cache is bf16 anyway); f32-model tests keep an f32 dot unchanged.
+        ks = sub(keys)                                           # (B,Hkv,n_sub,D)
+        q = ctx.queries.reshape(B, Hkv, G, T, D)
+        attn = jnp.einsum(
+            "bhgtd,bhsd->bhgts", q, ks,
+            preferred_element_type=jnp.float32,
+        ) / jnp.sqrt(D * 1.0)
 
-        # Causal mask inside the trailing repeat block.
+        # Causal mask inside the trailing repeat block: a broadcast add that
+        # fuses into the reductions (an .at[...].add copies the full 1+ GB
+        # logits tensor at 8B scale).
         rows = jnp.arange(T)[:, None]
         cols = jnp.arange(T)[None, :]
         block = jnp.where(cols <= rows, 0.0, NEG_INF)            # (T, T)
-        attn = attn.at[..., -T:].add(block[None, None, None])
+        n_sub = attn.shape[-1]
+        mask2d = jnp.concatenate(
+            [jnp.zeros((T, n_sub - T), jnp.float32), block], axis=1
+        )
+        attn = attn + mask2d[None, None, None]
+
+        if not self.plus:
+            # scores = max over (group, repeat-row) of softmax prob on the
+            # chunk columns. exp is monotone, so max-then-exp == exp-then-max
+            # — the (B,Hkv,G,T,n_sub) probs tensor never materializes
+            # (one logsumexp sweep + one masked max instead of a full
+            # softmax write+read; the 8B repeat passes are bound on exactly
+            # this traffic).
+            lse = jax.nn.logsumexp(attn, axis=-1, keepdims=True)  # (...,T,1)
+            logp_chunk = attn[..., sink:sink + cl] - lse          # (...,T,cl)
+            return keys, values, length, mask, {
+                "scores": jnp.exp(jnp.max(logp_chunk, axis=(2, 3)))
+            }
+
         attn = jax.nn.softmax(attn, axis=-1)
 
         if self.plus:

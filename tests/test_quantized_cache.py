@@ -207,6 +207,34 @@ def test_embed_lm_head_int8_parity(tied):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.parametrize("tied", [True, False])
+def test_init_params_int8_embeddings(tied):
+    """init_params_int8(int8_embeddings=True) — the full-vocab 8B bench
+    layout: int8 embed (+ untied lm_head) payloads with the
+    quantize_params_int8(include_embeddings=True) scale shapes; the Runner
+    serves it end to end."""
+    from kvpress_tpu import tiny_config
+    from kvpress_tpu.models.llama import init_params_int8
+
+    cfg = tiny_config(tie_word_embeddings=tied)
+    params = init_params_int8(cfg, jax.random.PRNGKey(0), dtype=jnp.float32,
+                              int8_embeddings=True)
+    assert params["embed"].dtype == jnp.int8
+    assert params["embed_scale"].shape == (cfg.vocab_size, 1)
+    if not tied:
+        assert params["lm_head"].dtype == jnp.int8
+        assert params["lm_head_scale"].shape == (1, cfg.vocab_size)
+    runner = Runner.create(cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(5), (1, 24), 0,
+                             cfg.vocab_size)
+    lg, cache, _ = runner.prefill(params, ids, compute_logits=True,
+                                  dtype=jnp.float32, max_size=32)
+    logits, cache, _ = runner.forward(params, ids[:, -1:], cache,
+                                      logits_last_only=True)
+    assert np.isfinite(np.asarray(lg)).all()
+    assert np.isfinite(np.asarray(logits)).all()
+
+
 def test_fp8_checkpoint_conversion():
     """fp8 safetensors (weight + 128x128 weight_scale_inv blocks) dequantize
     at conversion to the same params a bf16 checkpoint would give."""

@@ -9,8 +9,10 @@ against the compressed cache.
 
 --model 8b runs the Llama-3.1-8B body (int8 weights) with CHUNKED prefill
 (VERDICT r3 item 2: KVzip over a chunk-prefilled cache — the one-shot 8B
-prefill cannot run at 32K+ on a 16 GB chip) and an int4 KV cache at 64K
-(a bf16 64K cache + int8 weights alone exceed HBM).
+prefill cannot run at 32K+ on a 16 GB chip). Pass --kv-bits 4 at 32K+:
+the repeat-pass forwards thread the full cache through the layer scan as
+xs AND ys, so a bf16 32K cache costs 2x4.6 GB next to 7.25 GB weights
+(measured RESOURCE_EXHAUSTED); the int4 payload fits with room.
 
 Usage: python tools/bench_kvzip.py [ctx_tokens] [--model 1b|8b]
        [--kv-bits N] [--chunk N]
