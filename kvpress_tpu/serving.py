@@ -481,6 +481,11 @@ class ServingEngine:
         image_span: Optional[int] = None,   # static image-span bound for
         # multimodal admissions (mm_tokens_per_image; Requests carry
         # inputs_embeds + token_types)
+        max_admissions: Optional[int] = None,   # cap on CONCURRENT
+        # admissions: each in-flight admission holds a full uncompressed
+        # prefill buffer until compression lands, so n_slots concurrent
+        # admissions of long contexts can out-size the slot pool itself.
+        # None = one per free slot (the round-3 behavior).
     ):
         # Decode-phase compression: a DecodingPress (or the decoding half of
         # a PrefillDecodingPress) compresses every slot independently inside
@@ -528,6 +533,7 @@ class ServingEngine:
         self.kv_bits = kv_bits
         self.context_bucket = context_bucket
         self.image_span = image_span
+        self.max_admissions = max_admissions
         if context_chunk is not None:
             from .presses.base import ScorerPress
 
@@ -1007,6 +1013,9 @@ class ServingEngine:
             # below, AFTER this iteration's decode-step issue, so the
             # round-trip overlaps queued decode compute.
             for s in range(self.n_slots):
+                if (self.max_admissions is not None
+                        and len(reserved) >= self.max_admissions):
+                    break
                 if self.slots[s].req_idx < 0 and s not in reserved and queue:
                     if self.schedule == "sjf":
                         # shortest job first: smallest token budget wins

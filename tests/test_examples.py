@@ -19,6 +19,7 @@ EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
         "decoding_press_demo",
         "speed_and_memory",
         "distributed_serving",
+        "long_context_composition",
     ],
 )
 def test_example_runs(name, capsys):

@@ -93,8 +93,11 @@ def main():
     results = {}
     for key in args.arms:
         arm = arms[key]
+        # Exact capacity: the chunked-admission prefill buffer buckets to
+        # chunk multiples inside the engine independently, so rounding
+        # capacity up too (an earlier revision) only inflated the slot pool
+        # — it erased the compressed arms' pool advantage.
         capacity = arm["kept"] + args.gen + 8
-        capacity = -(-capacity // args.chunk) * args.chunk  # compile sharing
         per_slot = kv_bytes_per_slot(cfg, capacity, arm["kv_bits"])
         slots = max(1, min(args.max_slots, int(budget // per_slot)))
         pool_gib = slots * per_slot / 2**30
@@ -103,6 +106,10 @@ def main():
             press=arm["press"], quantized=arm["kv_bits"] is not None,
             kv_bits=arm["kv_bits"] or 8, fetch_lag=4,
             context_chunk=args.chunk,
+            # Bound concurrent admissions' uncompressed prefill transients
+            # (one bucketed full-context buffer each): every arm gets the
+            # same cap so TTFT/admission concurrency is comparable.
+            max_admissions=2,
         )
         t0 = time.perf_counter()
         eng.run([Request(rng.integers(0, cfg.vocab_size, args.ctx).tolist(),

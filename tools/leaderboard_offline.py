@@ -204,7 +204,14 @@ def main():
     out_dir = tempfile.mkdtemp(prefix="kvpress_lb_")
     rows = []
     t_all = time.perf_counter()
-    for name in names:
+    for i_name, name in enumerate(names):
+        if i_name and i_name % 10 == 0:
+            # XLA CPU holds every compiled executable's code in one
+            # contiguous JIT section; 49 presses x 4 ratios exhausts it
+            # ("LLVM ERROR: Unable to allocate section memory") — drop the
+            # accumulated executables periodically (same mitigation as the
+            # test suite's late-fixture clear_caches, CLAUDE.md).
+            jax.clear_caches()
         for ratio in RATIOS:
             t0 = time.perf_counter()
             kw = dict(SPECIAL.get(name, {}))
