@@ -99,7 +99,11 @@ def main():
         # — it erased the compressed arms' pool advantage.
         capacity = arm["kept"] + args.gen + 8
         per_slot = kv_bytes_per_slot(cfg, capacity, arm["kv_bits"])
-        slots = max(1, min(args.max_slots, int(budget // per_slot)))
+        # The non-donated decode step holds the slot pool TWICE (input +
+        # output buffers — donation measured slower on this backend), so
+        # the budget bounds 2x the pool bytes: slots scale 1 -> 3 -> 8
+        # across the arms at the default 4.2 GiB.
+        slots = max(1, min(args.max_slots, int(budget // (2 * per_slot))))
         pool_gib = slots * per_slot / 2**30
         eng = ServingEngine(
             runner, params, n_slots=slots, capacity=capacity,
