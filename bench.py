@@ -192,6 +192,14 @@ def bench_8b_kvbound(press, ctx=16384, batch=2):
         fn = step_donated if donate else step
         tok, cache = fn(params, tok, cache)
         jax.device_get(tok)
+        # one full untimed rep: the first timed rep otherwise absorbs
+        # allocator warm-up at these cache sizes (measured spread 0.57
+        # without it vs 0.001 on the smaller legs)
+        for i in range(DECODE_STEPS):
+            tok, cache = fn(params, tok, cache)
+            if (i + 1) % 4 == 0:
+                jax.device_get(tok)
+        jax.device_get(tok)
         rates = []
         for _ in range(REPS):
             t0 = time.perf_counter()
