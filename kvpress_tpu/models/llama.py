@@ -1065,10 +1065,16 @@ class Runner:
             # applies the cross-layer post-mask afterwards.
             post_press = press
             press = None
+        deferred_press = None
         if press is not None and not press.compresses_prefill:
-            # Multi-pass presses (KVzip family): the initial prefill stays
+            # Multi-pass presses (KVzip family) and decode-time presses
+            # (DecodingPress family): the initial prefill stays
             # uncompressed; the pipeline runs the repeat-pass scoring after
-            # (kvzip is natively chunked — reference kvzip_press.py:204-264).
+            # (kvzip is natively chunked — reference kvzip_press.py:204-264)
+            # and the decode loop threads the press state — which must be
+            # INITIALIZED here (one-shot prefill parity; a None state
+            # crashes DecodingPress._advance inside the decode trace).
+            deferred_press = press
             press = None
         if press is not None:
             if hasattr(press, "chunked_compress"):
@@ -1166,6 +1172,8 @@ class Runner:
                 )
                 yield
         state = None
+        if deferred_press is not None:
+            state = deferred_press.init_state(self.cfg, B, S, dtype=dtype)
         if post_press is not None:
             # Post-mask (FastKVzip) press state: per-chunk gate scores
             # concatenated over positions, protected window applied over the
@@ -1176,16 +1184,44 @@ class Runner:
             state = {"scores": post_press.protect_scores(scores, S)}
         return logits, cache, state
 
+    def kvzip_repeat_pass(self, params, rep_ids, cache, start: int,
+                          sink: int, chunk_len: int):
+        """One KVzip repeat-chunk scoring pass over the lean chunk forward
+        (reference score_kvzip, kvzip_press.py:287-358).
+
+        Returns ``(cache, scores)`` with scores (L, B, Hkv, chunk_len) and
+        the cache UNCHANGED: the repeat KV exists only as per-layer
+        transients inside the scan, so there is no xs+ys double-cache copy
+        (the 8B@64K OOM) and no rollback bookkeeping. ``start`` is traced —
+        every full-size chunk shares one compile. The buffer must have room
+        for the repeat tokens (grow beforehand); ``sink``/``chunk_len`` are
+        static. Requires a plain (non-plus) KVzip scorer."""
+        fused = True
+        if cache.key_scales is not None:
+            dense_bytes = (
+                2 * 2 * rep_ids.shape[0] * self.cfg.num_kv_heads
+                * cache.max_size * self.cfg.head_dim
+            )
+            fused = cache.bits == 8 or dense_bytes > (1 << 29)
+        _, cache, _, scores = _chunk_forward_lean(
+            params, rep_ids, cache,
+            kvzip_start=jnp.asarray(start, jnp.int32),
+            runner=self, compute_logits=False, fused_kv=fused,
+            kvzip_spec=(sink, chunk_len),
+        )
+        return cache, scores
+
 
 @functools.partial(
     jax.jit,
     static_argnames=("runner", "compute_logits", "hidden_window",
-                     "fused_kv", "image_span"),
+                     "fused_kv", "image_span", "kvzip_spec"),
     donate_argnums=(2,))
 def _chunk_forward_lean(params, chunk_ids, cache, collect_gates=None,
-                        chunk_embeds=None, img_groups=None, k_groups=None, *,
+                        chunk_embeds=None, img_groups=None, k_groups=None,
+                        kvzip_start=None, *,
                         runner, compute_logits=False, hidden_window=None,
-                        fused_kv=True, image_span=None):
+                        fused_kv=True, image_span=None, kvzip_spec=None):
     """Pressless chunk append with O(chunk) scan outputs.
 
     The standard forward's layer scan threads the FULL cache buffers as both
@@ -1372,6 +1408,35 @@ def _chunk_forward_lean(params, chunk_ids, cache, collect_gates=None,
             from ..presses.fastkvzip import gate_scores
 
             ys = ys + (gate_scores(collect_gates, lid, h),)
+        if kvzip_spec is not None:
+            # KVzip repeat-chunk scoring, in-body: the [sink | chunk] keys
+            # come from the read-only buffer (dequantized at subset width —
+            # ~(cl+T) slots, not the 64K buffer), the T repeat keys are the
+            # exact bf16 `k` already in registers. The chunk start is
+            # TRACED, so every full-size chunk shares one compile (the
+            # static-span scorer path recompiles per chunk).
+            from ..presses.kvzip import subset_max_scores
+
+            zsink, zcl = kvzip_spec
+            if quantized:
+                from ..cache import dequantize_kv
+
+                parts = []
+                if zsink:
+                    parts.append(dequantize_kv(
+                        kb[:, :, :zsink], ks[:, :, :zsink], cache.bits,
+                        xh.dtype))
+                kc = jax.lax.dynamic_slice_in_dim(kb, kvzip_start, zcl, axis=2)
+                kcs = jax.lax.dynamic_slice_in_dim(ks, kvzip_start, zcl,
+                                                   axis=2)
+                parts.append(dequantize_kv(kc, kcs, cache.bits, xh.dtype))
+            else:
+                parts = ([kb[:, :, :zsink]] if zsink else []) + [
+                    jax.lax.dynamic_slice_in_dim(kb, kvzip_start, zcl, axis=2)
+                ]
+            parts.append(k.astype(parts[-1].dtype))
+            ys = ys + (subset_max_scores(
+                q, jnp.concatenate(parts, axis=2), zsink, zcl),)
         o = _lin(o.transpose(0, 2, 1, 3).reshape(B, T, -1), layer, "wo")
         if cfg.post_norms:
             o = rms_norm(o, layer["ln1_post"], cfg.rms_norm_eps,
@@ -1393,7 +1458,16 @@ def _chunk_forward_lean(params, chunk_ids, cache, collect_gates=None,
     nk, nv, nks, nvs = out_ys[:4]
     rest = out_ys[4:]
     hidden_win = rest.pop(0) if hidden_window is not None else None
-    chunk_scores = rest.pop(0) if collect_gates is not None else None
+    assert not (collect_gates is not None and kvzip_spec is not None)
+    chunk_scores = rest.pop(0) if (
+        collect_gates is not None or kvzip_spec is not None
+    ) else None
+
+    if kvzip_spec is not None:
+        # Scoring pass: the repeat KV lived only in per-layer transients —
+        # cache content, length and offset are all unchanged, so the
+        # KVzip rollback between passes is free (no appended slots exist).
+        return None, cache, hidden_win, chunk_scores
 
     start = (0, 0, 0, cache.length[0], 0)
     keys = jax.lax.dynamic_update_slice(cache.keys, nk, start)

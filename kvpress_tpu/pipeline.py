@@ -585,20 +585,35 @@ class KVPressPipeline:
         # the pre-pass `cache` value is simply reused.
         start = prefix_len
         spans, score_arrs = [], []
+        # Lean repeat passes (default): the repeat KV lives only in
+        # per-layer transients inside the lean chunk scan — no xs+ys
+        # double-cache copy (which OOMs 8B@64K next to the weights), free
+        # rollback, and a TRACED chunk start so all full chunks share one
+        # compile (the static-span scorer recompiles per chunk). The plus
+        # variant needs per-layer value/Wo norms — it keeps the
+        # full-forward scorer path.
+        use_lean = not press.kvzip_plus_normalization
         for chunk, repeat in pairs:
             end = start + len(chunk)
-            scorer = KVzipChunkScorer(
-                start_idx=start, end_idx=end, context_length=ctx_len,
-                n_sink=press.n_sink, plus=press.kvzip_plus_normalization,
-            )
-            state = scorer.init_state(cfg, 1, ctx_len)
             rep = jnp.asarray(np.asarray(repeat, np.int32))[None]
-            _, _, out_state = _scored_forward(
-                self.params, rep, cache, state,
-                runner=self.runner, press=scorer,
-            )
+            if use_lean:
+                cache, sc = self.runner.kvzip_repeat_pass(
+                    self.params, rep, cache, start,
+                    min(press.n_sink, start), end - start,
+                )
+                score_arrs.append(sc)
+            else:
+                scorer = KVzipChunkScorer(
+                    start_idx=start, end_idx=end, context_length=ctx_len,
+                    n_sink=press.n_sink, plus=press.kvzip_plus_normalization,
+                )
+                state = scorer.init_state(cfg, 1, ctx_len)
+                _, _, out_state = _scored_forward(
+                    self.params, rep, cache, state,
+                    runner=self.runner, press=scorer,
+                )
+                score_arrs.append(out_state["scores"])
             spans.append((start, end))
-            score_arrs.append(out_state["scores"])
             start = end
         for (s, e), arr in zip(spans, jax.device_get(score_arrs)):
             score_val[..., s:e] = arr

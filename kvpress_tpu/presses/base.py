@@ -30,6 +30,11 @@ import numpy as np
 
 from ..config import ModelConfig
 
+# Finite -inf sentinel for score masking: finite so 0*NEG_INF stays 0 (a
+# true -inf would make NaNs against zero pad values), large enough to lose
+# every top-k against any real score.
+NEG_INF = -2.0e38
+
 
 def _field_fingerprint(v):
     """Hashable content fingerprint of one press field value.

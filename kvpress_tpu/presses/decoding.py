@@ -19,9 +19,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .base import BasePress, LayerCtx, ScorerPress, topk_keep
+from .base import NEG_INF, BasePress, LayerCtx, ScorerPress, topk_keep
 
-NEG_INF = -2.0e38
 
 
 def _buffer_queries(ctx: LayerCtx, hidden: jax.Array, positions: jax.Array):

@@ -102,20 +102,24 @@ class FastKVzipPress(BasePress):
         assert self.gates is not None, "gates not loaded"
         S = ctx.hidden.shape[1]
         scores = gate_scores(self.gates, ctx.layer_idx, ctx.hidden)
-        pos = jnp.arange(S)[None, None]
-        window = int(S * self.window_ratio) if S < 32000 else self.window_size
-        protected = (pos < self.n_sink) | (pos >= S - window)
+        protected = self._protected_slots(S)[None, None]
         scores = jnp.where(protected, 1.0, scores)
         return keys, values, length, mask, {"scores": scores}
+
+    def _protected_slots(self, S: int) -> jax.Array:
+        """Sink/recent protected window as a 1-D (S,) bool — the single
+        home of the <32k window_ratio heuristic (reference
+        fastkvzip_press.py:243-247); callers broadcast."""
+        pos = jnp.arange(S)
+        window = int(S * self.window_ratio) if S < 32000 else self.window_size
+        return (pos < self.n_sink) | (pos >= S - window)
 
     def protect_scores(self, scores: jax.Array, S: int) -> jax.Array:
         """Apply the sink/recent protected window over FULL-context scores
         (L, B, H, S) — the chunked-prefill collector path concatenates raw
         per-chunk gate scores, then protects once here with the same
         semantics as layer_compress (which sees the whole context)."""
-        pos = jnp.arange(S)[None, None, None]
-        window = int(S * self.window_ratio) if S < 32000 else self.window_size
-        protected = (pos < self.n_sink) | (pos >= S - window)
+        protected = self._protected_slots(S)[None, None, None]
         return jnp.where(protected, 1.0, scores)
 
     def apply_post_mask(self, cache, state):

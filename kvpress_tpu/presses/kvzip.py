@@ -22,9 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .base import BasePress, LayerCtx
+from .base import NEG_INF, BasePress, LayerCtx
 
-NEG_INF = -2.0e38
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,6 +94,41 @@ class KVzipPress(BasePress):
         return keep
 
 
+def subset_max_scores(q, ks_sub, sink: int, cl: int) -> jax.Array:
+    """Max softmax-prob of repeat queries onto the chunk columns, over the
+    ``[sink | chunk | repeat]`` key subset (reference score_kvzip, :287-358;
+    the lse is over the SUBSET — reference semantics).
+
+    q: (B, Hq, T, D) post-RoPE repeat queries; ks_sub: (B, Hkv, sink+cl+T, D)
+    with the T repeat keys LAST (causal within that block). Returns
+    (B, Hkv, cl). exp is monotone so max-then-exp == exp-then-max — the
+    (B,Hkv,G,T,n_sub) probs tensor never materializes (one logsumexp sweep
+    + one masked max; the 8B repeat passes are bound on exactly this
+    traffic). Shared by KVzipChunkScorer.decode_compress and the lean
+    chunked repeat pass (models/llama.py _chunk_forward_lean)."""
+    B, Hkv, n_sub, D = ks_sub.shape
+    T = q.shape[2]
+    G = q.shape[1] // Hkv
+    q5 = q.reshape(B, Hkv, G, T, D)
+    attn = jnp.einsum(
+        "bhgtd,bhsd->bhgts", q5, ks_sub,
+        preferred_element_type=jnp.float32,
+    ) / jnp.sqrt(D * 1.0)
+    # Causal mask inside the trailing repeat block: a broadcast add that
+    # fuses into the reductions (an .at[...].add copies the full 1+ GB
+    # logits tensor at 8B scale).
+    rows = jnp.arange(T)[:, None]
+    cols = jnp.arange(T)[None, :]
+    block = jnp.where(cols <= rows, 0.0, NEG_INF)                # (T, T)
+    mask2d = jnp.concatenate(
+        [jnp.zeros((T, n_sub - T), jnp.float32), block], axis=1
+    )
+    attn = attn + mask2d[None, None, None]
+    lse = jax.nn.logsumexp(attn, axis=-1, keepdims=True)         # (...,T,1)
+    logp_chunk = attn[..., sink:sink + cl] - lse                 # (...,T,cl)
+    return jnp.exp(jnp.max(logp_chunk, axis=(2, 3)))
+
+
 @dataclasses.dataclass(frozen=True)
 class KVzipChunkScorer(BasePress):
     """Per-chunk scoring press applied during the repeat forward: max
@@ -135,6 +169,11 @@ class KVzipChunkScorer(BasePress):
                 axis=2,
             )
 
+        if not self.plus:
+            return keys, values, length, mask, {
+                "scores": subset_max_scores(ctx.queries, sub(keys), sink, cl)
+            }
+
         # Dot at native (bf16) width with f32 accumulation — casting the
         # operands to f32 first would halve MXU rate for no extra info (the
         # cache is bf16 anyway); f32-model tests keep an f32 dot unchanged.
@@ -156,19 +195,6 @@ class KVzipChunkScorer(BasePress):
             [jnp.zeros((T, n_sub - T), jnp.float32), block], axis=1
         )
         attn = attn + mask2d[None, None, None]
-
-        if not self.plus:
-            # scores = max over (group, repeat-row) of softmax prob on the
-            # chunk columns. exp is monotone, so max-then-exp == exp-then-max
-            # — the (B,Hkv,G,T,n_sub) probs tensor never materializes
-            # (one logsumexp sweep + one masked max instead of a full
-            # softmax write+read; the 8B repeat passes are bound on exactly
-            # this traffic).
-            lse = jax.nn.logsumexp(attn, axis=-1, keepdims=True)  # (...,T,1)
-            logp_chunk = attn[..., sink:sink + cl] - lse          # (...,T,cl)
-            return keys, values, length, mask, {
-                "scores": jnp.exp(jnp.max(logp_chunk, axis=(2, 3)))
-            }
 
         attn = jax.nn.softmax(attn, axis=-1)
 

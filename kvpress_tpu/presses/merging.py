@@ -23,6 +23,13 @@ class MergingPress(WrappedScorerMixin, BasePress):
     similarity_threshold: float = 0.0
     merge_fraction: float = 1.0
 
+    # NOT a score-then-keep press: evicted values are MERGED into kept ones.
+    # The mixin's scorer_like opt-in (chunked prefill via BudgetDecodingPress,
+    # bucketed budgets) would silently drop the merge semantics — keep
+    # MergingPress out of those paths.
+    scorer_like = False
+    supports_padding = False
+
     def __post_init__(self):
         assert isinstance(self.press, ScorerPress)
         assert 0.0 <= self.similarity_threshold <= 1.0

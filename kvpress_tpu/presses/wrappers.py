@@ -17,10 +17,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..rope import rotate_half
-from .base import BasePress, LayerCtx, ScorerPress, topk_keep
+from .base import NEG_INF, BasePress, LayerCtx, ScorerPress, topk_keep
 
 BIG = jnp.finfo(jnp.float32).max
-NEG_INF = -2.0e38
 
 
 # ---------------------------------------------------------------------- #

@@ -275,3 +275,41 @@ def test_serving_context_chunk_wrapper_admission(tiny):
                             press=press, question_bucket=4, fetch_lag=2,
                             context_chunk=16)
     assert base.run(reqs) == chunked.run(reqs)
+
+
+def test_decoding_press_over_chunked_prefill(tiny):
+    """DecodingPress (compresses_prefill=False) through context_chunk: the
+    chunked prefill must INITIALIZE the press state it defers (a None state
+    crashed DecodingPress._advance inside the decode trace — round-4 review
+    finding), and the answer must match the one-shot path."""
+    import sys
+    sys.path.insert(0, "tests")
+    from toy_tokenizer import ToyTokenizer
+    from kvpress_tpu.pipeline import KVPressPipeline
+    from kvpress_tpu.presses import DecodingPress
+
+    cfg, params, runner = tiny
+    pipe = KVPressPipeline(runner, params, ToyTokenizer(cfg.vocab_size))
+    press = DecodingPress(base_press=KnormPress(0.5), target_size=24,
+                          compression_interval=4, hidden_states_buffer_size=8)
+    ctx = " ".join(f"w{i}" for i in range(45))
+    a_exact = pipe(ctx, question="what ?", press=press, max_new_tokens=8)
+    a_chunk = pipe(ctx, question="what ?", press=press, max_new_tokens=8,
+                   context_chunk=16)
+    assert a_exact["answer"] == a_chunk["answer"]
+
+
+def test_merging_press_rejected_by_chunked_prefill(tiny):
+    """MergingPress is NOT scorer-like (merge-on-evict would silently turn
+    into plain eviction through the BudgetDecodingPress path) — the chunked
+    prefill must reject it with the clear assertion, not an AttributeError."""
+    from kvpress_tpu.presses import MergingPress
+
+    cfg, params, runner = tiny
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (1, 48)), jnp.int32)
+    with pytest.raises(AssertionError, match="ScorerPress"):
+        runner.prefill_chunked(
+            params, ids, press=MergingPress(press=KnormPress(0.5)),
+            chunk_size=16, dtype=jnp.float32,
+        )

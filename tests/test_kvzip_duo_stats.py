@@ -124,6 +124,39 @@ def test_kvzip_mask_matches_reference(oracle, plus, layerwise):
         np.testing.assert_array_equal(keep[layer_idx], exp, err_msg=f"layer {layer_idx}")
 
 
+@pytest.mark.parametrize("quantized", [False, True])
+def test_kvzip_lean_repeat_pass_matches_scorer_path(oracle, quantized):
+    """The lean repeat pass (traced chunk start, no cache append — the
+    8B@64K path) must score identically to the static-span scorer press
+    driven through the full forward. Quantized caches: the lean pass uses
+    the exact bf16/f32 repeat keys where the old path reads them back
+    through the cache quantizer — scores differ only by that roundtrip."""
+    _, _, params, cfg, runner, ids = oracle
+    start, end, n_sink = 2, 50, 4
+    rep = [11, 12, 5, 6] + ids[0, start:end].tolist()
+    _, cache, _ = runner.prefill(
+        params, jnp.asarray(ids, jnp.int32), max_size=S + len(rep) + 4,
+        dtype=jnp.float32, quantized=quantized, kv_bits=8,
+    )
+    scorer = KVzipChunkScorer(
+        start_idx=start, end_idx=end, context_length=S, n_sink=n_sink,
+    )
+    state = scorer.init_state(cfg, 1, S)
+    rep_arr = jnp.asarray([rep], jnp.int32)
+    _, _, out = _scored_forward(
+        params, rep_arr, cache, state, runner=runner, press=scorer,
+    )
+    ref_scores = np.asarray(out["scores"])
+    cache2, sc = runner.kvzip_repeat_pass(
+        params, rep_arr, cache, start, min(n_sink, start), end - start,
+    )
+    tol = dict(atol=5e-2) if quantized else dict(atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sc), ref_scores, **tol)
+    # the lean pass must leave the cache untouched (rollback is free)
+    assert int(jnp.max(cache2.length)) == S
+    assert int(jnp.max(jnp.asarray(cache2.offset))) == S
+
+
 def test_kvzip_pipeline_end_to_end():
     cfg = kp.tiny_config()
     params = kp.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)

@@ -146,13 +146,14 @@ def main():
         return statistics.median(rates), rates, cache
 
     def run(ctx, press, quantized=False, kv_bits=8, label="", chunked=False):
+        decode_room = (args.reps + 1) * args.steps + 8
         if press is None:
             keep = ctx
         elif hasattr(press, "n_kept"):
             keep = press.n_kept(ctx)
         else:         # wrapper presses (AdaKV): budget = (1-ratio)*ctx
             keep = max(1, int(ctx * (1 - press.compression_ratio)))
-        room = keep + (args.reps + 1) * args.steps + 8
+        room = keep + decode_room
         ids = jax.random.randint(jax.random.PRNGKey(1), (args.batch, ctx), 0,
                                  cfg.vocab_size)
         kw = dict(press=press, quantized=quantized, kv_bits=kv_bits,
@@ -186,6 +187,14 @@ def main():
         jax.device_get(jnp.max(cache.length))
         t_pre = time.perf_counter() - tp0
         if press is not None:
+            # Size the shrink from the MEASURED post-compression length (the
+            # pipeline does the same): AdaKV's global heads×seq budget with
+            # alpha_safeguard lets a score-favored head keep well past the
+            # uniform (1-ratio)*ctx estimate — shrinking to that estimate
+            # would truncate live entries and corrupt the decode appends.
+            used = int(jax.device_get(jnp.max(cache.length)))
+            room = min(ctx + decode_room,
+                       -(-(used + decode_room) // 256) * 256)
             cache = shrink(cache, room)
         kv_bytes = cache.keys.size * cache.keys.dtype.itemsize * 2
         tok = ids[:, -1:]
@@ -233,12 +242,14 @@ def main():
     else:
         press = KnormPress(compression_ratio=args.ratio)
     results = {}
-    # paired legs: the lean chunked prefill for BOTH arms once batch*ctx
-    # is large enough that the one-shot scan's xs+ys double-cache copy
-    # OOMs (measured: b2/16K baseline OOMs one-shot, fits chunked)
-    paired_chunked = args.chunk > 0 and args.batch * args.ctx[0] > 16384 \
-        if args.ctx else False
     for ctx in args.ctx:
+        # paired legs: the lean chunked prefill for BOTH arms once batch*ctx
+        # is large enough that the one-shot scan's xs+ys double-cache copy
+        # OOMs (measured: b2/16K baseline OOMs one-shot, fits chunked) —
+        # decided PER LEG (a small first ctx must not force later larger
+        # contexts onto the one-shot path, whose OOM would also fragment
+        # the allocator for the remaining legs)
+        paired_chunked = args.chunk > 0 and args.batch * ctx > 16384
         base = comp = None
         try:
             base, _ = run(ctx, None, label="baseline bf16-KV",
