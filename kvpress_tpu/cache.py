@@ -19,6 +19,7 @@ desirable: shapes must be static and arrays immutable. Instead:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -161,6 +162,60 @@ def masked_fraction(cache: KVCache) -> jax.Array:
         return jnp.asarray(0.0)
     masked = valid & ~cache.mask
     return jnp.sum(masked) / jnp.maximum(jnp.sum(valid), 1)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _compact_masked_layer(cache: KVCache, l_idx) -> KVCache:
+    """One layer's head-wise compaction, written back in place on the
+    DONATED cache (peak memory = the single cache + one layer's transients;
+    an all-layer gather would need a full second cache next to 8B weights).
+    ``l_idx`` is traced — the host loop compiles once."""
+    mask_l = cache.mask[l_idx]                                   # (B, H, S)
+    S = mask_l.shape[-1]
+    pos = jnp.arange(S, dtype=jnp.int32)
+    # Invalid slots (>= length) carry mask=True by convention — exclude
+    # them or they would count into (and interleave with) the kept set.
+    keep = mask_l & (pos[None, None] < cache.length[l_idx])
+    order = jnp.argsort(jnp.where(keep, 0, 1), axis=-1, stable=True)
+
+    def g(buf):
+        if buf is None:
+            return None
+        layer = jnp.take_along_axis(buf[l_idx], order[..., None], axis=2)
+        return jax.lax.dynamic_update_slice(
+            buf, layer[None], (l_idx, 0, 0, 0, 0)
+        )
+
+    counts = jnp.sum(keep, axis=-1)                              # (B, H)
+    new_mask_l = pos[None, None] < counts[..., None]
+    return dataclasses.replace(
+        cache,
+        keys=g(cache.keys), values=g(cache.values),
+        key_scales=g(cache.key_scales), value_scales=g(cache.value_scales),
+        mask=jax.lax.dynamic_update_slice(
+            cache.mask, new_mask_l[None], (l_idx, 0, 0, 0)
+        ),
+        length=cache.length.at[l_idx].set(jnp.max(counts).astype(jnp.int32)),
+    )
+
+
+def compact_masked(cache: KVCache) -> KVCache:
+    """Gather each head's kept (mask-True, valid) entries to its buffer
+    front and drop per-layer length to the max per-head kept count — the
+    stacked-cache counterpart of AdaKV's ``compact=True`` for presses that
+    evict via mask bits after prefill (KVzip / FastKVzip; the reference's
+    fake-key eviction cannot reclaim memory, attention_patch.py:47).
+    Kept entries preserve relative order (stable sort), so slot-based
+    causality and stored post-RoPE keys are untouched — identical
+    semantics to scorer-press gather-to-front eviction. Follow with the
+    host-level shrink/resize to realize the HBM saving; at 8B/128K that
+    halves decode-step cache traffic AND makes the decode fit at all
+    (2 non-donated copies of the full masked buffer do not)."""
+    if cache.mask is None:
+        return cache
+    for l in range(cache.keys.shape[0]):
+        cache = _compact_masked_layer(cache, jnp.asarray(l, jnp.int32))
+    return cache
 
 
 def shrink(cache: KVCache, new_size: int) -> KVCache:

@@ -377,6 +377,19 @@ class KVPressPipeline:
         if press is not None and getattr(press, "post_mask", False):
             cache = press.apply_post_mask(cache, press_state)
 
+        # Head-wise compaction of mask-based evictions (KVzip / FastKVzip
+        # compact=True): kept entries to each head's buffer front, length
+        # dropped to the max per-head count — the resize below then
+        # realizes the HBM saving (decode reads/copies the small buffer;
+        # at 8B@128K the full masked buffer cannot decode at all).
+        if press is not None and getattr(press, "compact", False) and (
+            getattr(press, "multi_pass", False)
+            or getattr(press, "post_mask", False)
+        ):
+            from .cache import compact_masked
+
+            cache = compact_masked(cache)
+
         # Re-bucket the cache to realize compression memory savings, with room
         # for the longest question + generation. The host reads the actual
         # post-compression length so head-compacting presses (AdaKV

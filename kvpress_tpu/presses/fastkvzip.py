@@ -88,6 +88,9 @@ class FastKVzipPress(BasePress):
     window_size: int = 4096
     window_ratio: float = 0.02
     gates: Optional[dict] = None
+    # Head-wise compaction after the post-mask (cache.compact_masked) —
+    # same memory-reclaim semantics as KVzipPress.compact / AdaKV compact.
+    compact: bool = False
 
     post_mask = True            # pipeline applies the cross-layer mask after prefill
     compresses_prefill = True   # scores collected during prefill

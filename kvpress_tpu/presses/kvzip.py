@@ -34,6 +34,13 @@ class KVzipPress(BasePress):
     kvzip_plus_normalization: bool = False
     chunk_size: int = 2048
     prev_postfix_size: int = 8
+    # Head-wise compaction after the eviction mask (cache.compact_masked):
+    # kept entries move to each head's buffer front so the buffer shrinks
+    # to the max per-head count — real memory/bandwidth reclaim the
+    # reference's fake eviction cannot have (and the 8B@128K decode
+    # enabler: two non-donated copies of the full masked buffer OOM).
+    # Off by default to keep the exact reference-observable mask layout.
+    compact: bool = False
 
     # Pipeline routing flags:
     multi_pass = True                 # run the reconstruction procedure

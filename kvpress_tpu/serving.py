@@ -802,6 +802,13 @@ class ServingEngine:
                                             press, req.max_new_tokens)
             if self.post_mask:
                 cache = press.apply_post_mask(cache, press_state)
+            if getattr(press, "compact", False):
+                # Head-wise compaction (pipeline parity): the slot insert
+                # below re-buckets to slot capacity — compaction lets the
+                # masked admission actually fit a small slot.
+                from .cache import compact_masked
+
+                cache = compact_masked(cache)
 
         pre_row = logits[0, -1]
         if key is not None:

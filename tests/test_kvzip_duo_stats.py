@@ -167,6 +167,22 @@ def test_kvzip_pipeline_end_to_end():
     assert isinstance(out["answer"], str)
 
 
+def test_kvzip_compact_matches_masked():
+    """KVzipPress(compact=True) routes through cache.compact_masked: the
+    answer must equal the mask-only run (compaction preserves kept content
+    and slot-relative order)."""
+    cfg = kp.tiny_config()
+    params = kp.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    pipe = KVPressPipeline(kp.Runner.create(cfg), params, ToyTokenizer(cfg.vocab_size))
+    ctx = " ".join(f"w{i}" for i in range(64))
+    a_mask = pipe(ctx, question="what is w3 ?", max_new_tokens=6,
+                  press=KVzipPress(compression_ratio=0.6, chunk_size=24))
+    a_comp = pipe(ctx, question="what is w3 ?", max_new_tokens=6,
+                  press=KVzipPress(compression_ratio=0.6, chunk_size=24,
+                                   compact=True))
+    assert a_mask["answer"] == a_comp["answer"]
+
+
 def test_duo_attention_mask(oracle):
     import torch
     from transformers import DynamicCache

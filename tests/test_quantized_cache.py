@@ -376,3 +376,42 @@ def test_weight_int4_with_int4_kv_press_decode(tiny):
                                           logits_last_only=True)
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_compact_masked_semantics():
+    """cache.compact_masked gathers each head's kept entries to the front in
+    original order, drops per-layer length to the max per-head count, and
+    leaves quantized scales aligned with their payloads."""
+    import dataclasses
+
+    from kvpress_tpu.cache import compact_masked, init_cache
+    from kvpress_tpu.config import ModelConfig
+
+    cfg = ModelConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                      num_layers=3, num_heads=4, num_kv_heads=2, head_dim=8)
+    L, B, H, S = 3, 2, 2, 16
+    rng = np.random.default_rng(0)
+    cache = init_cache(cfg, B, S, dtype=jnp.float32)
+    keys = jnp.asarray(rng.normal(size=(L, B, H, S, 8)), jnp.float32)
+    values = jnp.asarray(rng.normal(size=(L, B, H, S, 8)), jnp.float32)
+    length = jnp.asarray([12, 16, 9], jnp.int32)
+    mask = jnp.asarray(rng.random((L, B, H, S)) > 0.4)
+    cache = dataclasses.replace(cache, keys=keys, values=values,
+                                length=length, mask=mask)
+    # snapshot before the call: compact_masked DONATES the cache buffers
+    keys_np, mask_np = np.asarray(keys), np.asarray(mask)
+    length_np = np.asarray(length)
+    out = compact_masked(cache)
+
+    pos = np.arange(S)
+    for l in range(L):
+        keep = mask_np[l] & (pos[None, None] < int(length_np[l]))
+        counts = keep.sum(-1)
+        assert int(out.length[l]) == counts.max()
+        for b in range(B):
+            for h in range(H):
+                kept = keys_np[l, b, h][keep[b, h]]
+                np.testing.assert_array_equal(
+                    np.asarray(out.keys[l, b, h, :counts[b, h]]), kept)
+                np.testing.assert_array_equal(
+                    np.asarray(out.mask[l, b, h]), pos < counts[b, h])

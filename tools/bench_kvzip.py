@@ -44,6 +44,16 @@ def main():
     ap.add_argument("--chunk", type=int, default=0,
                     help="context_chunk for the prefill (0 = exact; the 8B "
                          "model defaults to 8192)")
+    ap.add_argument("--compact", action="store_true",
+                    help="KVzipPress(compact=True): head-wise compaction of "
+                         "the eviction mask (cache.compact_masked) — "
+                         "REQUIRED at 8B/128K (the full masked buffer "
+                         "cannot decode: 2 non-donated copies next to the "
+                         "weights OOM)")
+    ap.add_argument("--no-plain", action="store_true",
+                    help="skip the pressless leg (8B/128K: an uncompressed "
+                         "128K cache cannot decode on 16 GB at all — there "
+                         "is nothing to compare against)")
     args = ap.parse_args()
 
     if args.model == "8b":
@@ -78,10 +88,14 @@ def main():
         kw.update(context_chunk=args.chunk)
 
     # plain prefill + answer (warm twice: first call compiles)
-    for label, press in (
+    legs = [
         ("no press    ", None),
-        ("kvzip 0.5   ", KVzipPress(compression_ratio=0.5)),
-    ):
+        ("kvzip 0.5   ", KVzipPress(compression_ratio=0.5,
+                                    compact=args.compact)),
+    ]
+    if args.no_plain:
+        legs = legs[1:]
+    for label, press in legs:
         t = []
         for it in range(2):
             t0 = time.perf_counter()
