@@ -1190,12 +1190,16 @@ class Runner:
         (reference score_kvzip, kvzip_press.py:287-358).
 
         Returns ``(cache, scores)`` with scores (L, B, Hkv, chunk_len) and
-        the cache UNCHANGED: the repeat KV exists only as per-layer
-        transients inside the scan, so there is no xs+ys double-cache copy
-        (the 8B@64K OOM) and no rollback bookkeeping. ``start`` is traced —
-        every full-size chunk shares one compile. The buffer must have room
-        for the repeat tokens (grow beforehand); ``sink``/``chunk_len`` are
-        static. Requires a plain (non-plus) KVzip scorer."""
+        the cache object passed straight through UNTOUCHED: the repeat KV
+        exists only as per-layer transients inside the scan, so there is
+        no xs+ys double-cache copy (the 8B@64K OOM) and no rollback
+        bookkeeping. The jit neither donates nor returns the cache — a
+        donated passthrough made XLA materialize a full padded copy of the
+        key buffer inside the program (4.06 GB at 8B/128K int4, compile-
+        time OOM). ``start`` is traced — every full-size chunk shares one
+        compile. The buffer must have room for the repeat tokens (presize
+        or grow beforehand); ``sink``/``chunk_len`` are static. Requires a
+        plain (non-plus) KVzip scorer."""
         fused = True
         if cache.key_scales is not None:
             dense_bytes = (
@@ -1203,7 +1207,7 @@ class Runner:
                 * cache.max_size * self.cfg.head_dim
             )
             fused = cache.bits == 8 or dense_bytes > (1 << 29)
-        _, cache, _, scores = _chunk_forward_lean(
+        _, _, _, scores = _chunk_forward_score(
             params, rep_ids, cache,
             kvzip_start=jnp.asarray(start, jnp.int32),
             runner=self, compute_logits=False, fused_kv=fused,
@@ -1212,16 +1216,11 @@ class Runner:
         return cache, scores
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("runner", "compute_logits", "hidden_window",
-                     "fused_kv", "image_span", "kvzip_spec"),
-    donate_argnums=(2,))
-def _chunk_forward_lean(params, chunk_ids, cache, collect_gates=None,
-                        chunk_embeds=None, img_groups=None, k_groups=None,
-                        kvzip_start=None, *,
-                        runner, compute_logits=False, hidden_window=None,
-                        fused_kv=True, image_span=None, kvzip_spec=None):
+def _chunk_forward_lean_impl(params, chunk_ids, cache, collect_gates=None,
+                             chunk_embeds=None, img_groups=None,
+                             k_groups=None, kvzip_start=None, *,
+                             runner, compute_logits=False, hidden_window=None,
+                             fused_kv=True, image_span=None, kvzip_spec=None):
     """Pressless chunk append with O(chunk) scan outputs.
 
     The standard forward's layer scan threads the FULL cache buffers as both
@@ -1467,7 +1466,9 @@ def _chunk_forward_lean(params, chunk_ids, cache, collect_gates=None,
         # Scoring pass: the repeat KV lived only in per-layer transients —
         # cache content, length and offset are all unchanged, so the
         # KVzip rollback between passes is free (no appended slots exist).
-        return None, cache, hidden_win, chunk_scores
+        # The cache is NOT returned: a (donated) passthrough output makes
+        # XLA copy the whole padded key buffer inside the program.
+        return None, None, hidden_win, chunk_scores
 
     start = (0, 0, 0, cache.length[0], 0)
     keys = jax.lax.dynamic_update_slice(cache.keys, nk, start)
@@ -1491,6 +1492,21 @@ def _chunk_forward_lean(params, chunk_ids, cache, collect_gates=None,
         key_scales=key_scales, value_scales=value_scales,
         length=cache.length + T, offset=cache.offset + T,
     ), hidden_win, chunk_scores
+
+
+_LEAN_STATICS = ("runner", "compute_logits", "hidden_window", "fused_kv",
+                 "image_span", "kvzip_spec")
+# Chunk-append form (prefill_chunked): the cache is donated — the batched
+# DUS writes the chunk's new K/V in place.
+_chunk_forward_lean = functools.partial(
+    jax.jit, static_argnames=_LEAN_STATICS, donate_argnums=(2,)
+)(_chunk_forward_lean_impl)
+# Scoring form (kvzip_repeat_pass): NO donation and no cache output — the
+# buffers are read-only xs; donating and passing the cache through made XLA
+# materialize a full padded key-buffer copy inside the program.
+_chunk_forward_score = jax.jit(
+    _chunk_forward_lean_impl, static_argnames=_LEAN_STATICS
+)
 
 
 @functools.partial(

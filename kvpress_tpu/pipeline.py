@@ -338,10 +338,17 @@ class KVPressPipeline:
             assert context_bucket is None, (
                 "context_chunk does not compose with context_bucket"
             )
+            # KVzip-family presses: presize for the repeat passes — growing
+            # a 128K cache afterwards holds two full caches (measured OOM
+            # at 8B/128K int4 next to the weights).
+            extra = (press.repeat_room()
+                     if press is not None
+                     and getattr(press, "multi_pass", None) is True else 0)
             prefill_logits, cache, press_state = self.runner.prefill_chunked(
                 self.params, ids, press=press, chunk_size=context_chunk,
                 dtype=param_dtype_of(self.params), compute_logits=True,
                 quantized=quantized, kv_bits=kv_bits,
+                max_size=ids.shape[1] + extra if extra else None,
                 inputs_embeds=embeds, token_types=token_types,
                 image_span=(self.vision_cfg.mm_tokens_per_image
                             if token_types is not None else None),

@@ -49,6 +49,16 @@ class KVzipPress(BasePress):
     def __post_init__(self):
         assert 0 <= self.compression_ratio < 1
 
+    def repeat_room(self) -> int:
+        """Upper bound on one repeat-prompt length (chunk + repeat question
+        + chat suffix + prev-postfix, plus restore tokens for RestoreKV) —
+        lets the pipeline PRESIZE the prefill buffer so ``_run_kvzip``
+        never has to ``grow`` the full cache (the grow copy holds TWO full
+        caches: measured OOM at 8B/128K int4 next to the weights). The
+        grow fallback remains for pathological chat templates."""
+        return (self.chunk_size + self.prev_postfix_size + 64
+                + getattr(self, "num_restore_tokens", 0))
+
     def chunk_pairs(self, context_ids: list[int], prefix_length: int,
                     suffix_ids: list[int], tokenizer) -> list[tuple[list, list]]:
         """[(chunk_ids, repeat_ids)] (reference prepare(), :225-264)."""
