@@ -1191,15 +1191,18 @@ class Runner:
 
         Returns ``(cache, scores)`` with scores (L, B, Hkv, chunk_len) and
         the cache object passed straight through UNTOUCHED: the repeat KV
-        exists only as per-layer transients inside the scan, so there is
-        no xs+ys double-cache copy (the 8B@64K OOM) and no rollback
-        bookkeeping. The jit neither donates nor returns the cache — a
-        donated passthrough made XLA materialize a full padded copy of the
-        key buffer inside the program (4.06 GB at 8B/128K int4, compile-
-        time OOM). ``start`` is traced — every full-size chunk shares one
-        compile. The buffer must have room for the repeat tokens (presize
-        or grow beforehand); ``sink``/``chunk_len`` are static. Requires a
-        plain (non-plus) KVzip scorer."""
+        exists only as per-layer transients, so there is no xs+ys
+        double-cache copy (the 8B@64K OOM) and no rollback bookkeeping.
+        The pass runs as a HOST LOOP of per-layer jits
+        (``_kvzip_score_layer``, the _compress_layer pattern): a layer
+        scan would pack the cache buffers into while-loop state, which XLA
+        realizes as a full 2x-padded key-buffer copy (4.06 GB at 8B/128K
+        int4 — compile-time OOM) whether donated-and-returned or
+        non-donated. ``start`` and the layer index are traced — every
+        full-size chunk shares one small compile. The buffer must have
+        room for the repeat tokens (presize or grow beforehand);
+        ``sink``/``chunk_len`` are static. Requires a plain (non-plus)
+        KVzip scorer."""
         fused = True
         if cache.key_scales is not None:
             dense_bytes = (
@@ -1207,20 +1210,23 @@ class Runner:
                 * cache.max_size * self.cfg.head_dim
             )
             fused = cache.bits == 8 or dense_bytes > (1 << 29)
-        _, _, _, scores = _chunk_forward_score(
-            params, rep_ids, cache,
-            kvzip_start=jnp.asarray(start, jnp.int32),
-            runner=self, compute_logits=False, fused_kv=fused,
-            kvzip_spec=(sink, chunk_len),
-        )
-        return cache, scores
+        x = _embed_for_score(params, rep_ids, runner=self)
+        l_start = jnp.asarray(start, jnp.int32)
+        scores = []
+        for l in range(self.cfg.num_layers):
+            x, sc = _kvzip_score_layer(
+                params, x, cache, jnp.asarray(l, jnp.int32), l_start,
+                runner=self, fused_kv=fused, kvzip_spec=(sink, chunk_len),
+            )
+            scores.append(sc)
+        return cache, jnp.stack(scores)
 
 
 def _chunk_forward_lean_impl(params, chunk_ids, cache, collect_gates=None,
                              chunk_embeds=None, img_groups=None,
-                             k_groups=None, kvzip_start=None, *,
+                             k_groups=None, *,
                              runner, compute_logits=False, hidden_window=None,
-                             fused_kv=True, image_span=None, kvzip_spec=None):
+                             fused_kv=True, image_span=None):
     """Pressless chunk append with O(chunk) scan outputs.
 
     The standard forward's layer scan threads the FULL cache buffers as both
@@ -1407,35 +1413,6 @@ def _chunk_forward_lean_impl(params, chunk_ids, cache, collect_gates=None,
             from ..presses.fastkvzip import gate_scores
 
             ys = ys + (gate_scores(collect_gates, lid, h),)
-        if kvzip_spec is not None:
-            # KVzip repeat-chunk scoring, in-body: the [sink | chunk] keys
-            # come from the read-only buffer (dequantized at subset width —
-            # ~(cl+T) slots, not the 64K buffer), the T repeat keys are the
-            # exact bf16 `k` already in registers. The chunk start is
-            # TRACED, so every full-size chunk shares one compile (the
-            # static-span scorer path recompiles per chunk).
-            from ..presses.kvzip import subset_max_scores
-
-            zsink, zcl = kvzip_spec
-            if quantized:
-                from ..cache import dequantize_kv
-
-                parts = []
-                if zsink:
-                    parts.append(dequantize_kv(
-                        kb[:, :, :zsink], ks[:, :, :zsink], cache.bits,
-                        xh.dtype))
-                kc = jax.lax.dynamic_slice_in_dim(kb, kvzip_start, zcl, axis=2)
-                kcs = jax.lax.dynamic_slice_in_dim(ks, kvzip_start, zcl,
-                                                   axis=2)
-                parts.append(dequantize_kv(kc, kcs, cache.bits, xh.dtype))
-            else:
-                parts = ([kb[:, :, :zsink]] if zsink else []) + [
-                    jax.lax.dynamic_slice_in_dim(kb, kvzip_start, zcl, axis=2)
-                ]
-            parts.append(k.astype(parts[-1].dtype))
-            ys = ys + (subset_max_scores(
-                q, jnp.concatenate(parts, axis=2), zsink, zcl),)
         o = _lin(o.transpose(0, 2, 1, 3).reshape(B, T, -1), layer, "wo")
         if cfg.post_norms:
             o = rms_norm(o, layer["ln1_post"], cfg.rms_norm_eps,
@@ -1457,18 +1434,7 @@ def _chunk_forward_lean_impl(params, chunk_ids, cache, collect_gates=None,
     nk, nv, nks, nvs = out_ys[:4]
     rest = out_ys[4:]
     hidden_win = rest.pop(0) if hidden_window is not None else None
-    assert not (collect_gates is not None and kvzip_spec is not None)
-    chunk_scores = rest.pop(0) if (
-        collect_gates is not None or kvzip_spec is not None
-    ) else None
-
-    if kvzip_spec is not None:
-        # Scoring pass: the repeat KV lived only in per-layer transients —
-        # cache content, length and offset are all unchanged, so the
-        # KVzip rollback between passes is free (no appended slots exist).
-        # The cache is NOT returned: a (donated) passthrough output makes
-        # XLA copy the whole padded key buffer inside the program.
-        return None, None, hidden_win, chunk_scores
+    chunk_scores = rest.pop(0) if collect_gates is not None else None
 
     start = (0, 0, 0, cache.length[0], 0)
     keys = jax.lax.dynamic_update_slice(cache.keys, nk, start)
@@ -1494,19 +1460,177 @@ def _chunk_forward_lean_impl(params, chunk_ids, cache, collect_gates=None,
     ), hidden_win, chunk_scores
 
 
-_LEAN_STATICS = ("runner", "compute_logits", "hidden_window", "fused_kv",
-                 "image_span", "kvzip_spec")
 # Chunk-append form (prefill_chunked): the cache is donated — the batched
-# DUS writes the chunk's new K/V in place.
+# DUS writes the chunk's new K/V in place. (The KVzip repeat pass does NOT
+# reuse this scan: its cache must stay alive across passes, and both a
+# donated passthrough AND non-donated scan xs make XLA materialize a full
+# padded key-buffer copy — see _kvzip_score_layer's host-loop form.)
 _chunk_forward_lean = functools.partial(
-    jax.jit, static_argnames=_LEAN_STATICS, donate_argnums=(2,)
+    jax.jit,
+    static_argnames=("runner", "compute_logits", "hidden_window",
+                     "fused_kv", "image_span"),
+    donate_argnums=(2,),
 )(_chunk_forward_lean_impl)
-# Scoring form (kvzip_repeat_pass): NO donation and no cache output — the
-# buffers are read-only xs; donating and passing the cache through made XLA
-# materialize a full padded key-buffer copy inside the program.
-_chunk_forward_score = jax.jit(
-    _chunk_forward_lean_impl, static_argnames=_LEAN_STATICS
-)
+
+
+@functools.partial(jax.jit, static_argnames=("runner",))
+def _embed_for_score(params, ids, *, runner):
+    return embed_tokens(params, ids, runner.cfg)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("runner", "fused_kv", "kvzip_spec"))
+def _kvzip_score_layer(params, xh, cache, l_idx, kvzip_start, *,
+                       runner, fused_kv, kvzip_spec):
+    """One layer of the KVzip repeat pass, host-loop form (the
+    _compress_layer pattern): the stacked cache buffers are read as plain
+    jit parameters with a traced per-layer slice — NO layer scan, because
+    a scan packs its xs into the while-loop state and XLA materializes a
+    full (2x-padded) copy of the 8B/128K key buffer to do so (4.06 GB
+    temp, compile-time OOM; donation lets the prefill variant alias, but
+    the scoring pass must leave the caller's cache alive across passes).
+    Peak extra memory here is one layer's transients. Returns
+    ``(xh', scores_l)``; the appended repeat KV is a per-layer transient —
+    the cache is never modified (KVzip rollback is free)."""
+    from ..cache import dequantize_kv, quantize_kv
+    from ..ops.flash import flash_attention, flash_attention_quant
+
+    cfg: ModelConfig = runner.cfg
+    B, T = xh.shape[:2]
+    quantized = cache.key_scales is not None
+    zsink, zcl = kvzip_spec
+    layer = jax.tree_util.tree_map(lambda a: a[l_idx], params["layers"])
+    kb = cache.keys[l_idx]
+    vb = cache.values[l_idx]
+    ks = cache.key_scales[l_idx] if quantized else None
+    vs = cache.value_scales[l_idx] if quantized else None
+    lmask = (cache.mask[l_idx] if cache.mask is not None
+             else jnp.ones((B, cfg.num_kv_heads, kb.shape[2]), bool))
+    ln = cache.length[l_idx]
+    sflag = jnp.asarray(cfg.sliding_flags())[l_idx]
+    positions = jnp.broadcast_to(
+        (cache.offset + jnp.arange(T, dtype=jnp.int32))[None], (B, T)
+    )
+    cos, sin = rope_cos_sin(runner.inv_freq(), positions,
+                            runner.attention_scaling)
+    if cfg.rope_local_base_freq is not None:
+        cos_l, sin_l = rope_cos_sin(runner.inv_freq_local(), positions, 1.0)
+        cos = jnp.where(sflag, cos_l, cos)
+        sin = jnp.where(sflag, sin_l, sin)
+    cos, sin = cos[:, None], sin[:, None]
+    scale = (cfg.query_pre_attn_scalar ** -0.5
+             if cfg.query_pre_attn_scalar is not None
+             else cfg.head_dim ** -0.5)
+    window = cfg.sliding_window
+
+    h = rms_norm(xh, layer["ln1"], cfg.rms_norm_eps, cfg.rms_one_offset)
+    q_pre, k_pre, v = _project_qkv(layer, cfg, h)
+    q = apply_rope(q_pre, cos, sin)
+    k = apply_rope(k_pre, cos, sin)
+
+    use_flash = runner.attn_impl == "flash" and T > 1
+    if quantized:
+        qk, k_scale = quantize_kv(k, cache.bits)
+        qv, v_scale = quantize_kv(v, cache.bits)
+        kb2 = jax.lax.dynamic_update_slice_in_dim(kb, qk, ln, axis=2)
+        vb2 = jax.lax.dynamic_update_slice_in_dim(vb, qv, ln, axis=2)
+        ks2 = jax.lax.dynamic_update_slice_in_dim(ks, k_scale, ln, axis=2)
+        vs2 = jax.lax.dynamic_update_slice_in_dim(vs, v_scale, ln, axis=2)
+        if use_flash and not fused_kv:
+            kd = dequantize_kv(kb2, ks2, cache.bits, xh.dtype)
+            vd = dequantize_kv(vb2, vs2, cache.bits, xh.dtype)
+
+            def _fld(win):
+                return flash_attention(q, kd, vd, ln, lmask, sm_scale=scale,
+                                       softcap=cfg.logit_softcap, window=win)
+
+            if window is not None:
+                o = jax.lax.cond(sflag, lambda: _fld(window),
+                                 lambda: _fld(None))
+            else:
+                o = _fld(None)
+        elif use_flash:
+            def _flq(win):
+                return flash_attention_quant(
+                    q, kb2, vb2, ks2, vs2, ln, lmask, bits=cache.bits,
+                    sm_scale=scale, softcap=cfg.logit_softcap, window=win,
+                )
+
+            if window is not None:
+                o = jax.lax.cond(sflag, lambda: _flq(window),
+                                 lambda: _flq(None))
+            else:
+                o = _flq(None)
+        else:
+            S_buf = kb2.shape[2]
+            bias = attention_bias(ln, T, S_buf, sliding_window=None,
+                                  head_mask=lmask)
+            if window is not None:
+                sl_bias = attention_bias(ln, T, S_buf, sliding_window=window,
+                                         head_mask=lmask)
+                bias = jnp.where(sflag, sl_bias, bias)
+            o = quant_gqa_attention(q, kb2, vb2, ks2, vs2, bias, scale,
+                                    cache.bits, softcap=cfg.logit_softcap)
+    else:
+        keys = jax.lax.dynamic_update_slice_in_dim(
+            kb, k.astype(kb.dtype), ln, axis=2
+        )
+        values = jax.lax.dynamic_update_slice_in_dim(
+            vb, v.astype(vb.dtype), ln, axis=2
+        )
+        if use_flash:
+            def _fl(win):
+                return flash_attention(q, keys, values, ln, lmask,
+                                       sm_scale=scale,
+                                       softcap=cfg.logit_softcap, window=win)
+
+            if window is not None:
+                o = jax.lax.cond(sflag, lambda: _fl(window),
+                                 lambda: _fl(None))
+            else:
+                o = _fl(None)
+        else:
+            S_buf = keys.shape[2]
+            bias = attention_bias(ln, T, S_buf, sliding_window=None,
+                                  head_mask=lmask)
+            if window is not None:
+                sl_bias = attention_bias(ln, T, S_buf, sliding_window=window,
+                                         head_mask=lmask)
+                bias = jnp.where(sflag, sl_bias, bias)
+            o, _ = gqa_attention(q, keys, values, bias, scale,
+                                 softcap=cfg.logit_softcap)
+
+    # KVzip subset scores: [sink | chunk] keys from the read-only buffer
+    # (dequantized at subset width), repeat keys exact bf16 in registers.
+    from ..presses.kvzip import subset_max_scores
+
+    if quantized:
+        parts = []
+        if zsink:
+            parts.append(dequantize_kv(kb[:, :, :zsink], ks[:, :, :zsink],
+                                       cache.bits, xh.dtype))
+        kc = jax.lax.dynamic_slice_in_dim(kb, kvzip_start, zcl, axis=2)
+        kcs = jax.lax.dynamic_slice_in_dim(ks, kvzip_start, zcl, axis=2)
+        parts.append(dequantize_kv(kc, kcs, cache.bits, xh.dtype))
+    else:
+        parts = ([kb[:, :, :zsink]] if zsink else []) + [
+            jax.lax.dynamic_slice_in_dim(kb, kvzip_start, zcl, axis=2)
+        ]
+    parts.append(k.astype(parts[-1].dtype))
+    scores = subset_max_scores(q, jnp.concatenate(parts, axis=2), zsink, zcl)
+
+    o = _lin(o.transpose(0, 2, 1, 3).reshape(B, T, -1), layer, "wo")
+    if cfg.post_norms:
+        o = rms_norm(o, layer["ln1_post"], cfg.rms_norm_eps,
+                     cfg.rms_one_offset)
+    xh = xh + o
+    h2 = rms_norm(xh, layer["ln2"], cfg.rms_norm_eps, cfg.rms_one_offset)
+    mlp = _act(_lin(h2, layer, "wg"), cfg.act) * _lin(h2, layer, "wu")
+    mlp = _lin(mlp, layer, "wd")
+    if cfg.post_norms:
+        mlp = rms_norm(mlp, layer["ln2_post"], cfg.rms_norm_eps,
+                       cfg.rms_one_offset)
+    return xh + mlp, scores
 
 
 @functools.partial(
