@@ -1185,7 +1185,8 @@ class Runner:
         return logits, cache, state
 
     def kvzip_repeat_pass(self, params, rep_ids, cache, start: int,
-                          sink: int, chunk_len: int):
+                          sink: int, chunk_len: int,
+                          scan_max_bytes: int = 3 << 30):
         """One KVzip repeat-chunk scoring pass over the lean chunk forward
         (reference score_kvzip, kvzip_press.py:287-358).
 
@@ -1193,16 +1194,18 @@ class Runner:
         the cache object passed straight through UNTOUCHED: the repeat KV
         exists only as per-layer transients, so there is no xs+ys
         double-cache copy (the 8B@64K OOM) and no rollback bookkeeping.
-        The pass runs as a HOST LOOP of per-layer jits
-        (``_kvzip_score_layer``, the _compress_layer pattern): a layer
-        scan would pack the cache buffers into while-loop state, which XLA
-        realizes as a full 2x-padded key-buffer copy (4.06 GB at 8B/128K
-        int4 — compile-time OOM) whether donated-and-returned or
-        non-donated. ``start`` and the layer index are traced — every
-        full-size chunk shares one small compile. The buffer must have
-        room for the repeat tokens (presize or grow beforehand);
-        ``sink``/``chunk_len`` are static. Requires a plain (non-plus)
-        KVzip scorer."""
+        Two forms, picked by cache size (``scan_max_bytes``): the SCAN form
+        (one fused program, fastest — measured 22.0s vs 28.1s for the 8B
+        32K compress) packs the buffers into while-loop state, which XLA
+        realizes as ONE padded copy of the key buffer — affordable up to a
+        few GB, a compile-time OOM at 8B/128K int4 (4.06 GB temp). Above
+        the threshold the pass runs as a HOST LOOP of per-layer jits
+        (``_kvzip_score_layer``, the _compress_layer pattern) whose peak
+        extra memory is one layer's transients. ``start`` and the layer
+        index are traced — every full-size chunk shares one compile per
+        form. The buffer must have room for the repeat tokens (presize or
+        grow beforehand); ``sink``/``chunk_len`` are static. Requires a
+        plain (non-plus) KVzip scorer."""
         fused = True
         if cache.key_scales is not None:
             dense_bytes = (
@@ -1210,6 +1213,15 @@ class Runner:
                 * cache.max_size * self.cfg.head_dim
             )
             fused = cache.bits == 8 or dense_bytes > (1 << 29)
+        payload = cache.keys.nbytes + cache.values.nbytes
+        if payload <= scan_max_bytes:
+            _, _, _, scores = _chunk_forward_score(
+                params, rep_ids, cache,
+                kvzip_start=jnp.asarray(start, jnp.int32),
+                runner=self, compute_logits=False, fused_kv=fused,
+                kvzip_spec=(sink, chunk_len),
+            )
+            return cache, scores
         x = _embed_for_score(params, rep_ids, runner=self)
         l_start = jnp.asarray(start, jnp.int32)
         scores = []
@@ -1224,9 +1236,9 @@ class Runner:
 
 def _chunk_forward_lean_impl(params, chunk_ids, cache, collect_gates=None,
                              chunk_embeds=None, img_groups=None,
-                             k_groups=None, *,
+                             k_groups=None, kvzip_start=None, *,
                              runner, compute_logits=False, hidden_window=None,
-                             fused_kv=True, image_span=None):
+                             fused_kv=True, image_span=None, kvzip_spec=None):
     """Pressless chunk append with O(chunk) scan outputs.
 
     The standard forward's layer scan threads the FULL cache buffers as both
@@ -1413,6 +1425,35 @@ def _chunk_forward_lean_impl(params, chunk_ids, cache, collect_gates=None,
             from ..presses.fastkvzip import gate_scores
 
             ys = ys + (gate_scores(collect_gates, lid, h),)
+        if kvzip_spec is not None:
+            # KVzip repeat-chunk scoring, in-body (scan form — see
+            # kvzip_repeat_pass for when this form applies): the
+            # [sink | chunk] keys come from the read-only buffer
+            # (dequantized at subset width), the T repeat keys are the
+            # exact bf16 `k` already in registers. The chunk start is
+            # TRACED, so every full-size chunk shares one compile.
+            from ..presses.kvzip import subset_max_scores
+
+            zsink, zcl = kvzip_spec
+            if quantized:
+                from ..cache import dequantize_kv
+
+                parts = []
+                if zsink:
+                    parts.append(dequantize_kv(
+                        kb[:, :, :zsink], ks[:, :, :zsink], cache.bits,
+                        xh.dtype))
+                kc = jax.lax.dynamic_slice_in_dim(kb, kvzip_start, zcl, axis=2)
+                kcs = jax.lax.dynamic_slice_in_dim(ks, kvzip_start, zcl,
+                                                   axis=2)
+                parts.append(dequantize_kv(kc, kcs, cache.bits, xh.dtype))
+            else:
+                parts = ([kb[:, :, :zsink]] if zsink else []) + [
+                    jax.lax.dynamic_slice_in_dim(kb, kvzip_start, zcl, axis=2)
+                ]
+            parts.append(k.astype(parts[-1].dtype))
+            ys = ys + (subset_max_scores(
+                q, jnp.concatenate(parts, axis=2), zsink, zcl),)
         o = _lin(o.transpose(0, 2, 1, 3).reshape(B, T, -1), layer, "wo")
         if cfg.post_norms:
             o = rms_norm(o, layer["ln1_post"], cfg.rms_norm_eps,
@@ -1434,7 +1475,18 @@ def _chunk_forward_lean_impl(params, chunk_ids, cache, collect_gates=None,
     nk, nv, nks, nvs = out_ys[:4]
     rest = out_ys[4:]
     hidden_win = rest.pop(0) if hidden_window is not None else None
-    chunk_scores = rest.pop(0) if collect_gates is not None else None
+    assert not (collect_gates is not None and kvzip_spec is not None)
+    chunk_scores = rest.pop(0) if (
+        collect_gates is not None or kvzip_spec is not None
+    ) else None
+
+    if kvzip_spec is not None:
+        # Scoring pass (scan form): the repeat KV lived only in per-layer
+        # transients — cache content, length and offset are all unchanged,
+        # so the KVzip rollback between passes is free. The cache is NOT
+        # returned: a passthrough output makes XLA copy the padded key
+        # buffer inside the program on top of the loop-state copy.
+        return None, None, hidden_win, chunk_scores
 
     start = (0, 0, 0, cache.length[0], 0)
     keys = jax.lax.dynamic_update_slice(cache.keys, nk, start)
@@ -1461,16 +1513,19 @@ def _chunk_forward_lean_impl(params, chunk_ids, cache, collect_gates=None,
 
 
 # Chunk-append form (prefill_chunked): the cache is donated — the batched
-# DUS writes the chunk's new K/V in place. (The KVzip repeat pass does NOT
-# reuse this scan: its cache must stay alive across passes, and both a
-# donated passthrough AND non-donated scan xs make XLA materialize a full
-# padded key-buffer copy — see _kvzip_score_layer's host-loop form.)
+# DUS writes the chunk's new K/V in place.
+_LEAN_STATICS = ("runner", "compute_logits", "hidden_window", "fused_kv",
+                 "image_span", "kvzip_spec")
 _chunk_forward_lean = functools.partial(
-    jax.jit,
-    static_argnames=("runner", "compute_logits", "hidden_window",
-                     "fused_kv", "image_span"),
-    donate_argnums=(2,),
+    jax.jit, static_argnames=_LEAN_STATICS, donate_argnums=(2,)
 )(_chunk_forward_lean_impl)
+# Scan-form scoring (kvzip_repeat_pass, small/mid caches): no donation and
+# no cache output. XLA still materializes ONE padded copy of the key buffer
+# to pack the scan xs into while-loop state — affordable below the
+# size threshold in kvzip_repeat_pass, fatal at 8B/128K (4.06 GB).
+_chunk_forward_score = jax.jit(
+    _chunk_forward_lean_impl, static_argnames=_LEAN_STATICS
+)
 
 
 @functools.partial(jax.jit, static_argnames=("runner",))

@@ -622,6 +622,15 @@ class KVPressPipeline:
                     min(press.n_sink, start), end - start,
                 )
                 score_arrs.append(sc)
+                # Lagged queue bound: enqueued calls allocate their outputs
+                # eagerly on the axon backend (CLAUDE.md) — a 4-byte fetch
+                # on the PREVIOUS pass's scores caps outstanding work at
+                # ~one pass (~32 per-layer calls) while the current pass
+                # keeps the device busy. Full per-pass fetches are the
+                # measured 10x regression (probe_kvzip_cost.py) — this is
+                # one tunnel round-trip per pass, not a drain.
+                if len(score_arrs) >= 2:
+                    jax.device_get(score_arrs[-2][0, 0, 0, 0])
             else:
                 scorer = KVzipChunkScorer(
                     start_idx=start, end_idx=end, context_length=ctx_len,

@@ -124,13 +124,20 @@ def test_kvzip_mask_matches_reference(oracle, plus, layerwise):
         np.testing.assert_array_equal(keep[layer_idx], exp, err_msg=f"layer {layer_idx}")
 
 
-@pytest.mark.parametrize("quantized", [False, True])
-def test_kvzip_lean_repeat_pass_matches_scorer_path(oracle, quantized):
-    """The lean repeat pass (traced chunk start, no cache append — the
-    8B@64K path) must score identically to the static-span scorer press
-    driven through the full forward. Quantized caches: the lean pass uses
-    the exact bf16/f32 repeat keys where the old path reads them back
-    through the cache quantizer — scores differ only by that roundtrip."""
+@pytest.mark.parametrize("quantized,scan_max", [
+    (False, 3 << 30),   # scan form (small/mid caches)
+    (True, 3 << 30),
+    (False, 0),         # host-loop form (the 8B/128K path)
+    (True, 0),
+])
+def test_kvzip_lean_repeat_pass_matches_scorer_path(oracle, quantized,
+                                                    scan_max):
+    """Both lean repeat-pass forms (traced chunk start, no cache append —
+    scan for small/mid caches, host-loop per-layer for huge ones) must
+    score identically to the static-span scorer press driven through the
+    full forward. Quantized caches: the lean pass uses the exact bf16/f32
+    repeat keys where the old path reads them back through the cache
+    quantizer — scores differ only by that roundtrip."""
     _, _, params, cfg, runner, ids = oracle
     start, end, n_sink = 2, 50, 4
     rep = [11, 12, 5, 6] + ids[0, start:end].tolist()
@@ -149,6 +156,7 @@ def test_kvzip_lean_repeat_pass_matches_scorer_path(oracle, quantized):
     ref_scores = np.asarray(out["scores"])
     cache2, sc = runner.kvzip_repeat_pass(
         params, rep_arr, cache, start, min(n_sink, start), end - start,
+        scan_max_bytes=scan_max,
     )
     tol = dict(atol=5e-2) if quantized else dict(atol=1e-6, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(sc), ref_scores, **tol)

@@ -212,7 +212,7 @@ def main():
             step_donated if donate_this else step, tok, cache,
             sync_every=sync_every)
         if donate_this:
-            label += " (donated)" 
+            label += " (donated)"
         med *= args.batch
         print(f"{label:26s} ctx={ctx//1024:4d}K b={args.batch} "
               f"prefill {t_pre:6.2f}s "
