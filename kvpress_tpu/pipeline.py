@@ -623,13 +623,13 @@ class KVPressPipeline:
                 )
                 score_arrs.append(sc)
                 # Lagged queue bound: enqueued calls allocate their outputs
-                # eagerly on the axon backend (CLAUDE.md) — a 4-byte fetch
-                # on the PREVIOUS pass's scores caps outstanding work at
-                # ~one pass (~32 per-layer calls) while the current pass
-                # keeps the device busy. Full per-pass fetches are the
-                # measured 10x regression (probe_kvzip_cost.py) — this is
-                # one tunnel round-trip per pass, not a drain.
-                if len(score_arrs) >= 2:
+                # eagerly on the axon backend (CLAUDE.md), so an unbounded
+                # dispatch run-ahead could pile up pass outputs. A tiny
+                # fetch every 8th pass caps that at ~8 passes of small
+                # outputs. Not every pass: on the tunnel ANY fetch waits on
+                # the whole enqueued queue (measured +6s over 16 passes at
+                # 8B/32K — a per-pass barrier, not a cheap dependency wait).
+                if len(score_arrs) % 8 == 0:
                     jax.device_get(score_arrs[-2][0, 0, 0, 0])
             else:
                 scorer = KVzipChunkScorer(
