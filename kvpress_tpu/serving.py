@@ -752,8 +752,13 @@ class ServingEngine:
             # remainder width — not one exact-length prefill compile per
             # length, the 128K admission cliff). Still zero host syncs: the
             # chunk loop only dispatches.
-            bucketed = -(-ids.shape[1] // self.context_chunk) * \
-                self.context_chunk
+            need = ids.shape[1]
+            if getattr(self.press, "multi_pass", None) is True:
+                # KVzip-family: presize for the repeat passes (pipeline
+                # parity) — growing a long-context cache afterwards holds
+                # two full copies (measured OOM at 8B/128K int4).
+                need += self.press.repeat_room()
+            bucketed = -(-need // self.context_chunk) * self.context_chunk
             chunk_gen = runner.prefill_chunked_steps(
                 params, ids, press=self.press,
                 chunk_size=self.context_chunk, max_size=bucketed,

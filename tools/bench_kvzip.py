@@ -15,7 +15,14 @@ xs AND ys, so a bf16 32K cache costs 2x4.6 GB next to 7.25 GB weights
 (measured RESOURCE_EXHAUSTED); the int4 payload fits with room.
 
 Usage: python tools/bench_kvzip.py [ctx_tokens] [--model 1b|8b]
-       [--kv-bits N] [--chunk N]
+       [--kv-bits N] [--chunk N] [--compact] [--no-plain]
+
+Measured (round 4, real v5e, int8 weights + int4 KV, lean repeat passes):
+  8b 32K: plain 6.9s warm, kvzip 24.2s (compile+1st 56s)
+  8b 64K: plain 21.2s, kvzip 68.5s (3.2x; the full-forward scorer OOMs)
+  8b 128K (--compact --no-plain): kvzip 314s = 3.45x the 91s plain
+    chunked prefill; answer decodes off the compacted ~69K-slot cache
+  1b 16K: plain 0.9s, kvzip 4.5s
 """
 
 import argparse
