@@ -272,3 +272,34 @@ def test_duo_on_the_fly_scoring(oracle):
     _, cache, _ = runner.prefill(params, jnp.asarray(ids), press=press, dtype=jnp.float32)
     from kvpress_tpu.cache import masked_fraction
     assert float(masked_fraction(cache)) > 0.2
+
+
+@pytest.mark.parametrize("scan_max", [3 << 30, 0])
+def test_kvzip_lean_pass_sliding_window_model(scan_max):
+    """Gemma3-style interleaved sliding/global layers through BOTH lean
+    repeat-pass forms: the window lax.cond branch must score identically to
+    the static-span scorer press driven through the full forward."""
+    cfg = kp.tiny_config(num_layers=4, sliding_window=8,
+                         rope_local_base_freq=500.0,
+                         layer_is_sliding=tuple(i % 2 == 0 for i in range(4)))
+    params = kp.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    runner = kp.Runner.create(cfg)
+    Sc = 64
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.permutation(cfg.vocab_size)[:Sc][None], jnp.int32)
+    start, end, n_sink = 2, 40, 4
+    rep = [11, 12, 5, 6] + np.asarray(ids[0, start:end]).tolist()
+    _, cache, _ = runner.prefill(params, ids, max_size=Sc + len(rep) + 4,
+                                 dtype=jnp.float32)
+    scorer = KVzipChunkScorer(start_idx=start, end_idx=end,
+                              context_length=Sc, n_sink=n_sink)
+    state = scorer.init_state(cfg, 1, Sc)
+    rep_arr = jnp.asarray([rep], jnp.int32)
+    _, _, out = _scored_forward(params, rep_arr, cache, state,
+                                runner=runner, press=scorer)
+    _, sc = runner.kvzip_repeat_pass(
+        params, rep_arr, cache, start, min(n_sink, start), end - start,
+        scan_max_bytes=scan_max,
+    )
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(out["scores"]),
+                               atol=1e-6, rtol=1e-5)
