@@ -52,6 +52,8 @@ from collections import OrderedDict
 from functools import partial
 from typing import Optional
 
+import logging
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -62,6 +64,8 @@ from .models.llama import Runner, _act, _lin, _project_qkv, rms_norm
 from .ops.attention import NEG_INF, gqa_attention, quant_gqa_attention
 from .presses.base import BasePress
 from .rope import apply_rope, rope_cos_sin
+
+logger = logging.getLogger(__name__)
 
 
 @jax.tree_util.register_dataclass
@@ -922,10 +926,27 @@ class ServingEngine:
             import time as _time
 
             self._ttfts.append(_time.perf_counter() - self._t_run_start)
-        assert kept + req.max_new_tokens + 1 <= self.capacity, (
-            f"request needs {kept + req.max_new_tokens + 1} slots, "
-            f"capacity is {self.capacity} — raise capacity or compress more"
-        )
+        if kept + req.max_new_tokens + 1 > self.capacity:
+            if (self.press is not None
+                    and getattr(self.press, "compact", False)):
+                # Optimistic admission miss: the compacted cache was already
+                # truncated by the capacity re-bucket — drop the request
+                # cleanly (slot stays dead and reusable, engine unharmed).
+                logger.warning(
+                    "request %d compacted to %d slots but needs %d > "
+                    "capacity %d — dropped (empty answer); raise capacity "
+                    "or compress more", adm["req_idx"],
+                    kept, kept + req.max_new_tokens + 1, self.capacity,
+                )
+                self.live[slot] = False
+                self.slots[slot] = _SlotState()
+                self._dropped.append(adm["req_idx"])
+                return
+            raise AssertionError(
+                f"request needs {kept + req.max_new_tokens + 1} slots, "
+                f"capacity is {self.capacity} — raise capacity or compress "
+                "more"
+            )
         self.live[slot] = True
         st = self.slots[slot]
         st.req_idx = adm["req_idx"]
@@ -956,9 +977,24 @@ class ServingEngine:
         # pool and leaves the engine unusable (advisor r2). The static
         # bound (press.max_kept) is conservative: a rejected request *might*
         # have fit after compression — raise capacity or compress more.
+        # Compacting presses (KVzip/FastKVzip/AdaKV-family compact=True)
+        # have no sound static kept bound below ctx (the global budget can
+        # concentrate on one head), but their MEASURED kept is typically
+        # ~(1-ratio)*ctx — the whole point of compaction is serving from
+        # smaller slots. Admission is therefore OPTIMISTIC for them: only
+        # the sound floor (question + generation) is pre-checked, and a
+        # request whose compacted cache still exceeds the slot is DROPPED
+        # cleanly at completion (empty answer + warning, slot reused) —
+        # never the old engine-breaking assert.
+        optimistic = (
+            self.press is not None
+            and getattr(self.press, "compact", False)
+            and self.runner.cfg.sliding_window is None
+        )
         too_big = [
             i for i, r in enumerate(requests)
-            if self._slots_needed(r) > self.capacity
+            if (len(r.question_ids) + r.max_new_tokens + 1 >= self.capacity
+                if optimistic else self._slots_needed(r) > self.capacity)
         ]
         if too_big:
             raise ValueError(
@@ -975,6 +1011,7 @@ class ServingEngine:
         skipped0 = self._skipped_ctx_tokens
         n_steps = 0
         answers: list[Optional[list]] = [None] * len(requests)
+        self._dropped: list[int] = []
         queue = list(range(len(requests)))
         pending: list[tuple[jax.Array, np.ndarray]] = []  # (tokens, live snapshot)
         admits: list[dict] = []      # issued-but-not-completed admissions
@@ -1116,6 +1153,8 @@ class ServingEngine:
                           f"slot {adm['slot']}", flush=True)
             admits.clear()
         wall = _time.perf_counter() - t_start
+        for i in self._dropped:
+            answers[i] = []          # dropped at optimistic admission
         gen = sum(len(a) for a in answers)
         # Context tokens skipped by LRU hits were never forwarded —
         # processed_tok_s must reflect device work actually done, not the

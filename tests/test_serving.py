@@ -631,3 +631,46 @@ def test_serving_context_cache_with_bucketing(tiny):
     a, b = plain.run(reqs), bucketed.run(reqs)
     assert bucketed.ctx_hits == 2
     assert a == b
+
+
+def test_serving_compact_press_small_capacity(tiny):
+    """Compacting presses (KVzip compact=True) admit OPTIMISTICALLY: a slot
+    capacity well below ctx+question+gen works when the measured compacted
+    size fits (the capacity win compaction exists for), answers matching a
+    generously-sized engine; a request whose compacted cache still exceeds
+    the slot is dropped cleanly (empty answer, warning) without breaking
+    the engine or the other requests."""
+    from kvpress_tpu.presses import KVzipPress
+
+    import sys
+    sys.path.insert(0, "tests")
+    from toy_tokenizer import ToyTokenizer
+
+    cfg, params, runner = tiny
+    tok = ToyTokenizer(cfg.vocab_size)
+    rng = np.random.default_rng(11)
+    ctx = rng.permutation(cfg.vocab_size)[:64].tolist()
+    q = rng.permutation(cfg.vocab_size)[:4].tolist()
+    press = KVzipPress(compression_ratio=0.6, compact=True, chunk_size=24)
+    reqs = [Request(ctx, q, max_new_tokens=4)]
+
+    big = ServingEngine(runner, params, n_slots=1, capacity=96, press=press,
+                        tokenizer=tok, fetch_lag=2)
+    ref = big.run(reqs)
+
+    # 0.6 of 64 evicted globally -> per-head kept ~26±spread; 48 slots is
+    # far below the static bound (64+4+4+1) yet fits the compacted cache.
+    small = ServingEngine(runner, params, n_slots=1, capacity=48,
+                          press=press, tokenizer=tok, fetch_lag=2)
+    assert small.run(reqs) == ref
+
+    # Barely-compressing press + tiny slot: the compacted cache cannot fit
+    # -> dropped with [] while a second, shorter request still serves.
+    loose = KVzipPress(compression_ratio=0.05, compact=True, chunk_size=24)
+    short_ctx = rng.permutation(cfg.vocab_size)[:20].tolist()
+    eng = ServingEngine(runner, params, n_slots=1, capacity=40, press=loose,
+                        tokenizer=tok, fetch_lag=2)
+    outs = eng.run([Request(ctx, q, max_new_tokens=4),
+                    Request(short_ctx, q, max_new_tokens=4)])
+    assert outs[0] == []                       # dropped, not crashed
+    assert len(outs[1]) == 4                   # the fitting request served
