@@ -24,6 +24,11 @@ Measured (round 3, one leg per process — OOM legs fragment the heap):
   int8 weights: 16K paired 55.2 -> 80.6 tok/s (1.46x);
   chunked (prefill tok/s / decode tok/s): 32K 3,980/71.4; 64K 2,513/59.2;
   128K 1,440/43.6 — the BASELINE.md:17 north star on a single 16 GB chip.
+Round 4 (--press adakv_snapkv, head-wise wrapper through the chunked
+path): 64K 3,044 tok/s prefill+compress / 58.6 tok/s decode;
+  128K 1,804 / 41.6 (kv 2.10 GiB) — within a few % of plain Knorm.
+  Full vocab (--vocab 128256 --int8-embeddings): b1/16K 52.6 -> 75.4
+  (1.43x). KV-bound point (--wbits 4, b2/16K): 35.1 -> 97.8 (2.79x).
 """
 
 import argparse
