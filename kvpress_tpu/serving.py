@@ -1176,6 +1176,7 @@ class ServingEngine:
             ),
             "ctx_hits": self.ctx_hits - hits0,
             "skipped_context_tokens": skipped,
+            "dropped_requests": len(self._dropped),
         }
         # Inter-token stall profile: gaps between consecutive step fetches.
         # The max gap is the latency a live slot saw across a concurrent

@@ -118,3 +118,19 @@ def test_restorekv_budget_matched(tiny):
     # budget-matched: masked fraction over valid slots ≈ (ratio + 8/60) · 60/68
     expected = (0.5 + 8 / 60) * 60 / 68
     assert abs(captured["mask_frac"] - expected) < 0.05, captured
+
+
+def test_fastkvzip_compact_matches_masked(tiny):
+    """FastKVzipPress(compact=True) — the post-mask branch of the pipeline
+    compaction hook — answers identically to the mask-only run."""
+    cfg, params, runner = tiny
+    pipe = KVPressPipeline(runner, params, ToyTokenizer(cfg.vocab_size))
+    gates = init_random_gates(jax.random.PRNGKey(1), cfg)
+    ctx = " ".join(f"w{i}" for i in range(64))
+    a_mask = pipe(ctx, question="what ?", max_new_tokens=4,
+                  press=FastKVzipPress(compression_ratio=0.5, gates=gates,
+                                       n_sink=2))
+    a_comp = pipe(ctx, question="what ?", max_new_tokens=4,
+                  press=FastKVzipPress(compression_ratio=0.5, gates=gates,
+                                       n_sink=2, compact=True))
+    assert a_mask["answer"] == a_comp["answer"]
