@@ -1238,7 +1238,8 @@ def _chunk_forward_lean_impl(params, chunk_ids, cache, collect_gates=None,
                              chunk_embeds=None, img_groups=None,
                              k_groups=None, kvzip_start=None, *,
                              runner, compute_logits=False, hidden_window=None,
-                             fused_kv=True, image_span=None, kvzip_spec=None):
+                             fused_kv=True, image_span=None, kvzip_spec=None,
+                             collect_fn=None):
     """Pressless chunk append with O(chunk) scan outputs.
 
     The standard forward's layer scan threads the FULL cache buffers as both
@@ -1421,10 +1422,23 @@ def _chunk_forward_lean_impl(params, chunk_ids, cache, collect_gates=None,
 
         if hidden_window is not None:
             ys = ys + (h[:, -hidden_window:],)
-        if collect_gates is not None:
-            from ..presses.fastkvzip import gate_scores
+        if collect_fn is not None:
+            # Per-token chunk scoring (FastKVzip gates / DMS-wrapped
+            # scorers): token t's score depends only on its own
+            # (hidden, k, v), so each chunk scores its own tokens exactly.
+            # ``collect_gates`` is the press's array pytree, a jit ARG —
+            # never a closure capture (HLO-constant hazard, CLAUDE.md).
+            # Score the keys at CACHE width (dequantized when quantized)
+            # for bit-parity with the one-shot path's cache-read scoring.
+            if quantized:
+                from ..cache import dequantize_kv
 
-            ys = ys + (gate_scores(collect_gates, lid, h),)
+                k_sc = dequantize_kv(qk, k_scale, cache.bits, xh.dtype)
+                v_sc = dequantize_kv(qv, v_scale, cache.bits, xh.dtype)
+            else:
+                k_sc = k.astype(kb.dtype)
+                v_sc = v.astype(vb.dtype)
+            ys = ys + (collect_fn(collect_gates, lid, h, k_sc, v_sc),)
         if kvzip_spec is not None:
             # KVzip repeat-chunk scoring, in-body (scan form — see
             # kvzip_repeat_pass for when this form applies): the
@@ -1475,9 +1489,9 @@ def _chunk_forward_lean_impl(params, chunk_ids, cache, collect_gates=None,
     nk, nv, nks, nvs = out_ys[:4]
     rest = out_ys[4:]
     hidden_win = rest.pop(0) if hidden_window is not None else None
-    assert not (collect_gates is not None and kvzip_spec is not None)
+    assert not (collect_fn is not None and kvzip_spec is not None)
     chunk_scores = rest.pop(0) if (
-        collect_gates is not None or kvzip_spec is not None
+        collect_fn is not None or kvzip_spec is not None
     ) else None
 
     if kvzip_spec is not None:
@@ -1515,7 +1529,7 @@ def _chunk_forward_lean_impl(params, chunk_ids, cache, collect_gates=None,
 # Chunk-append form (prefill_chunked): the cache is donated — the batched
 # DUS writes the chunk's new K/V in place.
 _LEAN_STATICS = ("runner", "compute_logits", "hidden_window", "fused_kv",
-                 "image_span", "kvzip_spec")
+                 "image_span", "kvzip_spec", "collect_fn")
 _chunk_forward_lean = functools.partial(
     jax.jit, static_argnames=_LEAN_STATICS, donate_argnums=(2,)
 )(_chunk_forward_lean_impl)

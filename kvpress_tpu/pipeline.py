@@ -145,6 +145,41 @@ def _scored_forward(params, ids, cache, press_state, *, runner: Runner, press):
     )
 
 
+def _chat_affixes(tok) -> tuple[int, list[int]]:
+    """(prefix_len, suffix_ids) of the chat template around a user message —
+    probed with a dummy separator (reference kvzip_press.py:96-117)."""
+    if tok.chat_template is None:
+        return 0, tok.encode("\n", add_special_tokens=False)
+    dummy = "dummy context"
+    separator = "\n" + "#" * len(dummy)
+    templated = tok.apply_chat_template(
+        [{"role": "user", "content": dummy + separator}],
+        add_generation_prompt=True, tokenize=False, enable_thinking=False,
+    )
+    ctx_part, suffix_text = templated.split(separator)
+    prefix_text = ctx_part.split(dummy)[0]
+    prefix_len = len(tok.encode(prefix_text, add_special_tokens=False))
+    suffix_ids = tok.encode(suffix_text, add_special_tokens=False)
+    return prefix_len, suffix_ids
+
+
+def kvzip_repeat_bound(press, context_ids, tokenizer) -> int:
+    """EXACT repeat-pass headroom for a KVzip-family press on this context:
+    the longest actual repeat prompt (probed through the tokenizer, so a
+    chat template with long affixes can't overflow the presized buffer into
+    the two-full-caches ``grow`` fallback) plus RestoreKV's restore tokens.
+    Falls back to the press's static ``repeat_room()`` budget without a
+    tokenizer."""
+    if tokenizer is None or press.compression_ratio <= 0:
+        return press.repeat_room()
+    prefix_len, suffix_ids = _chat_affixes(tokenizer)
+    pairs = press.chunk_pairs(
+        list(context_ids), prefix_len, suffix_ids, tokenizer
+    )
+    room = max((len(r) for _, r in pairs), default=0)
+    return room + getattr(press, "num_restore_tokens", 0)
+
+
 @dataclasses.dataclass
 class KVPressPipeline:
     """Callable: pipe(context, question=…, press=…) → {"answer": str}.
@@ -340,8 +375,9 @@ class KVPressPipeline:
             )
             # KVzip-family presses: presize for the repeat passes — growing
             # a 128K cache afterwards holds two full caches (measured OOM
-            # at 8B/128K int4 next to the weights).
-            extra = (press.repeat_room()
+            # at 8B/128K int4 next to the weights). The bound is exact: the
+            # actual repeat prompts are probed through the tokenizer.
+            extra = (kvzip_repeat_bound(press, context_ids, self.tokenizer)
                      if press is not None
                      and getattr(press, "multi_pass", None) is True else 0)
             prefill_logits, cache, press_state = self.runner.prefill_chunked(
@@ -572,25 +608,19 @@ class KVPressPipeline:
         if press.compression_ratio <= 0:
             return cache
         tok = self.tokenizer
-        if tok.chat_template is None:
-            prefix_len = 0
-            suffix_ids = tok.encode("\n", add_special_tokens=False)
-        else:
-            dummy = "dummy context"
-            separator = "\n" + "#" * len(dummy)
-            templated = tok.apply_chat_template(
-                [{"role": "user", "content": dummy + separator}],
-                add_generation_prompt=True, tokenize=False, enable_thinking=False,
-            )
-            ctx_part, suffix_text = templated.split(separator)
-            prefix_text = ctx_part.split(dummy)[0]
-            prefix_len = len(tok.encode(prefix_text, add_special_tokens=False))
-            suffix_ids = tok.encode(suffix_text, add_special_tokens=False)
-
+        prefix_len, suffix_ids = _chat_affixes(tok)
         pairs = press.chunk_pairs(list(context_ids), prefix_len, suffix_ids, tok)
         ctx_len = len(context_ids)
         max_rep = max(len(r) for _, r in pairs)
         if cache.max_size < ctx_len + max_rep:
+            if cache.keys.nbytes > (1 << 30):
+                logger.warning(
+                    "KVzip repeat-pass grow fallback on a %.1f GiB cache "
+                    "(max_size %d -> %d): the grow copy holds two full "
+                    "caches — presize via context_chunk/kvzip_repeat_bound",
+                    cache.keys.nbytes / 2**30, cache.max_size,
+                    ctx_len + max_rep,
+                )
             cache = grow(cache, ctx_len + max_rep - cache.max_size)
 
         cfg = self.runner.cfg

@@ -120,3 +120,26 @@ class DuoAttentionPress(BasePress):
             pruned = streaming[None, :, None] & middle
             mask = mask & ~jnp.broadcast_to(pruned, (B, H, S))
         return keys, values, length, mask, state
+
+    # -- chunked-prefill composition (models/llama._compress_layer) ------- #
+    # Duo's eviction is position-only (sink/recent windows per streaming
+    # head) — no scores, no hidden states — so the chunked form is the
+    # one-shot mask with the static S replaced by the traced valid length.
+
+    headwise_mask = True      # the cache must carry a materialized keep-mask
+
+    def _chunked_keep(self, ctx, length, S: int):
+        streaming = jnp.asarray(self.streaming_mask())[ctx.layer_idx]   # (H,)
+        pos = jnp.arange(S)[None, None]
+        middle = (pos >= self.sink_size) & (pos < length - self.recent_size)
+        applies = length > self.sink_size + self.recent_size
+        return ~(streaming[None, :, None] & middle & applies)
+
+    def chunked_compress(self, ctx, keys, values, length, mask):
+        keep = self._chunked_keep(ctx, length, keys.shape[2])
+        return keys, values, length, mask & keep
+
+    def chunked_compress_quantized(self, ctx, keys, values, key_scales,
+                                   value_scales, bits, length, mask):
+        keep = self._chunked_keep(ctx, length, keys.shape[2])
+        return (keys, values, key_scales, value_scales, length, mask & keep)

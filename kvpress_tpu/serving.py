@@ -426,6 +426,24 @@ def _insert_slot(sc: SlotCache, pc: KVCache, slot: jax.Array) -> SlotCache:
 # --------------------------------------------------------------------- #
 
 
+_UNSET = object()        # "use the engine's press" sentinel for overrides
+
+
+def _with_ratio(press, ratio: float):
+    """A copy of ``press`` with its effective compression_ratio replaced —
+    either its own dataclass field or the wrapped press's (AdaKV-family
+    wrappers delegate the property to ``press.press``)."""
+    fields = {f.name for f in dataclasses.fields(press)}
+    if "compression_ratio" in fields:
+        return dataclasses.replace(press, compression_ratio=ratio)
+    assert "press" in fields and press.press is not None, (
+        f"cannot override compression_ratio on {type(press).__name__}"
+    )
+    return dataclasses.replace(
+        press, press=_with_ratio(press.press, ratio)
+    )
+
+
 @dataclasses.dataclass
 class Request:
     context_ids: list
@@ -623,6 +641,13 @@ class ServingEngine:
         self.tokens = jnp.zeros((n_slots,), jnp.int32)
         self.live = np.zeros((n_slots,), bool)
         self.slots = [_SlotState() for _ in range(n_slots)]
+        # Optimistic-admission bookkeeping, initialized here (not only in
+        # run()) so _complete_admission is safe from any caller (advisor r4):
+        # indices of requests dropped after their retry, and pending
+        # capacity-clamped retries (consumed by run()'s admission loop).
+        self._dropped: list[int] = []
+        self._retry_pending: list[dict] = []
+        self._retries = 0
         # Compressed-context reuse: the reference pipeline's core UX is one
         # compressed cache answering many questions (pipeline.py:236-249 in
         # the reference); context_cache lifts that to the engine. Admissions
@@ -661,11 +686,13 @@ class ServingEngine:
 
     # ---------------- admission ---------------- #
 
-    def _kept_bound(self, ctx_len: int) -> int:
+    def _kept_bound(self, ctx_len: int, press=_UNSET) -> int:
         """Static upper bound on kept context entries after compression."""
+        if press is _UNSET:
+            press = self.press
         bound = (
-            self.press.max_kept(ctx_len, self.runner.cfg)
-            if self.press is not None else ctx_len
+            press.max_kept(ctx_len, self.runner.cfg)
+            if press is not None else ctx_len
         )
         if self.runner.cfg.sliding_window is not None:
             bound = ctx_len   # sliding layers keep everything
@@ -678,31 +705,39 @@ class ServingEngine:
         return (self._kept_bound(len(req.context_ids))
                 + len(req.question_ids) + req.max_new_tokens + 1)
 
-    def _prefill_issue(self, req: Request):
+    def _prefill_issue(self, req: Request, press=_UNSET):
         """Dispatch a request's press-compressed prefill + question forward
         + capacity re-bucket WITHOUT any host sync. Returns
-        ``(cache, kept_arr, first_arr)`` — all device values; the caller
+        ``(cache, kept_arr, first_arr, lru_key)`` — device values plus the
+        LRU key this admission stored under (None if it didn't); the caller
         fetches ``kept``/``first`` at completion time so the round-trip
         overlaps decode compute (admission-time host overlap)."""
-        gen = self._prefill_issue_steps(req)
+        gen = self._prefill_issue_steps(req, press)
         while True:
             try:
                 next(gen)
             except StopIteration as stop:
                 return stop.value
 
-    def _prefill_issue_steps(self, req: Request):
+    def _prefill_issue_steps(self, req: Request, press=_UNSET):
         """Generator form of :meth:`_prefill_issue`: on the chunked path it
         yields after each bounded dispatch unit (one prefill chunk / one
         compressed layer) so the run loop can interleave decode-step
         dispatches between them (``interleave=True``); non-chunked paths
-        return without yielding (one indivisible prefill program)."""
+        return without yielding (one indivisible prefill program).
+        ``press`` overrides the engine press (capacity-clamped retries) —
+        overridden admissions bypass the LRU entirely (their compression
+        differs from what other admissions expect to reuse)."""
         runner, params = self.runner, self.params
+        overridden = press is not _UNSET
+        if not overridden:
+            press = self.press
         ctx = list(req.context_ids)
         # Multimodal admissions bypass the LRU: the key is context_ids only,
         # and identical ids with different images must not collide.
         key = (tuple(req.context_ids)
-               if self.context_cache and req.inputs_embeds is None else None)
+               if self.context_cache and req.inputs_embeds is None
+               and not overridden else None)
         if key is not None:
             # In-flight prefill dedup (interleave mode): another admission
             # may already be chunk-prefilling this exact context — yield
@@ -720,15 +755,16 @@ class ServingEngine:
                 self._ctx_lru.move_to_end(key)
                 self.ctx_hits += 1
                 self._skipped_ctx_tokens += len(req.context_ids)
-                return self._finish_issue(req, ctx, cache, pre_row)
+                return self._finish_issue(req, ctx, cache, pre_row, press,
+                                          None)
             self._ctx_pending.add(key)
         try:
-            return (yield from self._prefill_issue_miss(req, ctx, key))
+            return (yield from self._prefill_issue_miss(req, ctx, key, press))
         finally:
             if key is not None:
                 self._ctx_pending.discard(key)
 
-    def _prefill_issue_miss(self, req: Request, ctx: list, key):
+    def _prefill_issue_miss(self, req: Request, ctx: list, key, press):
         """The LRU-miss body of :meth:`_prefill_issue_steps` (same generator
         contract): full press-compressed prefill, multi-pass orchestration,
         LRU store."""
@@ -757,14 +793,21 @@ class ServingEngine:
             # length, the 128K admission cliff). Still zero host syncs: the
             # chunk loop only dispatches.
             need = ids.shape[1]
-            if getattr(self.press, "multi_pass", None) is True:
+            if getattr(press, "multi_pass", None) is True:
                 # KVzip-family: presize for the repeat passes (pipeline
                 # parity) — growing a long-context cache afterwards holds
-                # two full copies (measured OOM at 8B/128K int4).
-                need += self.press.repeat_room()
+                # two full copies (measured OOM at 8B/128K int4). The bound
+                # is EXACT when the tokenizer is available (the actual
+                # repeat prompts are probed host-side — a chat template
+                # whose affixes tokenize longer than the press's static
+                # budget would otherwise trigger that grow, advisor r4).
+                from .pipeline import kvzip_repeat_bound
+
+                need += kvzip_repeat_bound(press, req.context_ids,
+                                           self.tokenizer)
             bucketed = -(-need // self.context_chunk) * self.context_chunk
             chunk_gen = runner.prefill_chunked_steps(
-                params, ids, press=self.press,
+                params, ids, press=press,
                 chunk_size=self.context_chunk, max_size=bucketed,
                 dtype=self.dtype, compute_logits=True,
                 quantized=self.quantized, kv_bits=self.kv_bits,
@@ -785,13 +828,12 @@ class ServingEngine:
 
             logits, cache, press_state = _prefill(
                 params, ids, valid, req.inputs_embeds, req.token_types,
-                runner=runner, press=self.press,
+                runner=runner, press=press,
                 quantized=self.quantized, kv_bits=self.kv_bits,
                 image_span=(self.image_span
                             if req.token_types is not None else None),
             )
 
-        press = self.press
         if press is not None and getattr(press, "rerotates", False):
             # Key-rerotation: kept keys renumbered contiguously — subsequent
             # tokens continue from the compressed length (pipeline contract).
@@ -829,14 +871,17 @@ class ServingEngine:
             # UNPADDED length (ctx may carry context_bucket padding; kept is
             # a function of the valid length) so hit- and miss-path question
             # forwards see identical buffer sizes — one compile, less HBM.
-            bound = min(self._kept_bound(len(req.context_ids)),
+            # Compacting presses get a SECOND, measured-length shrink at
+            # completion time (_complete_admission): their static bound is
+            # the full context, ~2x the live data after compaction.
+            bound = min(self._kept_bound(len(req.context_ids), press),
                         cache.max_size)
             if cache.max_size > bound:
                 cache = shrink(cache, bound)
             self._ctx_lru[key] = (cache, pre_row)
             while len(self._ctx_lru) > self.context_cache:
                 self._ctx_lru.popitem(last=False)
-        return self._finish_issue(req, ctx, cache, pre_row)
+        return self._finish_issue(req, ctx, cache, pre_row, press, key)
 
     def _pick_first(self, row):
         """First token from a (V,) logits row: argmax, or an independent
@@ -851,7 +896,8 @@ class ServingEngine:
         self._adm_i += 1
         return first
 
-    def _finish_issue(self, req: Request, ctx: list, cache, pre_row):
+    def _finish_issue(self, req: Request, ctx: list, cache, pre_row, press,
+                      lru_key):
         """Question forward + capacity re-bucket on a compressed-context
         cache (fresh from prefill or reused from the LRU)."""
         runner, params = self.runner, self.params
@@ -866,7 +912,7 @@ class ServingEngine:
             # an upper bound, and the final re-bucket to `capacity`
             # normalizes the buffer anyway — one fewer host sync blocking
             # the decode-issue loop during admission.
-            bound = self._kept_bound(len(ctx))
+            bound = self._kept_bound(len(ctx), press)
             need = min(bound, cache.max_size) + qpad
             if cache.max_size < need:
                 cache = grow(cache, need - cache.max_size)
@@ -891,17 +937,20 @@ class ServingEngine:
                 a.copy_to_host_async()
             except (NotImplementedError, AttributeError):
                 pass  # backend lacks async copy; device_get later still works
-        return cache, kept_arr, first_arr
+        return cache, kept_arr, first_arr, lru_key
 
-    def _issue_admission(self, slot: int, req_idx: int, req: Request) -> dict:
+    def _issue_admission(self, slot: int, req_idx: int, req: Request,
+                         press=_UNSET, retried: bool = False) -> dict:
         """Dispatch the prefill and insert the compressed cache into the
         slot — all device work, no host sync. The slot is NOT live yet."""
-        cache, kept_arr, first_arr = self._prefill_issue(req)
+        cache, kept_arr, first_arr, lru_key = self._prefill_issue(req, press)
         return self._insert_admitted(slot, req_idx, req,
-                                     cache, kept_arr, first_arr)
+                                     cache, kept_arr, first_arr, lru_key,
+                                     retried=retried)
 
     def _insert_admitted(self, slot: int, req_idx: int, req: Request,
-                         cache, kept_arr, first_arr) -> dict:
+                         cache, kept_arr, first_arr, lru_key=None,
+                         retried: bool = False) -> dict:
         """Insert an issued admission's compressed cache into the slot pool
         (device work only; the slot is NOT live until _complete_admission)."""
         self.sc = _insert_slot(self.sc, cache, jnp.asarray(slot, jnp.int32))
@@ -911,7 +960,8 @@ class ServingEngine:
             )
         self.tokens = self.tokens.at[slot].set(first_arr)
         return dict(slot=slot, req_idx=req_idx, req=req,
-                    kept=kept_arr, first=first_arr)
+                    kept=kept_arr, first=first_arr, lru_key=lru_key,
+                    retried=retried)
 
     def _complete_admission(self, adm: dict):
         """Fetch kept/first (the only host-visible admission state) and mark
@@ -920,6 +970,20 @@ class ServingEngine:
         slot, req = adm["slot"], adm["req"]
         kept, first = jax.device_get((adm["kept"], adm["first"]))
         kept, first = int(kept), int(first)
+        key = adm.get("lru_key")
+        if (key is not None and key in self._ctx_lru and self.press is not None
+                and getattr(self.press, "compact", False)):
+            # Measured-length LRU shrink for compacting presses: the store
+            # happened sync-free at the static kept bound (full context for
+            # KVzip/FastKVzip — base.py max_kept), ~2x the live data after
+            # compact_masked. `kept` (= max per-layer/head length, already
+            # fetched above) is the exact lossless bound; bucket it so hit-
+            # path question forwards share compiles across entries.
+            bucket = self.context_chunk or self.question_bucket
+            tgt = -(-max(kept, 1) // bucket) * bucket
+            entry, pre_row = self._ctx_lru[key]
+            if entry.max_size > tgt:
+                self._ctx_lru[key] = (shrink(entry, tgt), pre_row)
         if self._t_run_start is not None:
             # TTFT (queueing included — every request is available at run
             # start): the first token exists once the admission completes.
@@ -930,16 +994,39 @@ class ServingEngine:
             if (self.press is not None
                     and getattr(self.press, "compact", False)):
                 # Optimistic admission miss: the compacted cache was already
-                # truncated by the capacity re-bucket — drop the request
-                # cleanly (slot stays dead and reusable, engine unharmed).
-                logger.warning(
-                    "request %d compacted to %d slots but needs %d > "
-                    "capacity %d — dropped (empty answer); raise capacity "
-                    "or compress more", adm["req_idx"],
-                    kept, kept + req.max_new_tokens + 1, self.capacity,
-                )
+                # truncated by the capacity re-bucket. Retry ONCE with the
+                # compression ratio clamped so the measured kept fits the
+                # slot (scaling the observed kept at the observed ratio);
+                # only a failed retry drops the request (empty answer, slot
+                # stays dead and reusable, engine unharmed).
                 self.live[slot] = False
                 self.slots[slot] = _SlotState()
+                if not adm.get("retried"):
+                    budget = (self.capacity - len(req.question_ids)
+                              - req.max_new_tokens - 1)
+                    r0 = float(self.press.compression_ratio)
+                    # kept ≈ (1-r)·ctx per head at ratio r → aim 5% under
+                    # the slot budget; clamp to a real increase and < 1.
+                    r2 = 1.0 - (1.0 - r0) * (budget / max(kept, 1)) * 0.95
+                    r2 = min(max(r2, min(r0 + 0.05, 0.999)), 0.999)
+                    logger.warning(
+                        "request %d compacted to %d slots but needs %d > "
+                        "capacity %d — retrying once at compression_ratio "
+                        "%.3f", adm["req_idx"], kept,
+                        kept + req.max_new_tokens + 1, self.capacity, r2,
+                    )
+                    self._retry_pending.append(dict(
+                        req_idx=adm["req_idx"], req=req,
+                        press=_with_ratio(self.press, r2),
+                    ))
+                    self._retries += 1
+                    return
+                logger.warning(
+                    "request %d still needs %d > capacity %d after the "
+                    "clamped retry — dropped (empty answer); raise capacity "
+                    "or compress more", adm["req_idx"],
+                    kept + req.max_new_tokens + 1, self.capacity,
+                )
                 self._dropped.append(adm["req_idx"])
                 return
             raise AssertionError(
@@ -957,6 +1044,11 @@ class ServingEngine:
 
     def _admit(self, slot: int, req_idx: int, req: Request):
         self._complete_admission(self._issue_admission(slot, req_idx, req))
+        while self._retry_pending:        # synchronous retry (run() drives
+            r = self._retry_pending.pop(0)  # retries through its own loop)
+            self._complete_admission(self._issue_admission(
+                slot, r["req_idx"], r["req"], press=r["press"], retried=True
+            ))
 
     # ---------------- main loop ---------------- #
 
@@ -1011,7 +1103,9 @@ class ServingEngine:
         skipped0 = self._skipped_ctx_tokens
         n_steps = 0
         answers: list[Optional[list]] = [None] * len(requests)
-        self._dropped: list[int] = []
+        self._dropped = []
+        self._retry_pending = []
+        self._retries = 0
         queue = list(range(len(requests)))
         pending: list[tuple[jax.Array, np.ndarray]] = []  # (tokens, live snapshot)
         admits: list[dict] = []      # issued-but-not-completed admissions
@@ -1048,7 +1142,7 @@ class ServingEngine:
         # Loop until every admitted request is *retired* (not merely until
         # pending drains — the final drain must still be followed by a
         # retirement sweep).
-        while (queue or admits or inflight
+        while (queue or admits or inflight or self._retry_pending
                or any(st.req_idx >= 0 for st in self.slots)):
             while len(pending) > self.fetch_lag:
                 drain_one()
@@ -1065,28 +1159,38 @@ class ServingEngine:
                 if (self.max_admissions is not None
                         and len(reserved) >= self.max_admissions):
                     break
-                if self.slots[s].req_idx < 0 and s not in reserved and queue:
-                    if self.schedule == "sjf":
-                        # shortest job first: smallest token budget wins
-                        # (tie-break on context length — shorter prefill)
-                        pos = min(
-                            range(len(queue)),
-                            key=lambda j: (
-                                requests[queue[j]].max_new_tokens,
-                                len(requests[queue[j]].context_ids),
-                            ),
+                if (self.slots[s].req_idx < 0 and s not in reserved
+                        and (queue or self._retry_pending)):
+                    if self._retry_pending:
+                        # Capacity-clamped retries first: their request is
+                        # already partially paid for and blocks an answer.
+                        r = self._retry_pending.pop(0)
+                        idx, req, press, retried = (
+                            r["req_idx"], r["req"], r["press"], True
                         )
                     else:
-                        pos = 0
-                    idx = queue.pop(pos)
+                        if self.schedule == "sjf":
+                            # shortest job first: smallest token budget wins
+                            # (tie-break on context length — shorter prefill)
+                            pos = min(
+                                range(len(queue)),
+                                key=lambda j: (
+                                    requests[queue[j]].max_new_tokens,
+                                    len(requests[queue[j]].context_ids),
+                                ),
+                            )
+                        else:
+                            pos = 0
+                        idx = queue.pop(pos)
+                        req, press, retried = requests[idx], _UNSET, False
                     if self.interleave:
                         inflight.append(dict(
-                            slot=s, req_idx=idx, req=requests[idx],
-                            gen=self._prefill_issue_steps(requests[idx]),
+                            slot=s, req_idx=idx, req=req, retried=retried,
+                            gen=self._prefill_issue_steps(req, press),
                         ))
                     else:
-                        admits.append(
-                            self._issue_admission(s, idx, requests[idx]))
+                        admits.append(self._issue_admission(
+                            s, idx, req, press=press, retried=retried))
                     reserved.add(s)
                     if progress:
                         print(f"admitting request {idx} -> slot {s}",
@@ -1107,11 +1211,12 @@ class ServingEngine:
                     next(st["gen"])
                     rr += 1
                 except StopIteration as stop:
-                    cache, kept_arr, first_arr = stop.value
+                    cache, kept_arr, first_arr, lru_key = stop.value
                     inflight.remove(st)
                     admits.append(self._insert_admitted(
                         st["slot"], st["req_idx"], st["req"],
-                        cache, kept_arr, first_arr))
+                        cache, kept_arr, first_arr, lru_key,
+                        retried=st.get("retried", False)))
             if any(self.live):
                 # A FRESH buffer every issue: jnp.asarray of a numpy array
                 # can be ZERO-COPY on the CPU backend, and self.live is
@@ -1177,6 +1282,12 @@ class ServingEngine:
             "ctx_hits": self.ctx_hits - hits0,
             "skipped_context_tokens": skipped,
             "dropped_requests": len(self._dropped),
+            # Which requests were dropped (callers can retry them against a
+            # larger-capacity engine — a [] answer alone is indistinguishable
+            # from a genuine zero-token generation, advisor r4) and how many
+            # optimistic admissions went through the capacity-clamped retry.
+            "dropped": list(self._dropped),
+            "retried_admissions": self._retries,
         }
         # Inter-token stall profile: gaps between consecutive step fetches.
         # The max gap is the latency a live slot saw across a concurrent

@@ -633,13 +633,53 @@ def test_serving_context_cache_with_bucketing(tiny):
     assert a == b
 
 
+def test_serving_compact_press_lru_measured_shrink(tiny):
+    """Compacting presses store LRU entries at the static kept bound (the
+    full context for KVzip — no sound static bound exists below it), then
+    shrink them to the MEASURED kept length at admission completion: the
+    entry's buffer drops ~(1-ratio)x while hits still answer identically
+    (front-compacted entries make the slice lossless)."""
+    from kvpress_tpu.presses import KVzipPress
+
+    import sys
+    sys.path.insert(0, "tests")
+    from toy_tokenizer import ToyTokenizer
+
+    cfg, params, runner = tiny
+    tok = ToyTokenizer(cfg.vocab_size)
+    rng = np.random.default_rng(13)
+    ctx = rng.permutation(cfg.vocab_size)[:64].tolist()
+    qs = [rng.permutation(cfg.vocab_size)[:4].tolist() for _ in range(3)]
+    press = KVzipPress(compression_ratio=0.6, compact=True, chunk_size=24)
+    reqs = [Request(ctx, q, max_new_tokens=4) for q in qs]
+
+    plain = ServingEngine(runner, params, n_slots=1, capacity=96,
+                          press=press, tokenizer=tok, fetch_lag=2)
+    ref = plain.run(reqs)
+
+    eng = ServingEngine(runner, params, n_slots=1, capacity=96, press=press,
+                        tokenizer=tok, fetch_lag=2, context_cache=1,
+                        question_bucket=16)
+    got = eng.run(reqs)
+    assert got == ref
+    assert eng.ctx_hits == 2
+    (entry, _), = eng._ctx_lru.values()
+    # Static bound would store all 64 context slots; the measured shrink
+    # buckets max-per-head kept (~0.4*64 + spread) to question_bucket=16.
+    assert entry.max_size < 64
+    assert entry.max_size % 16 == 0
+    assert entry.max_size >= int(jnp.max(entry.length))
+
+
 def test_serving_compact_press_small_capacity(tiny):
     """Compacting presses (KVzip compact=True) admit OPTIMISTICALLY: a slot
     capacity well below ctx+question+gen works when the measured compacted
     size fits (the capacity win compaction exists for), answers matching a
-    generously-sized engine; a request whose compacted cache still exceeds
-    the slot is dropped cleanly (empty answer, warning) without breaking
-    the engine or the other requests."""
+    generously-sized engine; a request whose compacted cache exceeds the
+    slot is RETRIED once at a capacity-clamped compression ratio (it still
+    answers, just more compressed); only a failed retry drops it — with the
+    index reported in last_stats['dropped'] — without breaking the engine
+    or the other requests."""
     from kvpress_tpu.presses import KVzipPress
 
     import sys
@@ -663,14 +703,33 @@ def test_serving_compact_press_small_capacity(tiny):
     small = ServingEngine(runner, params, n_slots=1, capacity=48,
                           press=press, tokenizer=tok, fetch_lag=2)
     assert small.run(reqs) == ref
+    assert small.last_stats["retried_admissions"] == 0
 
-    # Barely-compressing press + tiny slot: the compacted cache cannot fit
-    # -> dropped with [] while a second, shorter request still serves.
+    # Barely-compressing press + tiny slot: the first admission's compacted
+    # cache cannot fit -> the engine retries once with the ratio clamped to
+    # the slot budget and the request STILL ANSWERS (just more compressed);
+    # a second, shorter request serves normally alongside.
     loose = KVzipPress(compression_ratio=0.05, compact=True, chunk_size=24)
     short_ctx = rng.permutation(cfg.vocab_size)[:20].tolist()
     eng = ServingEngine(runner, params, n_slots=1, capacity=40, press=loose,
                         tokenizer=tok, fetch_lag=2)
     outs = eng.run([Request(ctx, q, max_new_tokens=4),
                     Request(short_ctx, q, max_new_tokens=4)])
-    assert outs[0] == []                       # dropped, not crashed
-    assert len(outs[1]) == 4                   # the fitting request served
+    assert len(outs[0]) == 4                   # retried, answered
+    assert len(outs[1]) == 4
+    assert eng.last_stats["retried_admissions"] == 1
+    assert eng.last_stats["dropped"] == []
+
+    # Impossible request: the slot budget (capacity - question - gen - 1)
+    # is below the sink+question floor no ratio can compress away -> the
+    # clamped retry also fails and the request is dropped with its index
+    # reported; the other request still serves.
+    tight = ServingEngine(runner, params, n_slots=1, capacity=16,
+                          press=loose, tokenizer=tok, fetch_lag=2)
+    outs = tight.run([Request(ctx, q, max_new_tokens=4),
+                      Request(short_ctx[:6], q, max_new_tokens=4)])
+    assert outs[0] == []                       # dropped after failed retry
+    assert len(outs[1]) == 4
+    assert tight.last_stats["retried_admissions"] == 1
+    assert tight.last_stats["dropped"] == [0]
+    assert tight.last_stats["dropped_requests"] == 1
