@@ -1058,12 +1058,34 @@ class Runner:
         )
         wrap = None
         post_press = None
+        dms = None
         W = min(score_window, chunk_size, S)
         if press is not None and getattr(press, "post_mask", False):
             # FastKVzip-style presses: gate scores are collected per chunk
             # during the forward (no in-forward compression); the pipeline
             # applies the cross-layer post-mask afterwards.
             post_press = press
+            press = None
+        from ..presses.dms import DMSPress
+
+        if press is not None and isinstance(press, DMSPress):
+            # DMS threshold eviction through chunked prefill (reference
+            # dms_press.py:69-130 — the leaderboard threshold protocol):
+            # per-token scores are collected chunk by chunk through the
+            # wrapped scorer's chunk_score_fn (exact for per-token-local
+            # scorers — KVzap's surrogate, Knorm), then the threshold mask
+            # outside the protection window and the decode ring state are
+            # applied over the full context (press.apply_chunked), matching
+            # the one-shot layer_compress bit for bit.
+            assert press.press.chunk_score_fn is not None, (
+                f"DMSPress over {type(press.press).__name__} cannot run "
+                "through prefill_chunked: the wrapped scorer has no "
+                "per-token chunk_score_fn (its score for token t depends "
+                "on more than that token's own hidden/k/v). Use the "
+                "one-shot prefill, or wrap a per-token scorer "
+                "(KVzapPress, KnormPress)."
+            )
+            dms = press
             press = None
         deferred_press = None
         if press is not None and not press.compresses_prefill:
@@ -1092,15 +1114,29 @@ class Runner:
                         ),
                     )
             else:
+                from ..presses.wrappers import BlockPress
+
+                assert not isinstance(press, BlockPress), (
+                    "BlockPress cannot run through prefill_chunked: its "
+                    "streaming top-k re-gathers matched HIDDEN-STATE rows "
+                    "for every candidate set (reference block_press.py:"
+                    "49-98), which needs every position's hidden states — "
+                    "the chunked path only keeps the trailing scoring "
+                    "window. Use the one-shot prefill (BlockPress is "
+                    "itself streaming, so its peak memory is already "
+                    "bounded by block_size)."
+                )
                 assert isinstance(press, ScorerPress) or getattr(
                     press, "scorer_like", False
                 ), (
-                    "prefill_chunked compresses with a ScorerPress, a "
-                    "scorer-like wrapper (CriticalKV, PerLayerCompression) "
-                    "or a chunked-composable wrapper (AdaKV family, "
-                    "KeyRerotation, Chunk, Composed); multi-pass presses "
-                    "run their repeat passes after the chunked prefill "
-                    "(pipeline orchestration)"
+                    f"prefill_chunked cannot compress with "
+                    f"{type(press).__name__}: it compresses with a "
+                    "ScorerPress, a scorer-like wrapper (CriticalKV, "
+                    "PerLayerCompression) or a chunked-composable wrapper "
+                    "(AdaKV family, KeyRerotation, Chunk/ChunkKV, Composed, "
+                    "Duo, ThinK, SimLayerKV, Finch, DMS over a per-token "
+                    "scorer); multi-pass presses run their repeat passes "
+                    "after the chunked prefill (pipeline orchestration)"
                 )
                 # BudgetDecodingPress: per-layer targets come from the
                 # press's own dynamic_budget — budget-shaping scorers
@@ -1133,7 +1169,13 @@ class Runner:
                 adj.append(st)
             starts = sorted(set(adj))
         logits = hidden_win = None
-        collect_gates = post_press.gates if post_press is not None else None
+        collect_fn = collect_arg = None
+        if post_press is not None:
+            collect_fn = post_press.chunk_score_fn
+            collect_arg = post_press.chunk_score_arg
+        elif dms is not None:
+            collect_fn = dms.press.chunk_score_fn
+            collect_arg = dms.press.chunk_score_arg
         all_scores = []
         for i, start in enumerate(starts):
             last = i == len(starts) - 1
@@ -1147,7 +1189,8 @@ class Runner:
                 cache, runner=self,
                 compute_logits=compute_logits and last,
                 hidden_window=W if (last and wrap is not None) else None,
-                fused_kv=fused_kv, collect_gates=collect_gates,
+                fused_kv=fused_kv, collect_gates=collect_arg,
+                collect_fn=collect_fn,
                 chunk_embeds=(
                     inputs_embeds[:, start:start + width]
                     if inputs_embeds is not None else None
@@ -1174,6 +1217,18 @@ class Runner:
         state = None
         if deferred_press is not None:
             state = deferred_press.init_state(self.cfg, B, S, dtype=dtype)
+        if dms is not None:
+            mask_full = cache.mask
+            if mask_full is None:
+                mask_full = jnp.ones(
+                    (self.cfg.num_layers, B, self.cfg.num_kv_heads,
+                     cache.max_size), bool,
+                )
+            scores = jnp.concatenate(all_scores, axis=-1)     # (L, B, H, S)
+            new_mask, state = dms.apply_chunked(
+                scores, S, mask_full, self.cfg.sliding_flags()
+            )
+            cache = dataclasses.replace(cache, mask=new_mask)
         if post_press is not None:
             # Post-mask (FastKVzip) press state: per-chunk gate scores
             # concatenated over positions, protected window applied over the

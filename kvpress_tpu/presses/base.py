@@ -167,6 +167,19 @@ class BasePress:
     # True when the press implements decode_compress_quantized (payload-width
     # decode compression over int8/int4 buffers — DecodingPress family).
     supports_quantized_decode = False
+    # Per-token chunk scoring (DMSPress / FastKVzip through prefill_chunked):
+    # a press whose score for token t depends ONLY on that token's own
+    # (hidden, k, v) sets ``chunk_score_fn`` to a MODULE-LEVEL function
+    # ``(arg, layer_idx, hidden (B,T,E), keys (B,H,T,D), values) ->
+    # (B, H_kv, T)`` and exposes its array pytree via ``chunk_score_arg``
+    # (passed as a jit ARGUMENT, never closed over — press arrays as HLO
+    # constants bloat/hang the axon remote compile, CLAUDE.md). None =
+    # not per-token-scorable; the chunked prefill rejects DMS over it.
+    chunk_score_fn = None
+
+    @property
+    def chunk_score_arg(self):
+        return None
 
     def wants_probs(self, q_len: int) -> bool:
         """Whether the runner should use the probs-materializing (O(S²)

@@ -72,6 +72,37 @@ class DMSPress(BasePress):
         }
         return keys, values, length, mask, new_state
 
+    def apply_chunked(self, scores, S: int, mask, sliding):
+        """Chunked-prefill finalization (models/llama.prefill_chunked):
+        ``scores`` (L, B, H, S) are the per-token scores collected chunk by
+        chunk through ``press.chunk_score_fn`` — identical to the one-shot
+        ``press.score`` for per-token-local scorers (KVzap/Knorm) — and this
+        applies exactly :meth:`layer_compress`'s threshold mask and decode
+        ring state, batched over layers. ``mask`` is the materialized cache
+        keep-mask (L, B, H, S_buf); ``sliding`` (L,) marks layers that are
+        never compressed. Returns (new_mask, state)."""
+        L, B, H, _ = scores.shape
+        S_buf = mask.shape[-1]
+        W = self.sliding_window_size
+        if S > W:
+            spad = jnp.pad(scores, ((0, 0),) * 3 + ((0, S_buf - S),),
+                           constant_values=jnp.inf)      # pads never evict
+            pos = jnp.arange(S_buf)[None, None, None]
+            evict = (pos < S - W) & (spad < self.threshold)
+            evict = evict & ~jnp.asarray(sliding)[:, None, None, None]
+            mask = mask & ~evict
+        n_buf = min(W, S)
+        buf = jnp.zeros((L, B, H, W), jnp.float32)
+        buf = jax.lax.dynamic_update_slice_in_dim(
+            buf, scores[..., S - n_buf:], W - n_buf, axis=3
+        )
+        state = {
+            "scores": buf,
+            "count": jnp.full((L,), n_buf, jnp.int32),
+            "first_slot": jnp.full((L,), S - n_buf, jnp.int32),
+        }
+        return mask, state
+
     def decode_compress(self, ctx, keys, values, length, mask, state=None):
         """Decode: score the T new tokens, push into the ring; evict scores
         that fall out of the window if below threshold."""

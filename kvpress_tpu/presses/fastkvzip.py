@@ -79,6 +79,13 @@ def init_random_gates(key, cfg, output_dim: int = 16, sink: int = 16) -> dict:
     }
 
 
+def _gate_chunk_scores(arg, layer_idx, hidden, keys, values):
+    """Per-token chunk scoring (prefill_chunked collect protocol): gate
+    scores depend only on the token's own hidden state. ``arg`` = the gates
+    pytree, a jit argument (never a closure constant)."""
+    return gate_scores(arg, layer_idx, hidden)
+
+
 @content_hash_eq
 @dataclasses.dataclass(frozen=True)
 class FastKVzipPress(BasePress):
@@ -94,6 +101,11 @@ class FastKVzipPress(BasePress):
 
     post_mask = True            # pipeline applies the cross-layer mask after prefill
     compresses_prefill = True   # scores collected during prefill
+    chunk_score_fn = staticmethod(_gate_chunk_scores)
+
+    @property
+    def chunk_score_arg(self):
+        return self.gates
 
     def init_state(self, cfg, batch, seq_len, dtype=None):
         return {

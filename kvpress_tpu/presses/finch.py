@@ -100,3 +100,96 @@ class FinchPress(BasePress):
             keys, values, jnp.asarray(n, jnp.int32),
             jnp.ones((B, H, S), bool), state,
         )
+
+    # -- chunked-prefill composition (models/llama._compress_layer) ------- #
+    # The observation window is the question suffix — it lives in the FINAL
+    # chunk's scoring window, so Finch composes with chunked prefill exactly
+    # when window_size <= the scoring window (asserted); scoring/selection
+    # are the one-shot math with the static S replaced by the traced length.
+
+    def _chunked_scores(self, ctx, keys, length):
+        W = self.window_size
+        assert W is not None and W <= ctx.queries.shape[2], (
+            f"FinchPress window ({W}) exceeds the chunked-prefill scoring "
+            f"window ({ctx.queries.shape[2]}) — raise score_window/"
+            "context_chunk or shorten the question part"
+        )
+        S = keys.shape[2]
+        Hkv = keys.shape[1]
+        q_win = ctx.queries[:, :, -W:]
+        prior = (length - W).astype(jnp.int32)
+        attn = window_attention_probs(q_win, keys, ctx.scale, prior)
+        pos = jnp.arange(S)
+        attn = jnp.where((pos < length - W)[None, None, None], attn, 0.0)
+        if self.normalize_scores:
+            counts = (length - W + jnp.arange(W, dtype=jnp.int32)).astype(
+                jnp.float32
+            )
+            attn = attn * counts[None, None, :, None]
+        scores = attn.mean(axis=-2)                          # (B, Hq, S)
+        scores = group_mean(scores, Hkv)
+        maxv = jnp.max(scores) + 1.0
+        window_region = (pos >= length - W) & (pos < length)
+        scores = jnp.where(window_region[None, None], maxv, scores)
+        from .base import NEG_INF
+
+        return jnp.where((pos < length)[None, None], scores, NEG_INF)
+
+    def _chunked_keep(self, ctx, keys, length):
+        from .wrappers import _dyn_budget, _rank_desc
+
+        scores = self._chunked_scores(ctx, keys, length)
+        S = keys.shape[2]
+        if self.chunk_length is None:
+            n_kept = _dyn_budget(length, self.compression_ratio)
+            return _rank_desc(scores) < n_kept, n_kept
+        pieces, total = [], jnp.asarray(0, jnp.int32)
+        for start in range(0, S, self.chunk_length):
+            size = min(self.chunk_length, S - start)
+            valid_c = jnp.clip(length - start, 0, size)
+            budget = jnp.where(
+                valid_c > 0,
+                jnp.maximum(
+                    (valid_c.astype(jnp.float32)
+                     * (1 - self.compression_ratio)).astype(jnp.int32), 1,
+                ),
+                0,
+            )
+            pieces.append(
+                _rank_desc(scores[..., start:start + size]) < budget
+            )
+            total = total + budget
+        return jnp.concatenate(pieces, axis=-1), total
+
+    def chunked_compress(self, ctx, keys, values, length, mask):
+        from .wrappers import _compact_order, _gather_seq
+
+        if self.compression_ratio == 0.0:
+            return keys, values, length, mask
+        keep, total = self._chunked_keep(ctx, keys, length)
+        order = _compact_order(keep)                   # kept, position order
+        k2, v2 = _gather_seq((keys, values), order)
+        if self.rerotate_keys:
+            k2 = KeyRerotationPress.rerotate(k2, order, ctx.inv_freq)
+        return k2, v2, total, jnp.ones_like(mask)
+
+    def chunked_compress_quantized(self, ctx, keys, values, key_scales,
+                                   value_scales, bits, length, mask):
+        from ..cache import dequantize_kv, quantize_kv
+        from .wrappers import _compact_order, _gather_seq
+
+        if self.compression_ratio == 0.0:
+            return keys, values, key_scales, value_scales, length, mask
+        dt = ctx.hidden.dtype
+        kd = dequantize_kv(keys, key_scales, bits, dt)
+        keep, total = self._chunked_keep(ctx, kd, length)
+        order = _compact_order(keep)
+        if self.rerotate_keys:
+            # rerotated keys change value → requantize (keys only)
+            kd2 = jnp.take_along_axis(kd, order[..., None], axis=2)
+            kd2 = KeyRerotationPress.rerotate(kd2, order, ctx.inv_freq)
+            k2, ks2 = quantize_kv(kd2, bits)
+        else:
+            k2, ks2 = _gather_seq((keys, key_scales), order)
+        v2, vs2 = _gather_seq((values, value_scales), order)
+        return k2, v2, ks2, vs2, total, jnp.ones_like(mask)

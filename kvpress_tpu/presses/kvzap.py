@@ -40,10 +40,23 @@ def load_kvzap_model(path: str) -> dict:
     return {k: jnp.asarray(data[k]) for k in data.files}
 
 
+def _kvzap_chunk_scores(arg, layer_idx, hidden, keys, values):
+    """Per-token chunk scoring (prefill_chunked collect protocol): the
+    surrogate scores each token from its own hidden state — exact per chunk.
+    ``arg`` is the surrogate pytree, a jit argument (never a constant)."""
+    return kvzap_apply(arg, layer_idx, hidden)
+
+
 @content_hash_eq
 @dataclasses.dataclass(frozen=True)
 class KVzapPress(ScorerPress):
     surrogate: Optional[dict] = None       # stacked params pytree
+
+    chunk_score_fn = staticmethod(_kvzap_chunk_scores)
+
+    @property
+    def chunk_score_arg(self):
+        return self.surrogate
 
     def score(self, ctx: LayerCtx, keys, values):
         assert self.surrogate is not None, (

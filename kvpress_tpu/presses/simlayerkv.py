@@ -54,3 +54,53 @@ class SimLayerKVPress(BasePress):
         )
         k2, v2, n = compact_by_mask(keys, values, keep)
         return k2, v2, n, jnp.ones((B, H, S), bool), state
+
+    # -- chunked-prefill composition (models/llama._compress_layer) ------- #
+    # Lazy detection from the trailing scoring window's last n_last queries
+    # against the VALID buffer prefix (traced length); the static-S guard
+    # becomes a traced predicate. Exact vs one-shot when n_last fits the
+    # scoring window (it is 1 by default).
+
+    def _chunked_keep(self, ctx, keys, length):
+        H, S = keys.shape[1], keys.shape[2]
+        q_win = ctx.queries[:, :, -self.n_last:]
+        prior = (length - self.n_last).astype(jnp.int32)
+        attn = window_attention_probs(q_win, keys, ctx.scale, prior)
+        # zero out invalid slots (their probs are already ~0 via the causal
+        # bias versus prior, but padded slots beyond length must not count)
+        pos1 = jnp.arange(S)
+        attn = jnp.where((pos1 < length)[None, None, None], attn, 0.0)
+        attn = attn.mean(axis=(0, 1, 2))                     # (S,)
+        recent = pos1 >= length - self.n_recent
+        score = attn[: self.n_initial].sum() + jnp.where(recent, attn, 0.0).sum()
+        min_length = self.n_initial + self.n_recent + self.n_last
+        lazy = (score > self.lazy_threshold) & (length > min_length)
+        pos = pos1[None, None]
+        keep_region = (pos < self.n_initial) | (
+            pos >= length - (self.n_recent - self.n_last)
+        )
+        keep = jnp.where(lazy, keep_region, True) & (pos < length)
+        return jnp.broadcast_to(keep, (keys.shape[0], H, S))
+
+    def chunked_compress(self, ctx, keys, values, length, mask):
+        if self.lazy_threshold == 1.0:
+            return keys, values, length, mask
+        keep = self._chunked_keep(ctx, keys, length)
+        k2, v2, n = compact_by_mask(keys, values, keep)
+        return k2, v2, n, jnp.ones_like(mask)
+
+    def chunked_compress_quantized(self, ctx, keys, values, key_scales,
+                                   value_scales, bits, length, mask):
+        from ..cache import dequantize_kv
+        from .wrappers import _compact_order, _gather_seq
+
+        if self.lazy_threshold == 1.0:
+            return keys, values, key_scales, value_scales, length, mask
+        kd = dequantize_kv(keys, key_scales, bits, ctx.hidden.dtype)
+        keep = self._chunked_keep(ctx, kd, length)
+        order = _compact_order(keep)
+        keys, values, key_scales, value_scales = _gather_seq(
+            (keys, values, key_scales, value_scales), order
+        )
+        n = jnp.min(jnp.sum(keep, axis=-1)).astype(jnp.int32)
+        return keys, values, key_scales, value_scales, n, jnp.ones_like(mask)

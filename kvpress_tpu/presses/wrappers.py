@@ -691,6 +691,64 @@ class ChunkKVPress(BasePress):
             k2, v2, n, jnp.ones((B, H, S), bool), state,
         )
 
+    # -- chunked-prefill composition (models/llama._compress_layer) ------- #
+    # Traced-length form of the same selection: per-chunk masked means over
+    # the valid prefix (the partial tail chunk's mean over its real count ==
+    # the one-shot tail handling), traced chunk budget, rank-based keep
+    # (stable argsort tie-break == lax.top_k's lowest-index-wins).
+
+    def _chunked_keep(self, ctx, keys, values, length, mask):
+        S = keys.shape[2]
+        cl = self.chunk_length
+        B, H = keys.shape[:2]
+        scores, valid = _window_scores(self.press, ctx, keys, values, length)
+        gl = jnp.where(valid, scores, 0.0).sum(axis=1)       # (B, S) head-sum
+        N_buf = -(-S // cl)
+        pad = N_buf * cl - S
+        glp = jnp.pad(gl, ((0, 0), (0, pad)))
+        vcount = jnp.pad(valid[0, 0].astype(jnp.float32), ((0, pad),))
+        per_chunk = glp.reshape(B, N_buf, cl).sum(-1)
+        counts = vcount.reshape(N_buf, cl).sum(-1)           # (N_buf,)
+        chunk_scores = jnp.where(
+            counts > 0, per_chunk / jnp.maximum(counts, 1.0)[None], NEG_INF
+        )
+        n_total = -(-length // cl)                           # traced ceil
+        n_keep = jnp.maximum(
+            (n_total.astype(jnp.float32)
+             * (1 - self.compression_ratio)).astype(jnp.int32), 1
+        )
+        rank = _rank_desc(chunk_scores)                      # (B, N_buf)
+        keep_chunk = rank < n_keep                           # (B, N_buf)
+        pos_chunk = jnp.arange(S) // cl                      # (S,)
+        keep_b = jnp.take_along_axis(
+            keep_chunk, jnp.broadcast_to(pos_chunk[None], (B, S)), axis=1
+        ) & valid[0]
+        return jnp.broadcast_to(keep_b[:, None], (B, H, S))
+
+    def chunked_compress(self, ctx, keys, values, length, mask):
+        if self.compression_ratio == 0.0:
+            return keys, values, length, mask
+        keep = self._chunked_keep(ctx, keys, values, length, mask)
+        k2, v2, n = compact_by_mask(keys, values, keep)
+        return k2, v2, n, jnp.ones_like(mask)
+
+    def chunked_compress_quantized(self, ctx, keys, values, key_scales,
+                                   value_scales, bits, length, mask):
+        from ..cache import dequantize_kv
+
+        if self.compression_ratio == 0.0:
+            return keys, values, key_scales, value_scales, length, mask
+        dt = ctx.hidden.dtype
+        kd = dequantize_kv(keys, key_scales, bits, dt)
+        vd = dequantize_kv(values, value_scales, bits, dt)
+        keep = self._chunked_keep(ctx, kd, vd, length, mask)
+        order = _compact_order(keep)
+        keys, values, key_scales, value_scales = _gather_seq(
+            (keys, values, key_scales, value_scales), order
+        )
+        n = jnp.min(jnp.sum(keep, axis=-1)).astype(jnp.int32)
+        return keys, values, key_scales, value_scales, n, jnp.ones_like(mask)
+
 
 @dataclasses.dataclass(frozen=True)
 class BlockPress(BasePress):
@@ -779,6 +837,56 @@ class ThinKPress(BasePress):
         ch_keep = jnp.put_along_axis(ch_keep, pruned, False, axis=-1, inplace=False)
         keys = jnp.where(ch_keep[:, :, None, :], keys, 0)
         return keys, values, length, mask, state
+
+    # -- chunked-prefill composition (models/llama._compress_layer) ------- #
+    # Channel scores = window-query energy x key energy over the VALID
+    # buffer prefix (masked mean == the one-shot mean over S == length);
+    # the same static top-k then zeroes the channels.
+
+    def _channel_keep(self, ctx, keys, length):
+        B, H, S, D = keys.shape
+        W = min(self.window_size, ctx.queries.shape[2])
+        q_win = ctx.queries[:, :, -W:].astype(jnp.float32)
+        q_norm = jnp.mean(q_win**2, axis=2)                  # (B, Hq, D)
+        G = q_norm.shape[1] // H
+        q_norm = q_norm.reshape(B, H, G, D).mean(axis=2)
+        valid = (jnp.arange(S)[None, None, :, None] < length)
+        k_norm = jnp.sum(
+            jnp.where(valid, keys.astype(jnp.float32) ** 2, 0.0), axis=2
+        ) / jnp.maximum(length, 1).astype(jnp.float32)
+        channel_scores = q_norm * k_norm
+        n_pruned = int(D * self.key_channel_compression_ratio)
+        if n_pruned == 0:
+            return None
+        _, pruned = jax.lax.top_k(-channel_scores, n_pruned)
+        ch_keep = jnp.ones((B, H, D), bool)
+        return jnp.put_along_axis(ch_keep, pruned, False, axis=-1,
+                                  inplace=False)
+
+    def chunked_compress(self, ctx, keys, values, length, mask):
+        if self.key_channel_compression_ratio == 0.0:
+            return keys, values, length, mask
+        ch_keep = self._channel_keep(ctx, keys, length)
+        if ch_keep is not None:
+            keys = jnp.where(ch_keep[:, :, None, :], keys, 0)
+        return keys, values, length, mask
+
+    def chunked_compress_quantized(self, ctx, keys, values, key_scales,
+                                   value_scales, bits, length, mask):
+        from ..cache import dequantize_kv, quantize_kv
+
+        if self.key_channel_compression_ratio == 0.0:
+            return keys, values, key_scales, value_scales, length, mask
+        dt = ctx.hidden.dtype
+        kd = dequantize_kv(keys, key_scales, bits, dt)
+        ch_keep = self._channel_keep(ctx, kd, length)
+        if ch_keep is not None:
+            # dequant -> zero -> requant: the one-shot quantized path's
+            # press machinery does exactly this (compress on dequantized,
+            # write back requantized).
+            kd = jnp.where(ch_keep[:, :, None, :], kd, 0)
+            keys, key_scales = quantize_kv(kd, bits)
+        return keys, values, key_scales, value_scales, length, mask
 
 
 @dataclasses.dataclass(frozen=True)

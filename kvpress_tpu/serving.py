@@ -558,6 +558,7 @@ class ServingEngine:
         self.max_admissions = max_admissions
         if context_chunk is not None:
             from .presses.base import ScorerPress
+            from .presses.dms import DMSPress
 
             assert context_bucket is None, (
                 "context_chunk and context_bucket are mutually exclusive"
@@ -566,12 +567,14 @@ class ServingEngine:
                 isinstance(press, ScorerPress)
                 or getattr(press, "scorer_like", False)
                 or hasattr(press, "chunked_compress")
+                or (isinstance(press, DMSPress)
+                    and press.press.chunk_score_fn is not None)
                 or self.multi_pass or self.post_mask
             ), (
                 "context_chunk admission compresses with a ScorerPress, a "
-                "scorer-like or chunked-composable wrapper, or a multi-pass/"
-                "post-mask press (repeat passes run after the chunked "
-                "prefill)"
+                "scorer-like or chunked-composable wrapper, DMS over a "
+                "per-token scorer, or a multi-pass/post-mask press (repeat "
+                "passes run after the chunked prefill)"
             )
         self.context_chunk = context_chunk
         self.question_bucket = question_bucket

@@ -313,3 +313,367 @@ def test_merging_press_rejected_by_chunked_prefill(tiny):
             params, ids, press=MergingPress(press=KnormPress(0.5)),
             chunk_size=16, dtype=jnp.float32,
         )
+
+
+# ---------------------------------------------------------------------- #
+# DMS / Duo through chunked prefill (VERDICT r4 item 2)
+
+
+def _knorm_threshold(runner, params, cfg, ids, pct=40):
+    """A threshold inside the actual knorm score range (-||k||) so the DMS
+    tests evict a meaningful fraction regardless of weight init scale."""
+    _, cache, _ = runner.prefill(params, ids, dtype=jnp.float32)
+    norms = -np.linalg.norm(
+        np.asarray(cache.keys[..., : ids.shape[1], :], np.float32), axis=-1
+    )
+    return float(np.percentile(norms, pct))
+
+
+def test_dms_knorm_chunked_matches_exact(tiny):
+    """DMS(Knorm) through prefill_chunked: threshold mask AND the decode
+    ring state (scores/count/first_slot) equal the one-shot path bit for
+    bit (knorm is per-token-local, so per-chunk scoring is exact)."""
+    from kvpress_tpu.presses import DMSPress
+
+    cfg, params, runner = tiny
+    S, chunk, W = 64, 16, 24
+    ids = jnp.asarray(np.random.default_rng(2).permutation(
+        cfg.vocab_size)[:S][None], jnp.int32)
+    thr = _knorm_threshold(runner, params, cfg, ids)
+    press = DMSPress(press=KnormPress(), threshold=thr, sliding_window_size=W)
+
+    _, c_exact, st_exact = runner.prefill(
+        params, ids, press=press, dtype=jnp.float32
+    )
+    _, c_chunk, st_chunk = runner.prefill_chunked(
+        params, ids, press=press, chunk_size=chunk, dtype=jnp.float32
+    )
+    me = np.asarray(c_exact.mask[..., :S])
+    mc = np.asarray(c_chunk.mask[..., :S])
+    np.testing.assert_array_equal(me, mc)
+    assert 0.05 < (~me).mean() < 0.8          # the threshold actually evicts
+    for k in ("scores", "count", "first_slot"):
+        np.testing.assert_allclose(
+            np.asarray(st_exact[k]), np.asarray(st_chunk[k]), rtol=1e-6,
+            err_msg=k,
+        )
+    assert _decode(runner, params, c_exact, ids) == \
+        _decode(runner, params, c_chunk, ids)
+
+
+def test_dms_knorm_chunked_quantized(tiny):
+    """DMS through the quantized chunked path: per-chunk scores are computed
+    on cache-width (dequantized) keys — identical to what the one-shot
+    quantized path scores."""
+    from kvpress_tpu.presses import DMSPress
+
+    cfg, params, runner = tiny
+    S, chunk = 64, 16
+    ids = jnp.asarray(np.random.default_rng(3).permutation(
+        cfg.vocab_size)[:S][None], jnp.int32)
+    thr = _knorm_threshold(runner, params, cfg, ids)
+    press = DMSPress(press=KnormPress(), threshold=thr, sliding_window_size=24)
+
+    _, c_exact, _ = runner.prefill(
+        params, ids, press=press, dtype=jnp.float32, quantized=True
+    )
+    _, c_chunk, _ = runner.prefill_chunked(
+        params, ids, press=press, chunk_size=chunk, dtype=jnp.float32,
+        quantized=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c_exact.mask[..., :S]), np.asarray(c_chunk.mask[..., :S])
+    )
+
+
+def test_dms_kvzap_chunked_matches_exact(tiny):
+    """DMS(KVzap) — the reference leaderboard's threshold protocol
+    (evaluation/leaderboard.sh, dms_press.py:69-130) — through chunked
+    prefill: surrogate scores are per-token (MLP of the token's own hidden
+    state), so the chunked mask and ring state are exact."""
+    from kvpress_tpu.presses import DMSPress, KVzapPress
+
+    cfg, params, runner = tiny
+    S, chunk = 64, 16
+    rng = np.random.default_rng(4)
+    ids = jnp.asarray(rng.permutation(cfg.vocab_size)[:S][None], jnp.int32)
+    L, E, H = cfg.num_layers, cfg.hidden_size, cfg.num_kv_heads
+    surrogate = {
+        "w": jnp.asarray(rng.normal(0, 0.5, (L, E, H)), jnp.float32),
+        "b": jnp.asarray(rng.normal(0, 0.1, (L, H)), jnp.float32),
+    }
+    press = DMSPress(press=KVzapPress(surrogate=surrogate), threshold=0.0,
+                     sliding_window_size=24)
+
+    _, c_exact, st_exact = runner.prefill(
+        params, ids, press=press, dtype=jnp.float32
+    )
+    _, c_chunk, st_chunk = runner.prefill_chunked(
+        params, ids, press=press, chunk_size=chunk, dtype=jnp.float32
+    )
+    me = np.asarray(c_exact.mask[..., :S])
+    mc = np.asarray(c_chunk.mask[..., :S])
+    np.testing.assert_array_equal(me, mc)
+    assert 0.05 < (~me).mean() < 0.95
+    for k in ("scores", "count", "first_slot"):
+        # surrogate scores: different HLOs reassociate the MLP float ops
+        np.testing.assert_allclose(
+            np.asarray(st_exact[k]), np.asarray(st_chunk[k]), atol=1e-5,
+            err_msg=k,
+        )
+
+
+def test_dms_unscorable_base_rejected(tiny):
+    """DMS over a scorer with no per-token chunk_score_fn (SnapKV's window
+    attention needs cross-token context) is rejected with the documented
+    assertion, not a silent wrong answer."""
+    from kvpress_tpu.presses import DMSPress
+
+    cfg, params, runner = tiny
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (1, 48)), jnp.int32)
+    press = DMSPress(press=SnapKVPress(0.5, window_size=8), threshold=0.0)
+    with pytest.raises(AssertionError, match="chunk_score_fn"):
+        runner.prefill_chunked(
+            params, ids, press=press, chunk_size=16, dtype=jnp.float32
+        )
+
+
+def test_duo_chunked_matches_exact(tiny):
+    """DuoAttentionPress through prefill_chunked: the streaming-head
+    sink/recent mask equals the one-shot path (position-only eviction; the
+    static S guard becomes a traced-length predicate)."""
+    from kvpress_tpu.presses import DuoAttentionPress
+
+    cfg, params, runner = tiny
+    S, chunk = 64, 16
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.permutation(cfg.vocab_size)[:S][None], jnp.int32)
+    scores = rng.random((cfg.num_layers, cfg.num_kv_heads))
+    press = DuoAttentionPress(
+        head_compression_ratio=0.5, sink_size=4, recent_size=8,
+        head_scores=scores,
+    )
+
+    _, c_exact, _ = runner.prefill(params, ids, press=press, dtype=jnp.float32)
+    _, c_chunk, _ = runner.prefill_chunked(
+        params, ids, press=press, chunk_size=chunk, dtype=jnp.float32
+    )
+    me = np.asarray(c_exact.mask[..., :S])
+    mc = np.asarray(c_chunk.mask[..., :S])
+    np.testing.assert_array_equal(me, mc)
+    assert 0.1 < (~me).mean() < 0.8           # streaming heads were pruned
+    assert _decode(runner, params, c_exact, ids) == \
+        _decode(runner, params, c_chunk, ids)
+
+
+@pytest.mark.parametrize("short", [True, False])
+def test_duo_chunked_quantized_and_short(tiny, short):
+    """Quantized Duo chunked == quantized one-shot; a context shorter than
+    sink+recent prunes nothing on either path (the traced guard)."""
+    from kvpress_tpu.presses import DuoAttentionPress
+
+    cfg, params, runner = tiny
+    S = 10 if short else 64
+    rng = np.random.default_rng(6)
+    ids = jnp.asarray(rng.permutation(cfg.vocab_size)[:S][None], jnp.int32)
+    press = DuoAttentionPress(
+        head_compression_ratio=0.5, sink_size=4, recent_size=8,
+        head_scores=rng.random((cfg.num_layers, cfg.num_kv_heads)),
+    )
+    _, c_exact, _ = runner.prefill(
+        params, ids, press=press, dtype=jnp.float32, quantized=True
+    )
+    _, c_chunk, _ = runner.prefill_chunked(
+        params, ids, press=press, chunk_size=16, dtype=jnp.float32,
+        quantized=True,
+    )
+    me = np.asarray(
+        c_exact.mask[..., :S] if c_exact.mask is not None
+        else np.ones((cfg.num_layers, 1, cfg.num_kv_heads, S), bool)
+    )
+    mc = np.asarray(c_chunk.mask[..., :S])
+    np.testing.assert_array_equal(me, mc)
+    if short:
+        assert (~mc).sum() == 0
+
+
+# ---------------------------------------------------------------------- #
+# Structural presses through chunked prefill (VERDICT r4 item 2 tail):
+# ThinK, SimLayerKV, ChunkKV, Finch admitted; Block documented-rejected.
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_think_chunked_matches_exact(tiny, quantized):
+    """ThinK (channel pruning) through prefill_chunked: channel selection
+    from window-query energy x valid-prefix key energy equals the one-shot
+    path; zeroed channels match."""
+    cfg, params, runner = tiny
+    S, chunk = 64, 16
+    ids = jnp.asarray(np.random.default_rng(7).permutation(
+        cfg.vocab_size)[:S][None], jnp.int32)
+    press = ThinKPress(key_channel_compression_ratio=0.5, window_size=8)
+
+    _, c_exact, _ = runner.prefill(
+        params, ids, press=press, dtype=jnp.float32, quantized=quantized
+    )
+    _, c_chunk, _ = runner.prefill_chunked(
+        params, ids, press=press, chunk_size=chunk, dtype=jnp.float32,
+        quantized=quantized,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c_exact.length), np.asarray(c_chunk.length)
+    )
+    if quantized:
+        from kvpress_tpu.cache import dequantize_kv
+
+        ke = np.asarray(dequantize_kv(c_exact.keys, c_exact.key_scales, 8,
+                                      jnp.float32)[..., :S, :])
+        kc = np.asarray(dequantize_kv(c_chunk.keys, c_chunk.key_scales, 8,
+                                      jnp.float32)[..., :S, :])
+        # int8 noise can flip ONE near-tie channel rank; demand the zeroed
+        # channel sets agree to >99.9% and the values stay close
+        assert ((ke == 0) == (kc == 0)).mean() > 0.999
+        np.testing.assert_allclose(ke, kc, atol=0.05)
+    else:
+        ke = np.asarray(c_exact.keys[..., :S, :], np.float32)
+        kc = np.asarray(c_chunk.keys[..., :S, :], np.float32)
+        # the zeroed channel sets must agree exactly; surviving values equal
+        np.testing.assert_array_equal(ke == 0, kc == 0)
+        np.testing.assert_allclose(ke, kc, atol=2e-5)
+    assert (ke == 0).mean() > 0.4            # half the key channels zeroed
+
+
+def test_simlayerkv_chunked_matches_exact(tiny):
+    """SimLayerKV through prefill_chunked: per-layer lazy detection from the
+    last query's attention over the valid prefix; lazy layers truncate to
+    sink+recent on both paths, per-layer lengths and kept keys equal."""
+    from kvpress_tpu.presses import SimLayerKVPress
+
+    cfg, params, runner = tiny
+    S, chunk = 64, 16
+    ids = jnp.asarray(np.random.default_rng(8).permutation(
+        cfg.vocab_size)[:S][None], jnp.int32)
+    press = SimLayerKVPress(lazy_threshold=0.15, n_last=1, n_recent=8,
+                            n_initial=4)
+
+    _, c_exact, _ = runner.prefill(params, ids, press=press, dtype=jnp.float32)
+    _, c_chunk, _ = runner.prefill_chunked(
+        params, ids, press=press, chunk_size=chunk, dtype=jnp.float32
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c_exact.length), np.asarray(c_chunk.length)
+    )
+    for layer in range(cfg.num_layers):
+        n = int(c_exact.length[layer])
+        np.testing.assert_allclose(
+            np.asarray(c_exact.keys[layer, ..., :n, :], np.float32),
+            np.asarray(c_chunk.keys[layer, ..., :n, :], np.float32),
+            atol=2e-5, err_msg=f"layer {layer}",
+        )
+    # a near-zero threshold marks every layer lazy -> all truncate
+    lazy_all = SimLayerKVPress(lazy_threshold=0.01, n_last=1, n_recent=8,
+                               n_initial=4)
+    _, c_lazy, _ = runner.prefill_chunked(
+        params, ids, press=lazy_all, chunk_size=chunk, dtype=jnp.float32
+    )
+    assert int(jnp.max(c_lazy.length)) < S
+    assert _decode(runner, params, c_exact, ids) == \
+        _decode(runner, params, c_chunk, ids)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_chunkkv_chunked_matches_exact(tiny, quantized):
+    """ChunkKV (keep whole top chunks) through prefill_chunked: per-chunk
+    masked means + traced budget + rank selection reproduce the one-shot
+    chunk choice, including the partial tail chunk."""
+    from kvpress_tpu.presses import ChunkKVPress
+
+    cfg, params, runner = tiny
+    S, chunk = 70, 16          # 70 = 3 full score-chunks of 20 + tail of 10
+    ids = jnp.asarray(np.random.default_rng(9).permutation(
+        cfg.vocab_size)[:S][None], jnp.int32)
+    press = ChunkKVPress(press=KnormPress(0.5), chunk_length=20)
+
+    _, c_exact, _ = runner.prefill(
+        params, ids, press=press, dtype=jnp.float32, quantized=quantized
+    )
+    _, c_chunk, _ = runner.prefill_chunked(
+        params, ids, press=press, chunk_size=chunk, dtype=jnp.float32,
+        quantized=quantized,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c_exact.length), np.asarray(c_chunk.length)
+    )
+    from kvpress_tpu.cache import dequantize_kv
+    for layer in range(cfg.num_layers):
+        n = int(c_exact.length[layer])
+        if quantized:
+            a = dequantize_kv(c_exact.keys[layer], c_exact.key_scales[layer],
+                              8, jnp.float32)[..., :n, :]
+            b = dequantize_kv(c_chunk.keys[layer], c_chunk.key_scales[layer],
+                              8, jnp.float32)[..., :n, :]
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=0.05, err_msg=f"layer {layer}")
+        else:
+            # same kept set; raw floats reassociate between the two HLOs
+            np.testing.assert_allclose(
+                np.asarray(c_exact.keys[layer, ..., :n, :], np.float32),
+                np.asarray(c_chunk.keys[layer, ..., :n, :], np.float32),
+                atol=2e-5, err_msg=f"layer {layer}",
+            )
+    if not quantized:
+        assert _decode(runner, params, c_exact, ids) == \
+            _decode(runner, params, c_chunk, ids)
+
+
+@pytest.mark.parametrize("rerotate", [False, True])
+@pytest.mark.parametrize("chunk_length", [None, 24])
+def test_finch_chunked_prefill_matches_exact(tiny, rerotate, chunk_length):
+    """Finch through prefill_chunked (window fits the scoring window):
+    normalized window scores, per-span budgets and optional key re-rotation
+    equal the one-shot path."""
+    from kvpress_tpu.presses import FinchPress
+
+    cfg, params, runner = tiny
+    S, chunk = 64, 16
+    ids = jnp.asarray(np.random.default_rng(10).permutation(
+        cfg.vocab_size)[:S][None], jnp.int32)
+    press = FinchPress(compression_ratio=0.5, window_size=8,
+                       rerotate_keys=rerotate, chunk_length=chunk_length)
+
+    _, c_exact, _ = runner.prefill(params, ids, press=press, dtype=jnp.float32)
+    _, c_chunk, _ = runner.prefill_chunked(
+        params, ids, press=press, chunk_size=chunk, dtype=jnp.float32
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c_exact.length), np.asarray(c_chunk.length)
+    )
+    for layer in range(cfg.num_layers):
+        n = int(c_exact.length[layer])
+        np.testing.assert_allclose(
+            np.asarray(c_exact.keys[layer, ..., :n, :], np.float32),
+            np.asarray(c_chunk.keys[layer, ..., :n, :], np.float32),
+            atol=3e-5, err_msg=f"layer {layer}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(c_exact.values[layer, ..., :n, :], np.float32),
+            np.asarray(c_chunk.values[layer, ..., :n, :], np.float32),
+            atol=3e-5, err_msg=f"layer {layer}",
+        )
+
+
+def test_block_press_rejected_with_reason(tiny):
+    """BlockPress's streaming top-k needs every position's hidden states —
+    prefill_chunked rejects it with the documented, press-specific message
+    (not a generic assert)."""
+    from kvpress_tpu.presses import BlockPress
+
+    cfg, params, runner = tiny
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (1, 48)), jnp.int32)
+    with pytest.raises(AssertionError, match="BlockPress cannot run"):
+        runner.prefill_chunked(
+            params, ids, press=BlockPress(press=KnormPress(0.5), block_size=16),
+            chunk_size=16, dtype=jnp.float32,
+        )
