@@ -1288,13 +1288,43 @@ class Runner:
             scores.append(sc)
         return cache, jnp.stack(scores)
 
+    def kvcompose_refeed_pass(self, params, ids_chunk, cache, ctx_len: int,
+                              agg_task: str):
+        """One KVCompose scoring-pass chunk (reference kvcompose_press.py
+        new_forward + forward_hook, :197-219, :384-424 — the extra full
+        pass over the context, here in bounded chunks): the chunk's KV
+        APPENDS to the donated cache (later chunks' queries attend to it —
+        exact one-shot causality over the doubled sequence), and the lean
+        scan emits each layer's aggregated attention onto the original
+        ``ctx_len`` columns via the flash-lse blockwise sweep
+        (ops/attention.refeed_colagg). Returns ``(cache, part)`` with part
+        (L, B, Hq, ctx_len) f32 — combine across chunks by max / running
+        sum, roll back by restoring length/offset afterwards (the first
+        ctx_len slots are untouched)."""
+        assert self.cfg.sliding_window is None, (
+            "KVCompose chunked re-feed does not support sliding-window "
+            "models (the press skips sliding layers; use one-shot prefill)"
+        )
+        fused = True
+        if cache.key_scales is not None:
+            dense_bytes = (
+                2 * 2 * ids_chunk.shape[0] * self.cfg.num_kv_heads
+                * cache.max_size * self.cfg.head_dim
+            )
+            fused = cache.bits == 8 or dense_bytes > (1 << 29)
+        _, cache, _, part = _chunk_forward_lean(
+            params, ids_chunk, cache, runner=self, compute_logits=False,
+            fused_kv=fused, kvcompose_spec=(ctx_len, agg_task),
+        )
+        return cache, part
+
 
 def _chunk_forward_lean_impl(params, chunk_ids, cache, collect_gates=None,
                              chunk_embeds=None, img_groups=None,
                              k_groups=None, kvzip_start=None, *,
                              runner, compute_logits=False, hidden_window=None,
                              fused_kv=True, image_span=None, kvzip_spec=None,
-                             collect_fn=None):
+                             collect_fn=None, kvcompose_spec=None):
     """Pressless chunk append with O(chunk) scan outputs.
 
     The standard forward's layer scan threads the FULL cache buffers as both
@@ -1362,6 +1392,14 @@ def _chunk_forward_lean_impl(params, chunk_ids, cache, collect_gates=None,
                 img_groups[:, :, None] == k_groups[:, None, :]
             )
 
+    if kvcompose_spec is not None:
+        # KVCompose re-feed pass: needs each chunk query's lse (flash) or
+        # probs (XLA); sliding-window layers would need per-layer window
+        # masks inside the column sweep — unsupported (the press never
+        # compresses them anyway).
+        assert window is None and kvzip_spec is None and collect_fn is None
+        assert not use_flash or runner.attn_impl == "flash"
+
     def body(xh, xs):
         (layer, kb, vb, ks, vs, lmask, ln, sflag, lid) = xs
         h = rms_norm(xh, layer["ln1"], cfg.rms_norm_eps, cfg.rms_one_offset)
@@ -1403,6 +1441,7 @@ def _chunk_forward_lean_impl(params, chunk_ids, cache, collect_gates=None,
                         softcap=cfg.logit_softcap, window=win,
                         q_groups=img_groups, k_groups=k_groups,
                         or_span=image_span if img_groups is not None else None,
+                        return_lse=kvcompose_spec is not None,
                     )
 
                 if window is not None:
@@ -1410,6 +1449,8 @@ def _chunk_forward_lean_impl(params, chunk_ids, cache, collect_gates=None,
                                      lambda: _fld(None))
                 else:
                     o = _fld(None)
+                if kvcompose_spec is not None:
+                    o, attn_lse = o
             elif use_flash:
                 from ..ops.flash import flash_attention_quant
 
@@ -1417,6 +1458,7 @@ def _chunk_forward_lean_impl(params, chunk_ids, cache, collect_gates=None,
                     return flash_attention_quant(
                         q, kb2, vb2, ks2, vs2, ln, lmask, bits=cache.bits,
                         sm_scale=scale, softcap=cfg.logit_softcap, window=win,
+                        return_lse=kvcompose_spec is not None,
                     )
 
                 if window is not None:
@@ -1424,6 +1466,8 @@ def _chunk_forward_lean_impl(params, chunk_ids, cache, collect_gates=None,
                                      lambda: _flq(None))
                 else:
                     o = _flq(None)
+                if kvcompose_spec is not None:
+                    o, attn_lse = o
             else:
                 S_buf = kb2.shape[2]
                 bias = attention_bias(ln, T, S_buf, sliding_window=None,
@@ -1434,10 +1478,23 @@ def _chunk_forward_lean_impl(params, chunk_ids, cache, collect_gates=None,
                         extra_allow=extra_allow,
                     )
                     bias = jnp.where(sflag, sl_bias, bias)
-                o = quant_gqa_attention(
-                    q, kb2, vb2, ks2, vs2, bias, scale, cache.bits,
-                    softcap=cfg.logit_softcap,
-                )
+                if kvcompose_spec is not None:
+                    # re-feed scoring on the XLA (small-scale) path: probs
+                    # materialize anyway — aggregate them directly, exactly
+                    # the one-shot collector math
+                    from ..cache import dequantize_kv as _dq
+
+                    kd_ = _dq(kb2, ks2, cache.bits, xh.dtype)
+                    vd_ = _dq(vb2, vs2, cache.bits, xh.dtype)
+                    o, attn_probs = gqa_attention(
+                        q, kd_, vd_, bias, scale,
+                        softcap=cfg.logit_softcap, return_probs=True,
+                    )
+                else:
+                    o = quant_gqa_attention(
+                        q, kb2, vb2, ks2, vs2, bias, scale, cache.bits,
+                        softcap=cfg.logit_softcap,
+                    )
         else:
             ys = (k.astype(kb.dtype), v.astype(vb.dtype), None, None)
             keys = jax.lax.dynamic_update_slice_in_dim(
@@ -1455,6 +1512,7 @@ def _chunk_forward_lean_impl(params, chunk_ids, cache, collect_gates=None,
                         softcap=cfg.logit_softcap, window=win,
                         q_groups=img_groups, k_groups=k_groups,
                         or_span=image_span if img_groups is not None else None,
+                        return_lse=kvcompose_spec is not None,
                     )
 
                 if window is not None:
@@ -1462,6 +1520,8 @@ def _chunk_forward_lean_impl(params, chunk_ids, cache, collect_gates=None,
                                      lambda: _fl(None))
                 else:
                     o = _fl(None)
+                if kvcompose_spec is not None:
+                    o, attn_lse = o
             else:
                 S_buf = keys.shape[2]
                 bias = attention_bias(ln, T, S_buf, sliding_window=None,
@@ -1472,8 +1532,34 @@ def _chunk_forward_lean_impl(params, chunk_ids, cache, collect_gates=None,
                         extra_allow=extra_allow,
                     )
                     bias = jnp.where(sflag, sl_bias, bias)
-                o, _ = gqa_attention(q, keys, values, bias, scale,
-                                     softcap=cfg.logit_softcap)
+                o, attn_probs = gqa_attention(
+                    q, keys, values, bias, scale, softcap=cfg.logit_softcap,
+                    return_probs=kvcompose_spec is not None,
+                )
+
+        if kvcompose_spec is not None:
+            # Per-layer partial aggregation of this chunk's attention onto
+            # the original context columns (KVCompose scoring pass): flash
+            # paths sweep blockwise with the pass's own lse (the (T, ctx)
+            # prob matrix never materializes); the XLA path aggregates the
+            # probs it already built. Chunks combine outside by max /
+            # running sum (task aggregation is per attention head; group
+            # aggregation happens once at the end — mixed agg modes do not
+            # commute through chunks otherwise).
+            from ..ops.attention import refeed_colagg
+
+            zctx, zagg = kvcompose_spec
+            red = "max" if zagg == "max" else "sum"
+            if use_flash:
+                kb_s = kb2 if quantized else keys
+                part = refeed_colagg(
+                    q, kb_s, ks2 if quantized else None, cache.bits,
+                    attn_lse, zctx, red, scale, cfg.logit_softcap,
+                )
+            else:
+                pc = attn_probs[..., :zctx].astype(jnp.float32)
+                part = pc.max(axis=2) if zagg == "max" else pc.sum(axis=2)
+            ys = ys + (part,)
 
         if hidden_window is not None:
             ys = ys + (h[:, -hidden_window:],)
@@ -1543,11 +1629,15 @@ def _chunk_forward_lean_impl(params, chunk_ids, cache, collect_gates=None,
     out_ys = list(out_ys)
     nk, nv, nks, nvs = out_ys[:4]
     rest = out_ys[4:]
+    # ys order past the K/V quartet: [kvcompose part][hidden window][scores]
+    kvcompose_part = rest.pop(0) if kvcompose_spec is not None else None
     hidden_win = rest.pop(0) if hidden_window is not None else None
     assert not (collect_fn is not None and kvzip_spec is not None)
     chunk_scores = rest.pop(0) if (
         collect_fn is not None or kvzip_spec is not None
     ) else None
+    if kvcompose_part is not None:
+        chunk_scores = kvcompose_part
 
     if kvzip_spec is not None:
         # Scoring pass (scan form): the repeat KV lived only in per-layer
@@ -1584,7 +1674,7 @@ def _chunk_forward_lean_impl(params, chunk_ids, cache, collect_gates=None,
 # Chunk-append form (prefill_chunked): the cache is donated — the batched
 # DUS writes the chunk's new K/V in place.
 _LEAN_STATICS = ("runner", "compute_logits", "hidden_window", "fused_kv",
-                 "image_span", "kvzip_spec", "collect_fn")
+                 "image_span", "kvzip_spec", "collect_fn", "kvcompose_spec")
 _chunk_forward_lean = functools.partial(
     jax.jit, static_argnames=_LEAN_STATICS, donate_argnums=(2,)
 )(_chunk_forward_lean_impl)

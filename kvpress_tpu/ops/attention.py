@@ -376,3 +376,60 @@ def window_attention_probs(
     ) * scale
     logits = logits + bias[None, None, None]
     return jax.nn.softmax(logits, axis=-1).reshape(B, Hq, W, S)
+
+
+def refeed_colagg(
+    q: jax.Array,                    # (B, Hq, T, D) re-feed chunk queries
+    kb: jax.Array,                   # (B, Hkv, S_buf, D|payload) cache keys
+    k_scales,                        # (B, Hkv, S_buf, 1) f32 | None
+    bits: int,
+    lse: jax.Array,                  # (B, Hq, T) f32 — softmax denominators
+                                     # over each query's FULL visible range
+    ctx_len: int,
+    agg: str,                        # "max" | "sum" over the T query rows
+    scale: float,
+    softcap=None,
+    block: int = 512,
+):
+    """Blockwise aggregation of softmax probabilities of re-feed queries
+    onto the first ``ctx_len`` cache columns (KVCompose chunked scoring
+    pass; reference kvcompose_press.py Aggregator streams eager attention —
+    :28-99). Every context column precedes every re-feed query, so there is
+    no causal mask inside the sweep; ``p = exp(s - lse)`` with the lse from
+    the chunk's own attention (flash return_lse / XLA logsumexp) makes each
+    block's probabilities exact without materializing the (T, ctx) matrix.
+    Returns (B, Hq, ctx_len) f32 — the per-attention-head max or sum over
+    this chunk's queries (chunks combine by max / running sum outside)."""
+    B, Hq, T, D = q.shape
+    Hkv = kb.shape[1]
+    G = Hq // Hkv
+    n_blocks = -(-ctx_len // block)
+    pad_ctx = n_blocks * block
+    qg = q.reshape(B, Hkv, G, T, D)
+    lse_g = lse.reshape(B, Hkv, G, T)
+
+    def body(i, out):
+        start = i * block
+        kblk = jax.lax.dynamic_slice_in_dim(kb, start, block, axis=2)
+        if k_scales is not None:
+            from ..cache import dequantize_kv
+
+            sblk = jax.lax.dynamic_slice_in_dim(k_scales, start, block, axis=2)
+            kblk = dequantize_kv(kblk, sblk, bits, q.dtype)
+        s = jnp.einsum(
+            "bhgtd,bhsd->bhgts", qg, kblk,
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if softcap is not None:
+            s = jnp.tanh(s / softcap) * softcap
+        p = jnp.exp(s - lse_g[..., None])
+        cols = start + jnp.arange(block)
+        p = jnp.where((cols < ctx_len)[None, None, None, None], p, 0.0)
+        part = p.max(axis=3) if agg == "max" else p.sum(axis=3)
+        return jax.lax.dynamic_update_slice_in_dim(
+            out, part.reshape(B, Hq, block), start, axis=2
+        )
+
+    out = jnp.zeros((B, Hq, pad_ctx), jnp.float32)
+    out = jax.lax.fori_loop(0, n_blocks, body, out)
+    return out[..., :ctx_len]

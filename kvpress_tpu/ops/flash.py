@@ -301,6 +301,7 @@ def _qkernel(
     vs_ref,
     mask_ref,                  # (1, 1, 1, bk) bool
     o_ref,                     # like q_ref
+    lse_ref,                   # (1, 1, rows_blk, LANES) f32 | None
     m_scr, l_scr,              # (rows_blk, LANES) f32
     acc_scr,                   # (rows_blk, D) f32 | int4: (2, rows_blk, D2)
     *,
@@ -416,13 +417,19 @@ def _qkernel(
             l = l_scr[...][:, :D]
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
             o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lf = l_scr[...]
+            lse_ref[0, 0] = jnp.where(
+                lf > 0.0, m_scr[...] + jnp.log(jnp.maximum(lf, 1e-38)),
+                -jnp.inf,
+            )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "bits", "sm_scale", "softcap", "window", "block_q", "block_k",
-        "interpret",
+        "interpret", "return_lse",
     ),
 )
 def flash_attention_quant(
@@ -441,6 +448,8 @@ def flash_attention_quant(
     block_q: int = 256,
     block_k: int = 1024,
     interpret: bool = False,
+    return_lse: bool = False,        # also return (B, Hq, T) f32 logsumexp
+                                     # (KVCompose chunked re-feed sweep)
 ):
     """Multi-token flash attention reading the quantized cache at payload
     width — the prefill/chunk counterpart of ops/decode.py's fused dequant.
@@ -512,27 +521,43 @@ def flash_attention_quant(
         (1, 1, 1, bk), lambda b, h, qi, ki, p: (b, h, 0, ki)
     )
 
-    def wrapped(prior_ref, q_r, k_r, v_r, ks_r, vs_r, m_r, o_r, *scr):
+    def wrapped(prior_ref, q_r, k_r, v_r, ks_r, vs_r, m_r, *rest):
+        if return_lse:
+            o_r, lse_r = rest[0], rest[1]
+            scr = rest[2:]
+        else:
+            o_r, lse_r = rest[0], None
+            scr = rest[1:]
         _qkernel(
-            prior_ref, q_r, k_r, v_r, ks_r, vs_r, m_r, o_r, *scr,
+            prior_ref, q_r, k_r, v_r, ks_r, vs_r, m_r, o_r, lse_r, *scr,
             bits=bits, G=G, bq=bq, bk=bk, n_k=n_k,
             sm_scale=sm_scale, softcap=softcap, window=window,
         )
 
-    out = pl.pallas_call(
+    out_shapes = [out_shape]
+    out_specs = [out_spec]
+    if return_lse:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((B, Hkv, n_q * rows_blk, LANES), jnp.float32)
+        )
+        out_specs.append(pl.BlockSpec(
+            (1, 1, rows_blk, LANES), lambda b, h, qi, ki, p: (b, h, qi, 0)
+        ))
+
+    res = pl.pallas_call(
         wrapped,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, Hkv, n_q, n_k),
             in_specs=[q_spec, kv_spec, kv_spec, row_spec, row_spec, row_spec],
-            out_specs=out_spec,
+            out_specs=out_specs if return_lse else out_specs[0],
             scratch_shapes=[
                 pltpu.VMEM((rows_blk, LANES), jnp.float32),
                 pltpu.VMEM((rows_blk, LANES), jnp.float32),
                 acc,
             ],
         ),
-        out_shape=out_shape,
+        out_shape=out_shapes if return_lse else out_shapes[0],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
@@ -541,9 +566,15 @@ def flash_attention_quant(
     )(jnp.asarray([prior_length], jnp.int32).reshape(1), q_in, kp, vp,
       scale_row(k_scales), scale_row(v_scales), maskp)
 
+    out = res[0] if return_lse else res
     if bits == 4:
         out = jnp.concatenate([out[:, :, 0], out[:, :, 1]], axis=-1)
     # undo the flat (qi, g, r) row order
     out = out.reshape(B, Hkv, n_q, G, bq, D).transpose(0, 1, 2, 4, 3, 5)
     out = out.reshape(B, Hkv, Tp, G, D).transpose(0, 1, 3, 2, 4)
-    return out.reshape(B, Hq, Tp, D)[:, :, :T]
+    out = out.reshape(B, Hq, Tp, D)[:, :, :T]
+    if not return_lse:
+        return out
+    lse = res[1][..., 0].reshape(B, Hkv, n_q, G, bq)
+    lse = lse.transpose(0, 1, 3, 2, 4).reshape(B, Hq, Tp)[:, :, :T]
+    return out, lse

@@ -373,13 +373,19 @@ class KVPressPipeline:
             assert context_bucket is None, (
                 "context_chunk does not compose with context_bucket"
             )
-            # KVzip-family presses: presize for the repeat passes — growing
+            # Multi-pass presses: presize for the repeat passes — growing
             # a 128K cache afterwards holds two full caches (measured OOM
-            # at 8B/128K int4 next to the weights). The bound is exact: the
-            # actual repeat prompts are probed through the tokenizer.
-            extra = (kvzip_repeat_bound(press, context_ids, self.tokenizer)
-                     if press is not None
-                     and getattr(press, "multi_pass", None) is True else 0)
+            # at 8B/128K int4 next to the weights). KVzip's bound is exact
+            # (the actual repeat prompts probed through the tokenizer);
+            # KVCompose re-feeds the whole context (~2x context KV, the
+            # reference's own overhead, kvcompose_press.py:377-379).
+            mp = getattr(press, "multi_pass", None) if press is not None \
+                else None
+            extra = 0
+            if mp is True:
+                extra = kvzip_repeat_bound(press, context_ids, self.tokenizer)
+            elif mp == "kvcompose" and press.compression_ratio > 0:
+                extra = len(context_ids)
             prefill_logits, cache, press_state = self.runner.prefill_chunked(
                 self.params, ids, press=press, chunk_size=context_chunk,
                 dtype=param_dtype_of(self.params), compute_logits=True,
@@ -411,7 +417,8 @@ class KVPressPipeline:
         # __call__ / _perform_kvzip_compression).
         if press is not None and getattr(press, "multi_pass", False):
             if getattr(press, "multi_pass", None) == "kvcompose":
-                cache = self._run_kvcompose(cache, context_ids, press)
+                cache = self._run_kvcompose(cache, context_ids, press,
+                                            context_chunk=context_chunk)
             else:
                 cache = self._run_kvzip(cache, context_ids, press, max_new_tokens)
 
@@ -720,10 +727,19 @@ class KVPressPipeline:
             mask = jnp.ones_like(jnp.asarray(keep_padded))
         return dataclasses.replace(cache, mask=mask & jnp.asarray(keep_padded))
 
-    def _run_kvcompose(self, cache: KVCache, context_ids, press):
+    def _run_kvcompose(self, cache: KVCache, context_ids, press,
+                       context_chunk=None):
         """KVCompose scoring pass: re-feed the context against its own cache,
         aggregate attention onto the original columns, then structured
-        per-layer rebuild or unstructured head mask."""
+        per-layer rebuild or unstructured head mask.
+
+        ``context_chunk`` switches the re-feed to bounded chunks (the 8B@64K+
+        enabler): appends are preserved (chunk i's queries attend to the
+        original context plus re-fed chunks < i — the exact one-shot
+        causality over the doubled sequence) and each chunk pass emits a
+        blockwise flash-lse column aggregation instead of materializing the
+        (S, 2S) prob matrix (reference streams eager attention the same way,
+        kvcompose_press.py:28-99)."""
         import numpy as np
 
         from .cache import grow
@@ -733,18 +749,58 @@ class KVPressPipeline:
             return cache
         ctx_len = len(context_ids)
         if cache.max_size < 2 * ctx_len:
+            if cache.keys.nbytes > (1 << 30):
+                logger.warning(
+                    "KVCompose re-feed grow on a %.1f GiB cache — presize "
+                    "via context_chunk to avoid the two-cache copy",
+                    cache.keys.nbytes / 2**30,
+                )
             cache = grow(cache, 2 * ctx_len - cache.max_size)
         cfg = self.runner.cfg
 
-        collector = KVComposeCollector(
-            context_len=ctx_len, agg_task=press.agg_task, agg_group=press.agg_group
-        )
-        state = collector.init_state(cfg, 1, ctx_len)
-        ids = jnp.asarray(np.asarray(context_ids, np.int32))[None]
-        _, _, out = _scored_forward(
-            self.params, ids, cache, state, runner=self.runner, press=collector
-        )
-        scores = np.asarray(out["scores"])[:, 0]             # (L, H, ctx)
+        if context_chunk is not None and ctx_len > context_chunk:
+            # fresh copies: the refeed passes DONATE the cache pytree, which
+            # deletes the original length/offset buffers too
+            base_len = jnp.array(cache.length)
+            base_off = jnp.array(cache.offset)
+            acc = None
+            for start in range(0, ctx_len, context_chunk):
+                ids_chunk = jnp.asarray(np.asarray(
+                    context_ids[start:start + context_chunk], np.int32))[None]
+                cache, part = self.runner.kvcompose_refeed_pass(
+                    self.params, ids_chunk, cache, ctx_len, press.agg_task,
+                )
+                acc = part if acc is None else (
+                    jnp.maximum(acc, part) if press.agg_task == "max"
+                    else acc + part
+                )
+            # rollback: appended re-feed KV sits beyond ctx_len — restoring
+            # length/offset makes those slots dead (next appends overwrite)
+            cache = dataclasses.replace(cache, length=base_len,
+                                        offset=base_off)
+            task = acc if press.agg_task == "max" else acc / ctx_len
+            # group aggregation once over ALL queries' task aggregation
+            # (per-chunk group agg would not commute for mixed agg modes)
+            B = task.shape[1]
+            Hq = task.shape[2]
+            G = Hq // cfg.num_kv_heads
+            grouped = task.reshape(task.shape[0], B, cfg.num_kv_heads, G,
+                                   ctx_len)
+            gagg = (grouped.max(axis=3) if press.agg_group == "max"
+                    else grouped.mean(axis=3))
+            scores = np.asarray(jax.device_get(gagg))[:, 0]  # (L, H, ctx)
+        else:
+            collector = KVComposeCollector(
+                context_len=ctx_len, agg_task=press.agg_task,
+                agg_group=press.agg_group,
+            )
+            state = collector.init_state(cfg, 1, ctx_len)
+            ids = jnp.asarray(np.asarray(context_ids, np.int32))[None]
+            _, _, out = _scored_forward(
+                self.params, ids, cache, state, runner=self.runner,
+                press=collector,
+            )
+            scores = np.asarray(out["scores"])[:, 0]         # (L, H, ctx)
         values = None
         if press.add_v_norm:
             values = np.asarray(cache.values[:, 0, :, :ctx_len], np.float32)

@@ -796,6 +796,11 @@ class ServingEngine:
             # length, the 128K admission cliff). Still zero host syncs: the
             # chunk loop only dispatches.
             need = ids.shape[1]
+            if (getattr(press, "multi_pass", None) == "kvcompose"
+                    and press.compression_ratio > 0):
+                # KVCompose re-feeds the whole context with appends (~2x
+                # context KV, the reference's own overhead) — presize.
+                need += ids.shape[1]
             if getattr(press, "multi_pass", None) is True:
                 # KVzip-family: presize for the repeat passes (pipeline
                 # parity) — growing a long-context cache afterwards holds
@@ -850,7 +855,8 @@ class ServingEngine:
             if self.multi_pass:
                 if getattr(press, "multi_pass", None) == "kvcompose":
                     cache = pipe._run_kvcompose(cache, list(req.context_ids),
-                                                press)
+                                                press,
+                                                context_chunk=self.context_chunk)
                 else:
                     cache = pipe._run_kvzip(cache, list(req.context_ids),
                                             press, req.max_new_tokens)

@@ -164,3 +164,78 @@ def test_flash_image_span_overrides_window():
         block_q=8, block_k=8, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_flash_quant_return_lse_matches_dense():
+    """flash_attention_quant(return_lse=True): output AND logsumexp equal
+    the dense reference over int8 payloads (the KVCompose chunked re-feed
+    consumes this lse in its blockwise column sweep)."""
+    from kvpress_tpu.cache import dequantize_kv, quantize_kv
+    from kvpress_tpu.ops.flash import flash_attention_quant
+
+    B, Hq, Hkv, T, S, D, prior = 1, 4, 2, 64, 192, 64, 128
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(ks[0], (B, Hq, T, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, Hkv, S, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, Hkv, S, D), jnp.float32)
+    qk, k_sc = quantize_kv(k, 8)
+    qv, v_sc = quantize_kv(v, 8)
+    kd = dequantize_kv(qk, k_sc, 8, jnp.float32)
+    vd = dequantize_kv(qv, v_sc, 8, jnp.float32)
+
+    o, lse = flash_attention_quant(
+        q, qk, qv, k_sc, v_sc, jnp.asarray(prior, jnp.int32), None,
+        bits=8, sm_scale=D**-0.5, block_q=32, block_k=64, interpret=True,
+        return_lse=True,
+    )
+    bias = attention_bias(jnp.asarray(prior, jnp.int32), T, S)
+    ref, _ = gqa_attention(q, kd, vd, bias, D**-0.5)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=2e-5)
+    # reference lse from the dense logits
+    G = Hq // Hkv
+    logits = jnp.einsum(
+        "bhgtd,bhsd->bhgts", q.reshape(B, Hkv, G, T, D), kd,
+        preferred_element_type=jnp.float32,
+    ) * D**-0.5 + bias[None, None, None]
+    ref_lse = jax.nn.logsumexp(logits, axis=-1).reshape(B, Hq, T)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse),
+                               atol=2e-4)
+
+
+@pytest.mark.parametrize("agg", ["max", "sum"])
+@pytest.mark.parametrize("bits", [None, 8, 4])
+def test_refeed_colagg_matches_probs(agg, bits):
+    """refeed_colagg (KVCompose chunked sweep): blockwise exp(s - lse)
+    aggregation onto the context columns equals aggregating the dense
+    softmax probs directly, for bf16 and quantized payload buffers."""
+    from kvpress_tpu.cache import dequantize_kv, quantize_kv
+    from kvpress_tpu.ops.attention import refeed_colagg
+
+    B, Hq, Hkv, T, D = 1, 4, 2, 32, 64
+    ctx_len, S_buf = 100, 192
+    prior = ctx_len                    # re-feed chunk appended after ctx
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(ks[0], (B, Hq, T, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, Hkv, S_buf, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, Hkv, S_buf, D), jnp.float32)
+    if bits is not None:
+        kb, k_sc = quantize_kv(k, bits)
+        k_eff = dequantize_kv(kb, k_sc, bits, jnp.float32)
+    else:
+        kb, k_sc, k_eff = k, None, k
+
+    bias = attention_bias(jnp.asarray(prior, jnp.int32), T, S_buf)
+    _, probs = gqa_attention(q, k_eff, v, bias, D**-0.5, return_probs=True)
+    pc = probs[..., :ctx_len].astype(jnp.float32)
+    ref = pc.max(axis=2) if agg == "max" else pc.sum(axis=2)
+
+    G = Hq // Hkv
+    logits = jnp.einsum(
+        "bhgtd,bhsd->bhgts", q.reshape(B, Hkv, G, T, D), k_eff,
+        preferred_element_type=jnp.float32,
+    ) * D**-0.5 + bias[None, None, None]
+    lse = jax.nn.logsumexp(logits, axis=-1).reshape(B, Hq, T)
+
+    got = refeed_colagg(q, kb, k_sc, bits or 8, lse, ctx_len, agg,
+                        D**-0.5, block=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)

@@ -3,6 +3,7 @@ head masks vs the reference run end-to-end through its context manager."""
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 import kvpress_tpu as kp
@@ -81,3 +82,105 @@ def test_kvcompose_pipeline_end_to_end():
 
 
 import jax  # noqa: E402  (used in the fixtures above)
+
+
+# ---------------------------------------------------------------------- #
+# Chunked re-feed (VERDICT r4 item 1): the scoring pass in bounded chunks
+# with appends preserved must reproduce the one-shot re-feed.
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = kp.tiny_config()
+    params = kp.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    return cfg, params, kp.Runner.create(cfg)
+
+
+def _pipe_for(tiny):
+    import sys
+    sys.path.insert(0, "tests")
+    from toy_tokenizer import ToyTokenizer
+    from kvpress_tpu.pipeline import KVPressPipeline
+
+    cfg, params, runner = tiny
+    return cfg, KVPressPipeline(runner, params, ToyTokenizer(cfg.vocab_size))
+
+
+@pytest.mark.parametrize("structured", [True, False])
+@pytest.mark.parametrize("agg", [("max", "mean"), ("mean", "max")])
+def test_kvcompose_chunked_refeed_matches_oneshot(tiny, structured, agg):
+    """Chunked re-feed == one-shot re-feed: same budgets, same kept sets /
+    masks, same answers — for both aggregation modes and both rebuild
+    modes. (The chunked pass combines per-chunk task aggregations before
+    the single group aggregation; appends make chunk i's queries see
+    re-fed chunks < i exactly as the one-shot doubled sequence does.)"""
+    cfg, pipe = _pipe_for(tiny)
+    agg_task, agg_group = agg
+    press = KVComposePress(compression_ratio=0.5, structured=structured,
+                           agg_task=agg_task, agg_group=agg_group)
+    ctx = " ".join(f"w{i}" for i in range(60))
+    a1 = pipe(ctx, question="what ?", press=press, max_new_tokens=6)
+    a2 = pipe(ctx, question="what ?", press=press, max_new_tokens=6,
+              context_chunk=16)
+    assert a1["answer"] == a2["answer"]
+
+
+def test_kvcompose_chunked_refeed_cache_equality(tiny):
+    """Direct cache comparison: run _run_kvcompose one-shot vs chunked on
+    the same prefilled cache — kept lengths (structured budgets) and keep
+    masks must be identical."""
+    import dataclasses as dc
+    import sys
+    sys.path.insert(0, "tests")
+    from toy_tokenizer import ToyTokenizer
+    from kvpress_tpu.pipeline import KVPressPipeline
+    from kvpress_tpu.cache import grow
+
+    cfg, params, runner = tiny
+    pipe = KVPressPipeline(runner, params, ToyTokenizer(cfg.vocab_size))
+    rng = np.random.default_rng(3)
+    ctx_ids = rng.permutation(cfg.vocab_size)[:64].tolist()
+    ids = jnp.asarray(np.asarray(ctx_ids, np.int32))[None]
+
+    for structured in (True, False):
+        press = KVComposePress(compression_ratio=0.5, structured=structured)
+        _, cache, _ = runner.prefill(params, ids, dtype=jnp.float32,
+                                     max_size=128)
+        c1 = pipe._run_kvcompose(cache, ctx_ids, press)
+        _, cache2, _ = runner.prefill(params, ids, dtype=jnp.float32,
+                                      max_size=128)
+        c2 = pipe._run_kvcompose(cache2, ctx_ids, press, context_chunk=16)
+        np.testing.assert_array_equal(np.asarray(c1.length),
+                                      np.asarray(c2.length))
+        if structured:
+            for layer in range(cfg.num_layers):
+                n = int(c1.length[layer])
+                np.testing.assert_allclose(
+                    np.asarray(c1.keys[layer, ..., :n, :], np.float32),
+                    np.asarray(c2.keys[layer, ..., :n, :], np.float32),
+                    atol=2e-5, err_msg=f"layer {layer}",
+                )
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(c1.mask[..., :64]), np.asarray(c2.mask[..., :64])
+            )
+            assert 0.3 < (~np.asarray(c1.mask[..., :64])).mean() < 0.7
+
+
+def test_kvcompose_chunked_refeed_quantized(tiny):
+    """Chunked re-feed over an int8 cache: payload-width appends, block
+    dequant in the sweep — kept masks equal the dense chunked run."""
+    import sys
+    sys.path.insert(0, "tests")
+    from toy_tokenizer import ToyTokenizer
+    from kvpress_tpu.pipeline import KVPressPipeline
+
+    cfg, params, runner = tiny
+    pipe = KVPressPipeline(runner, params, ToyTokenizer(cfg.vocab_size))
+    press = KVComposePress(compression_ratio=0.5, structured=False)
+    ctx = " ".join(f"w{i}" for i in range(60))
+    a1 = pipe(ctx, question="what ?", press=press, max_new_tokens=6,
+              quantized=True)
+    a2 = pipe(ctx, question="what ?", press=press, max_new_tokens=6,
+              quantized=True, context_chunk=16)
+    assert a1["answer"] == a2["answer"]

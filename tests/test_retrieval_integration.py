@@ -276,3 +276,30 @@ def test_needle_survives_chunked_prefill(trained):
         )
         acc = float((jnp.argmax(logits[:, 0], -1) == target).mean())
         assert acc > 0.9, (kw, acc)
+
+
+def test_needle_survives_int4_weights(trained):
+    """The KV-bound bench headline (BENCH line 3) stacks Knorm-0.5 + int4 KV
+    + int4 WEIGHTS — this is its accuracy bar: retrieval must hold at
+    ratio 0.1 and at the headline's own ratio 0.5 over the full int4w+int4KV
+    stack (reference integration bar: every press over the quantized cache,
+    tests/integration/test_ruler.py:24-69)."""
+    from kvpress_tpu.models.llama import quantize_params_int4
+
+    cfg, params, runner = trained
+    qparams = quantize_params_int4(params)
+    rng = np.random.default_rng(17)
+    seq, target, _ = make_batch(rng, 128)
+    context, question = seq[:, :CTX], seq[:, -2:]
+    for ratio in (0.1, 0.5):
+        press = SnapKVPress(compression_ratio=ratio, window_size=4,
+                            kernel_size=3)
+        _, cache, _ = runner.prefill(
+            qparams, context, press=press, max_size=SEQ + 2,
+            dtype=jnp.float32, quantized=True, kv_bits=4,
+        )
+        logits, _, _ = Runner.forward(
+            runner, qparams, question, cache, logits_last_only=True
+        )
+        acc = float((jnp.argmax(logits[:, 0], -1) == target).mean())
+        assert acc > 0.9, (ratio, acc)
