@@ -1241,7 +1241,7 @@ class Runner:
 
     def kvzip_repeat_pass(self, params, rep_ids, cache, start: int,
                           sink: int, chunk_len: int,
-                          scan_max_bytes: int = 3 << 30):
+                          scan_max_bytes: int = 3 << 30, rep_embeds=None):
         """One KVzip repeat-chunk scoring pass over the lean chunk forward
         (reference score_kvzip, kvzip_press.py:287-358).
 
@@ -1273,11 +1273,13 @@ class Runner:
             _, _, _, scores = _chunk_forward_score(
                 params, rep_ids, cache,
                 kvzip_start=jnp.asarray(start, jnp.int32),
+                chunk_embeds=rep_embeds,
                 runner=self, compute_logits=False, fused_kv=fused,
                 kvzip_spec=(sink, chunk_len),
             )
             return cache, scores
-        x = _embed_for_score(params, rep_ids, runner=self)
+        x = (rep_embeds if rep_embeds is not None
+             else _embed_for_score(params, rep_ids, runner=self))
         l_start = jnp.asarray(start, jnp.int32)
         scores = []
         for l in range(self.cfg.num_layers):
@@ -1289,7 +1291,7 @@ class Runner:
         return cache, jnp.stack(scores)
 
     def kvcompose_refeed_pass(self, params, ids_chunk, cache, ctx_len: int,
-                              agg_task: str):
+                              agg_task: str, chunk_embeds=None):
         """One KVCompose scoring-pass chunk (reference kvcompose_press.py
         new_forward + forward_hook, :197-219, :384-424 — the extra full
         pass over the context, here in bounded chunks): the chunk's KV
@@ -1313,7 +1315,8 @@ class Runner:
             )
             fused = cache.bits == 8 or dense_bytes > (1 << 29)
         _, cache, _, part = _chunk_forward_lean(
-            params, ids_chunk, cache, runner=self, compute_logits=False,
+            params, ids_chunk, cache, chunk_embeds=chunk_embeds,
+            runner=self, compute_logits=False,
             fused_kv=fused, kvcompose_spec=(ctx_len, agg_task),
         )
         return cache, part

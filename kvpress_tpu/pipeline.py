@@ -137,11 +137,14 @@ def _prefill(params, context_ids, valid_len=None, inputs_embeds=None,
 
 
 @partial(jax.jit, static_argnames=("runner", "press"))
-def _scored_forward(params, ids, cache, press_state, *, runner: Runner, press):
-    """One repeat-chunk forward with a scorer press (KVzip multi-pass)."""
+def _scored_forward(params, ids, cache, press_state, embeds=None, *,
+                    runner: Runner, press):
+    """One repeat-chunk forward with a scorer press (KVzip multi-pass).
+    ``embeds`` overrides the token embedding (multimodal repeat content —
+    vision features must re-feed as features, not placeholder ids)."""
     return runner.forward(
         params, ids, cache, press=press, press_state=press_state,
-        phase="decode", compute_logits=False,
+        phase="decode", compute_logits=False, inputs_embeds=embeds,
     )
 
 
@@ -298,10 +301,10 @@ class KVPressPipeline:
                 "pixel_values requires a multimodal pipeline "
                 "(KVPressPipeline.from_torch_multimodal)."
             )
-            assert context_bucket is None and not (
-                press is not None and getattr(press, "multi_pass", False)
-            ), ("multimodal prefill does not compose with context_bucket or "
-                "multi-pass presses (their repeat passes re-embed token ids)")
+            assert context_bucket is None, (
+                "multimodal prefill does not compose with context_bucket "
+                "(bucket pads break the image-span or-mask)"
+            )
         single = questions is None
         questions = questions or ([question] if question else [""])
         if press is not None and press.compresses_decode and len(questions) > 1:
@@ -418,9 +421,11 @@ class KVPressPipeline:
         if press is not None and getattr(press, "multi_pass", False):
             if getattr(press, "multi_pass", None) == "kvcompose":
                 cache = self._run_kvcompose(cache, context_ids, press,
-                                            context_chunk=context_chunk)
+                                            context_chunk=context_chunk,
+                                            context_embeds=embeds)
             else:
-                cache = self._run_kvzip(cache, context_ids, press, max_new_tokens)
+                cache = self._run_kvzip(cache, context_ids, press,
+                                        max_new_tokens, context_embeds=embeds)
 
         # Post-mask presses (FastKVzip): cross-layer bottom-k over the scores
         # the press collected during prefill (reference compress_post).
@@ -541,11 +546,13 @@ class KVPressPipeline:
                 ctx, [q] if q else [""], answer_prefix, max_context_length,
                 enable_thinking,
             )
-            embeds = token_types = None
+            embeds = token_types = content_key = None
             if px is not None:
                 assert self.vision_params is not None, (
                     "pixel_values requires a multimodal pipeline"
                 )
+                import hashlib
+
                 from .models.convert import multimodal_embeds
                 from .models.siglip import encode_images
 
@@ -560,9 +567,16 @@ class KVPressPipeline:
                 token_types = (ids_arr == self.image_token_id).astype(
                     jnp.int32)
                 image_span = self.vision_cfg.mm_tokens_per_image
+                # Image fingerprint: lets multimodal admissions share the
+                # context LRU — (ids, pixels) keys never collide across
+                # different images with identical placeholder ids.
+                content_key = hashlib.sha1(
+                    np.ascontiguousarray(np.asarray(px)).tobytes()
+                ).hexdigest()
             reqs.append(Request(context_ids, q_ids[0], max_new_tokens,
                                 inputs_embeds=embeds,
-                                token_types=token_types))
+                                token_types=token_types,
+                                content_key=content_key))
         if capacity is None:
             longest = max(len(r.context_ids) for r in reqs)
             if context_bucket is not None:
@@ -602,11 +616,19 @@ class KVPressPipeline:
 
     # ------------------------------------------------------------------ #
 
-    def _run_kvzip(self, cache: KVCache, context_ids, press, max_new_tokens):
+    def _run_kvzip(self, cache: KVCache, context_ids, press, max_new_tokens,
+                   context_embeds=None):
         """KVzip chunked context reconstruction: for each chunk, forward a
         'repeat' prompt against the cache with a chunk-scorer press, collect
         per-layer scores, roll the cache back (free — the pre-pass cache value
-        is simply reused), then mask global bottom-k."""
+        is simply reused), then mask global bottom-k.
+
+        ``context_embeds`` (1, S, E): multimodal contexts re-feed each
+        chunk's CAPTURED embeddings (vision features included) instead of
+        re-embedding placeholder ids; the repeat-question/suffix tokens are
+        embedded normally and concatenated in front. The repeat copy runs
+        causally, as the reference's repeat forward does (it passes only
+        input_ids, kvzip_press.py:179-202)."""
         import numpy as np
 
         from .cache import grow
@@ -653,10 +675,22 @@ class KVPressPipeline:
         for chunk, repeat in pairs:
             end = start + len(chunk)
             rep = jnp.asarray(np.asarray(repeat, np.int32))[None]
+            rep_embeds = None
+            if context_embeds is not None:
+                from .models.llama import embed_tokens
+
+                head_ids = jnp.asarray(
+                    np.asarray(repeat[: len(repeat) - len(chunk)], np.int32)
+                )[None]
+                rep_embeds = jnp.concatenate([
+                    embed_tokens(self.params, head_ids, self.runner.cfg),
+                    context_embeds[:, start:end],
+                ], axis=1)
             if use_lean:
                 cache, sc = self.runner.kvzip_repeat_pass(
                     self.params, rep, cache, start,
                     min(press.n_sink, start), end - start,
+                    rep_embeds=rep_embeds,
                 )
                 score_arrs.append(sc)
                 # Lagged queue bound: enqueued calls allocate their outputs
@@ -675,7 +709,7 @@ class KVPressPipeline:
                 )
                 state = scorer.init_state(cfg, 1, ctx_len)
                 _, _, out_state = _scored_forward(
-                    self.params, rep, cache, state,
+                    self.params, rep, cache, state, rep_embeds,
                     runner=self.runner, press=scorer,
                 )
                 score_arrs.append(out_state["scores"])
@@ -728,7 +762,7 @@ class KVPressPipeline:
         return dataclasses.replace(cache, mask=mask & jnp.asarray(keep_padded))
 
     def _run_kvcompose(self, cache: KVCache, context_ids, press,
-                       context_chunk=None):
+                       context_chunk=None, context_embeds=None):
         """KVCompose scoring pass: re-feed the context against its own cache,
         aggregate attention onto the original columns, then structured
         per-layer rebuild or unstructured head mask.
@@ -769,6 +803,10 @@ class KVPressPipeline:
                     context_ids[start:start + context_chunk], np.int32))[None]
                 cache, part = self.runner.kvcompose_refeed_pass(
                     self.params, ids_chunk, cache, ctx_len, press.agg_task,
+                    chunk_embeds=(
+                        context_embeds[:, start:start + context_chunk]
+                        if context_embeds is not None else None
+                    ),
                 )
                 acc = part if acc is None else (
                     jnp.maximum(acc, part) if press.agg_task == "max"
@@ -797,8 +835,8 @@ class KVPressPipeline:
             state = collector.init_state(cfg, 1, ctx_len)
             ids = jnp.asarray(np.asarray(context_ids, np.int32))[None]
             _, _, out = _scored_forward(
-                self.params, ids, cache, state, runner=self.runner,
-                press=collector,
+                self.params, ids, cache, state, context_embeds,
+                runner=self.runner, press=collector,
             )
             scores = np.asarray(out["scores"])[:, 0]         # (L, H, ctx)
         values = None

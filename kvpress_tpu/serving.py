@@ -456,6 +456,11 @@ class Request:
     # attention. The engine's image_span= carries the static span bound.
     inputs_embeds: Optional[object] = None
     token_types: Optional[object] = None
+    # Image content fingerprint (e.g. a hash of the pixel bytes, set by
+    # pipeline.batch): multimodal admissions participate in the context LRU
+    # keyed on (context_ids, content_key) — identical ids with different
+    # images never collide. None + inputs_embeds set = LRU bypass.
+    content_key: Optional[object] = None
 
 
 @dataclasses.dataclass
@@ -736,11 +741,16 @@ class ServingEngine:
         if not overridden:
             press = self.press
         ctx = list(req.context_ids)
-        # Multimodal admissions bypass the LRU: the key is context_ids only,
-        # and identical ids with different images must not collide.
-        key = (tuple(req.context_ids)
-               if self.context_cache and req.inputs_embeds is None
-               and not overridden else None)
+        # Multimodal admissions join the LRU when they carry a content_key
+        # (image fingerprint) — the key is (context_ids, content_key), so
+        # identical ids with different images never collide; embeds without
+        # a fingerprint still bypass.
+        key = None
+        if self.context_cache and not overridden:
+            if req.inputs_embeds is None:
+                key = (tuple(req.context_ids), None)
+            elif req.content_key is not None:
+                key = (tuple(req.context_ids), req.content_key)
         if key is not None:
             # In-flight prefill dedup (interleave mode): another admission
             # may already be chunk-prefilling this exact context — yield
@@ -773,11 +783,6 @@ class ServingEngine:
         LRU store."""
         runner, params = self.runner, self.params
         valid = None
-        if req.inputs_embeds is not None:
-            assert not self.multi_pass, (
-                "multi-pass presses re-embed token ids — not compatible "
-                "with multimodal (inputs_embeds) admissions"
-            )
         if self.context_bucket is not None:
             assert req.inputs_embeds is None, (
                 "multimodal admissions need context_chunk or exact-length "
@@ -854,12 +859,15 @@ class ServingEngine:
             pipe = KVPressPipeline(runner, params, tokenizer=self.tokenizer)
             if self.multi_pass:
                 if getattr(press, "multi_pass", None) == "kvcompose":
-                    cache = pipe._run_kvcompose(cache, list(req.context_ids),
-                                                press,
-                                                context_chunk=self.context_chunk)
+                    cache = pipe._run_kvcompose(
+                        cache, list(req.context_ids), press,
+                        context_chunk=self.context_chunk,
+                        context_embeds=req.inputs_embeds,
+                    )
                 else:
                     cache = pipe._run_kvzip(cache, list(req.context_ids),
-                                            press, req.max_new_tokens)
+                                            press, req.max_new_tokens,
+                                            context_embeds=req.inputs_embeds)
             if self.post_mask:
                 cache = press.apply_post_mask(cache, press_state)
             if getattr(press, "compact", False):

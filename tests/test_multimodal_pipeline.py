@@ -301,3 +301,110 @@ def test_observed_press_keeps_image_span_on_flash_runner():
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_array_equal(np.asarray(cf.length), np.asarray(cx.length))
     assert np.abs(np.asarray(lf)[:, -1] - np.asarray(lplain)[:, -1]).max() > 1e-5
+
+
+def test_multimodal_serving_lru_reuse():
+    """Repeated image admissions share the context LRU keyed on
+    (context_ids, image fingerprint): the second identical (ctx, px)
+    request hits (ctx_hits>0) and answers identically, while the same ids
+    with DIFFERENT pixels miss (no collision)."""
+    model = _tiny_model()
+    tok = ImageTokenizer(vocab_size=498)
+    pipe = KVPressPipeline.from_torch_multimodal(model, tok)
+
+    rng = np.random.default_rng(5)
+    px = rng.standard_normal((1, 3, 28, 28)).astype(np.float32)
+    px2 = rng.standard_normal((1, 3, 28, 28)).astype(np.float32)
+    words = " ".join(f"w{i}" for i in range(10))
+    mm_ctx = f"{words} <image> <image> <image> <image> tail0 tail1"
+    press = KnormPress(compression_ratio=0.25)
+
+    singles = pipe.batch(
+        [mm_ctx, mm_ctx], questions=["q0 q1", "q2 q3"], press=press,
+        max_new_tokens=5, n_slots=1, pixel_values=[px, px],
+    )
+
+    from kvpress_tpu.serving import ServingEngine
+    import kvpress_tpu.serving as serving_mod
+
+    hits = {}
+    orig_run = ServingEngine.run
+
+    def spy_run(self, reqs, **kw):
+        out = orig_run(self, reqs, **kw)
+        hits["ctx_hits"] = self.ctx_hits
+        hits["n_lru"] = len(self._ctx_lru)
+        return out
+
+    serving_mod.ServingEngine.run = spy_run
+    try:
+        cached = pipe.batch(
+            [mm_ctx, mm_ctx], questions=["q0 q1", "q2 q3"], press=press,
+            max_new_tokens=5, n_slots=1, pixel_values=[px, px],
+            context_cache=2,
+        )
+        assert hits["ctx_hits"] == 1          # second identical image hit
+        assert cached == singles
+        pipe.batch(
+            [mm_ctx, mm_ctx], questions=["q0 q1", "q0 q1"], press=press,
+            max_new_tokens=5, n_slots=1, pixel_values=[px, px2],
+            context_cache=2,
+        )
+        assert hits["ctx_hits"] == 0          # different pixels: no hit
+        assert hits["n_lru"] == 2             # two distinct entries
+    finally:
+        serving_mod.ServingEngine.run = orig_run
+
+
+def test_kvzip_multimodal_parity_and_smoke():
+    """Multi-pass x pixel_values (the exclusion lifted): (1) plumbing parity
+    — on a TEXT context, running KVzip through the inputs_embeds path must
+    reproduce the ids path exactly (the repeat chunks re-feed captured
+    embeddings; for text they equal the token embeddings); (2) a real image
+    context compresses through KVzip end-to-end and still answers."""
+    import dataclasses as dc
+
+    import kvpress_tpu as kp
+    from kvpress_tpu.presses import KVzipPress
+    from kvpress_tpu.models.llama import embed_tokens
+
+    # (1) parity on a text context with a plain tiny model
+    import sys
+    sys.path.insert(0, "tests")
+    from toy_tokenizer import ToyTokenizer
+
+    cfg = kp.tiny_config()
+    params = kp.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    runner = kp.Runner.create(cfg)
+    pipe_txt = KVPressPipeline(runner, params, ToyTokenizer(cfg.vocab_size))
+    press = KVzipPress(compression_ratio=0.5, chunk_size=24)
+    ctx_ids, _ = pipe_txt.preprocess(" ".join(f"w{i}" for i in range(60)), [""])
+    ids = jnp.asarray(np.asarray(ctx_ids, np.int32))[None]
+    _, cache_a, _ = runner.prefill(params, ids, dtype=jnp.float32,
+                                   max_size=len(ctx_ids) + 64)
+    _, cache_b, _ = runner.prefill(params, ids, dtype=jnp.float32,
+                                   max_size=len(ctx_ids) + 64)
+    c_ids = pipe_txt._run_kvzip(cache_a, ctx_ids, press, 8)
+    c_emb = pipe_txt._run_kvzip(
+        cache_b, ctx_ids, press, 8,
+        context_embeds=embed_tokens(params, ids, cfg),
+    )
+    np.testing.assert_array_equal(np.asarray(c_ids.mask),
+                                  np.asarray(c_emb.mask))
+    assert 0.3 < (~np.asarray(c_ids.mask[..., :len(ctx_ids)])).mean() < 0.7
+
+    # (2) image context end-to-end through the pipeline + serving
+    model = _tiny_model()
+    tok = ImageTokenizer(vocab_size=498)
+    pipe = KVPressPipeline.from_torch_multimodal(model, tok)
+    rng = np.random.default_rng(6)
+    px = rng.standard_normal((1, 3, 28, 28)).astype(np.float32)
+    words = " ".join(f"w{i}" for i in range(24))
+    mm_ctx = f"{words} <image> <image> <image> <image> tail0 tail1"
+    zpress = KVzipPress(compression_ratio=0.4, chunk_size=16)
+    out = pipe(mm_ctx, question="q0 q1", pixel_values=px, press=zpress,
+               max_new_tokens=5)
+    assert isinstance(out["answer"], str)
+    served = pipe.batch([mm_ctx], questions=["q0 q1"], press=zpress,
+                        max_new_tokens=5, n_slots=1, pixel_values=[px])
+    assert served == [out["answer"]]

@@ -547,7 +547,7 @@ def test_serving_context_cache_reuse(tiny, quantized):
     assert eng.ctx_hits == 2
     assert len(eng._ctx_lru) == 1   # the distinct 4th context evicted ctx
     (stored_key,) = eng._ctx_lru
-    assert stored_key == tuple(reqs[3].context_ids)
+    assert stored_key == (tuple(reqs[3].context_ids), None)
     for req, got in zip(reqs, answers):
         assert len(got) == req.max_new_tokens
         assert_generation_matches_ref(runner, params, press, req, got,
