@@ -40,6 +40,15 @@ K_TOK, Q_TOK = 6, 5
 VAL_LO, VAL_HI = 40, 70
 S_CTX = 24
 SEQ = 1 + S_CTX + 2 + 2                   # bos + noise + in-context QK + QK
+# Multi-key variant (RULER niah_multikey analogue): N_KEYS distinct (K_i,
+# V_i) needles in a LONGER context, the query names one of them — content-
+# agnostic presses must now keep the RIGHT needle among distractors, which
+# is what separates query-aware scoring (SnapKV family) from norm scoring
+# (Knorm family) at high compression where the single-needle task saturates.
+KEY_POOL = tuple(range(71, 79))           # distinct key tokens (vocab 80)
+N_KEYS = 4
+S_CTX_MK = 56
+SEQ_MK = 1 + S_CTX_MK + 2 + 2
 QUICK = bool(os.environ.get("KVPRESS_QUICK"))
 
 
@@ -78,6 +87,30 @@ def make_batch(rng, batch, depth=None):
     return jnp.asarray(seq), vals, depths
 
 
+def make_batch_multikey(rng, batch, n_keys=N_KEYS):
+    """[bos] noise with n_keys '(K_i V_i)' needles, in-context query
+    'Q K_t', question 'Q K_t' -> V_t."""
+    seq = rng.integers(NOISE_LO, NOISE_HI, size=(batch, SEQ_MK)).astype(np.int32)
+    seq[:, 0] = 1
+    vals = rng.integers(VAL_LO, VAL_HI, size=(batch, n_keys))
+    targets = np.empty(batch, np.int64)
+    for b in range(batch):
+        keys = rng.choice(KEY_POOL, size=n_keys, replace=False)
+        # non-overlapping pair slots inside the noise region
+        slots = 1 + 2 * rng.choice((S_CTX_MK - 1) // 2, size=n_keys,
+                                   replace=False)
+        for i in range(n_keys):
+            seq[b, slots[i]] = keys[i]
+            seq[b, slots[i] + 1] = vals[b, i]
+        t = rng.integers(n_keys)
+        targets[b] = vals[b, t]
+        seq[b, -4] = Q_TOK
+        seq[b, -3] = keys[t]
+        seq[b, -2] = Q_TOK
+        seq[b, -1] = keys[t]
+    return jnp.asarray(seq), targets
+
+
 def train_retrieval_model():
     cfg = tiny_config(vocab_size=80, num_layers=2, hidden_size=96,
                       num_heads=4, num_kv_heads=4, head_dim=24,
@@ -91,7 +124,7 @@ def train_retrieval_model():
     rng = np.random.default_rng(0)
 
     def loss_fn(params, seq, target):
-        cache = init_cache(cfg, seq.shape[0], SEQ, dtype=jnp.float32)
+        cache = init_cache(cfg, seq.shape[0], seq.shape[1], dtype=jnp.float32)
         logits, _, _ = Runner.forward(runner, params, seq, cache,
                                       logits_last_only=True)
         return optax.softmax_cross_entropy_with_integer_labels(
@@ -104,10 +137,15 @@ def train_retrieval_model():
         updates, opt = tx.update(grads, opt, params)
         return optax.apply_updates(params, updates), opt, loss
 
+    # joint training: single-needle and multi-key batches alternate (two
+    # shapes, two compiled steps) so one model serves both leaderboard tasks
     for i in range(n_steps):
         seq, target, _ = make_batch(rng, 128)
         params, opt, loss = step(params, opt, seq, jnp.asarray(target))
-    print(f"trained retrieval model (final loss {float(loss):.3f})")
+        seq_mk, target_mk = make_batch_multikey(rng, 128)
+        params, opt, loss_mk = step(params, opt, seq_mk, jnp.asarray(target_mk))
+    print(f"trained retrieval model (final loss single {float(loss):.3f} / "
+          f"multikey {float(loss_mk):.3f})")
     return cfg, params, runner
 
 
@@ -124,6 +162,25 @@ def build_dataset(n=16 if QUICK else 48, seed=11):
             "answer": [str(int(vals[i]))],
             "max_new_tokens": 1,
             "task": "niah_single",
+        })
+    return pd.DataFrame(rows)
+
+
+def build_dataset_multikey(n=16 if QUICK else 48, seed=13):
+    """RULER niah_multikey-style rows: distractor needles make high-ratio
+    compression discriminate query-aware from content-only scoring."""
+    rng = np.random.default_rng(seed)
+    seq, targets = make_batch_multikey(rng, n)
+    rows = []
+    for i in range(n):
+        toks = [str(int(t)) for t in np.asarray(seq[i])]
+        rows.append({
+            "context": " ".join(toks[1:-2]),
+            "question": " ".join(toks[-2:]),
+            "answer_prefix": "",
+            "answer": [str(int(targets[i]))],
+            "max_new_tokens": 1,
+            "task": "niah_multikey",
         })
     return pd.DataFrame(rows)
 

@@ -129,12 +129,10 @@ def test_kvcompose_chunked_refeed_cache_equality(tiny):
     """Direct cache comparison: run _run_kvcompose one-shot vs chunked on
     the same prefilled cache — kept lengths (structured budgets) and keep
     masks must be identical."""
-    import dataclasses as dc
     import sys
     sys.path.insert(0, "tests")
     from toy_tokenizer import ToyTokenizer
     from kvpress_tpu.pipeline import KVPressPipeline
-    from kvpress_tpu.cache import grow
 
     cfg, params, runner = tiny
     pipe = KVPressPipeline(runner, params, ToyTokenizer(cfg.vocab_size))

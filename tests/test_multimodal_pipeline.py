@@ -362,8 +362,6 @@ def test_kvzip_multimodal_parity_and_smoke():
     reproduce the ids path exactly (the repeat chunks re-feed captured
     embeddings; for text they equal the token embeddings); (2) a real image
     context compresses through KVzip end-to-end and still answers."""
-    import dataclasses as dc
-
     import kvpress_tpu as kp
     from kvpress_tpu.presses import KVzipPress
     from kvpress_tpu.models.llama import embed_tokens

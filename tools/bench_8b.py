@@ -45,7 +45,7 @@ import jax
 import jax.numpy as jnp
 
 from kvpress_tpu import KnormPress, Runner
-from kvpress_tpu.cache import shrink
+from kvpress_tpu.cache import resize
 from kvpress_tpu.config import ModelConfig
 from kvpress_tpu.models.llama import init_params_int8
 
@@ -91,10 +91,17 @@ def main():
                          " counterpart; required for --vocab 128256)")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--press", default="knorm",
-                    choices=("knorm", "adakv_snapkv"),
-                    help="compression press for the compressed legs "
-                         "(adakv_snapkv = AdaKV(SnapKV) head-wise wrapper "
-                         "through the chunked path)")
+                    choices=("knorm", "adakv_snapkv", "duo", "dms_knorm",
+                             "kvcompose"),
+                    help="compression press for the compressed legs: "
+                         "adakv_snapkv = AdaKV(SnapKV) head-wise wrapper; "
+                         "duo = DuoAttention streaming-head masks; "
+                         "dms_knorm = DMS threshold eviction (threshold "
+                         "auto-calibrated to evict ~ratio of tokens); "
+                         "kvcompose = KVCompose chunked re-feed (structured "
+                         "rebuild; needs quantized KV at 64K+ — the scoring "
+                         "pass holds ~2x context KV, reference "
+                         "kvcompose_press.py:377-379)")
     args = ap.parse_args()
 
     cfg = llama31_8b_config(vocab_size=args.vocab)
@@ -168,7 +175,23 @@ def main():
                   # int4 copy is small and the smaller buffer IS the win).
                   max_size=room if press is None else None)
 
+        mp = getattr(press, "multi_pass", None) if press is not None else None
+
         def do_prefill():
+            if mp == "kvcompose":
+                # KVCompose: pressless chunked prefill presized for the
+                # re-feed (2x ctx — the reference's own scoring-pass
+                # overhead), then the chunked re-feed + structured rebuild
+                from kvpress_tpu.pipeline import KVPressPipeline
+
+                _, cache, _ = runner.prefill_chunked(
+                    params, ids, press=None, chunk_size=args.chunk,
+                    quantized=quantized, kv_bits=kv_bits, max_size=2 * ctx,
+                )
+                pipe = KVPressPipeline(runner, params, tokenizer=None)
+                ids_host = [int(t) for t in jax.device_get(ids[0])]
+                return pipe._run_kvcompose(cache, ids_host, press,
+                                           context_chunk=args.chunk)
             if chunked:
                 # bounded activations: the exact prefill's (S, F=14336) MLP
                 # intermediate (and, pressless, the layer scan's xs+ys
@@ -200,7 +223,9 @@ def main():
             used = int(jax.device_get(jnp.max(cache.length)))
             room = min(ctx + decode_room,
                        -(-(used + decode_room) // 256) * 256)
-            cache = shrink(cache, room)
+            # resize, not shrink: mask-only presses (Duo/DMS) keep the full
+            # length, so the buffer must GROW for decode appends
+            cache = resize(cache, room)
         kv_bytes = cache.keys.size * cache.keys.dtype.itemsize * 2
         tok = ids[:, -1:]
         # Non-donated decode needs TWO cache-sized buffers resident (input
@@ -244,6 +269,43 @@ def main():
             press=SnapKVPress(compression_ratio=args.ratio, window_size=64),
             compact=True,
         )
+    elif args.press == "duo":
+        import numpy as _np
+
+        from kvpress_tpu.presses import DuoAttentionPress
+
+        press = DuoAttentionPress(
+            head_compression_ratio=args.ratio, sink_size=128,
+            recent_size=256,
+            head_scores=_np.random.default_rng(0).random(
+                (cfg.num_layers, cfg.num_kv_heads)).astype(_np.float32),
+        )
+    elif args.press == "dms_knorm":
+        import numpy as _np
+
+        from kvpress_tpu.presses import DMSPress
+
+        # calibrate the threshold so ~ratio of tokens fall below it: probe
+        # key norms on a short pressless prefill (scores are -||k||)
+        probe_ids = jax.random.randint(jax.random.PRNGKey(2), (1, 4096), 0,
+                                       cfg.vocab_size)
+        _, probe_cache, _ = runner.prefill_chunked(
+            params, probe_ids, chunk_size=4096, quantized=True, kv_bits=8)
+        from kvpress_tpu.cache import dequantize_kv as _dq
+
+        norms = -_np.linalg.norm(_np.asarray(jax.device_get(_dq(
+            probe_cache.keys[:, :, :, :4096], probe_cache.key_scales[:, :, :, :4096],
+            8, jnp.float32))), axis=-1)
+        thr = float(_np.percentile(norms, 100 * args.ratio))
+        del probe_cache
+        print(f"dms threshold (p{100*args.ratio:.0f} of -||k||): {thr:.3f}",
+              flush=True)
+        press = DMSPress(press=KnormPress(), threshold=thr,
+                         sliding_window_size=1024)
+    elif args.press == "kvcompose":
+        from kvpress_tpu.presses import KVComposePress
+
+        press = KVComposePress(compression_ratio=args.ratio)
     else:
         press = KnormPress(compression_ratio=args.ratio)
     results = {}

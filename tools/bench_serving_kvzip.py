@@ -97,8 +97,22 @@ def main():
     t0 = time.perf_counter()
     eng.run(rs)
     t = time.perf_counter() - t0
+
+    def lru_bytes(e):
+        return sum(
+            sum(x.nbytes for x in jax.tree_util.tree_leaves(entry))
+            for entry, _ in e._ctx_lru.values()
+        )
+
+    # Measured-length LRU shrink (round-5): compacting presses store entries
+    # at the measured kept length (bucketed), not the static full-context
+    # bound — report bytes/entry and what the static bound would have cost.
+    entries = list(eng._ctx_lru.values())
+    entry_slots = entries[0][0].max_size if entries else 0
     print(f"kvzip shared-ctx reuse ({args.n} reqs, 1 context): {t:6.1f}s  "
-          f"ctx_hits={eng.ctx_hits}", flush=True)
+          f"ctx_hits={eng.ctx_hits}  LRU {lru_bytes(eng)/2**20:.0f} MiB / "
+          f"{max(1, len(entries))} entries (entry buffer {entry_slots} "
+          f"slots vs static bound {args.ctx})", flush=True)
 
     # Capacity-win geometry (optimistic admission): at FIXED slot-pool HBM,
     # compaction lets ~0.6*ctx slots hold a ratio-0.5 KVzip cache, so the

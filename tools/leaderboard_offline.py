@@ -176,6 +176,7 @@ def main():
         NumberTokenizer,
         S_CTX,
         build_dataset,
+        build_dataset_multikey,
         train_retrieval_model,
     )
 
@@ -183,7 +184,16 @@ def main():
 
     cfg, params, runner = train_retrieval_model()
     pipe = KVPressPipeline(runner, params, NumberTokenizer())
-    df = build_dataset(n=12 if QUICK else 48)
+    import pandas as _pd
+
+    # single-needle + RULER-multikey-style distractor rows: the multikey
+    # task is what separates query-aware scoring from norm scoring at high
+    # ratio, where single-needle saturates at 100 (VERDICT r4 item 6)
+    df = _pd.concat(
+        [build_dataset(n=12 if QUICK else 48),
+         build_dataset_multikey(n=12 if QUICK else 48)],
+        ignore_index=True,
+    )
     arts = build_artifacts(cfg, runner, params)
     reg.PRESS_REGISTRY = inject_artifacts(reg.PRESS_REGISTRY, arts, cfg)
 
@@ -229,17 +239,23 @@ def main():
                 metrics = EvaluationRunner(
                     config, pipeline=pipe, dataset_df=df.copy()
                 ).run()
-                score = metrics["niah_single"]["string_match"]
+                s_single = metrics["niah_single"]["string_match"]
+                s_multi = metrics["niah_multikey"]["string_match"]
+                score = (s_single + s_multi) / 2.0
                 err = ""
             except Exception as e:                          # noqa: BLE001
-                score, err = float("nan"), f"{type(e).__name__}: {e}"[:120]
-            rows.append(dict(press=name, ratio=ratio, score=score, error=err))
+                score = s_single = s_multi = float("nan")
+                err = f"{type(e).__name__}: {e}"[:120]
+            rows.append(dict(press=name, ratio=ratio, score=score,
+                             single=s_single, multikey=s_multi, error=err))
             print(f"{name:34s} r={ratio:.2f}: "
                   f"{score if score == score else 'FAIL':>6} "
+                  f"(mk {s_multi if s_multi == s_multi else 'FAIL'}) "
                   f"({time.perf_counter()-t0:4.1f}s) {err}", flush=True)
             if name == "no_press":
                 for r2 in RATIOS[1:]:
                     rows.append(dict(press=name, ratio=r2, score=score,
+                                     single=s_single, multikey=s_multi,
                                      error=""))
                 break
 
@@ -251,7 +267,11 @@ def main():
     res_dir.mkdir(exist_ok=True)
     dest = res_dir / "offline_leaderboard.csv"
     pivot.round(2).to_csv(dest)
-    print(f"\n{pivot.round(1)}\nwrote {dest} "
+    mk = lb.pivot_table(index="press", columns="ratio", values="multikey")
+    mk["mean"] = mk.mean(axis=1)
+    mk = mk.sort_values("mean", ascending=False)
+    mk.round(2).to_csv(res_dir / "offline_leaderboard_multikey.csv")
+    print(f"\n{pivot.round(1)}\nwrote {dest} (+ multikey split) "
           f"({time.perf_counter()-t_all:.0f}s total)")
 
     # sanity invariants (VERDICT r2 item 8)
