@@ -40,13 +40,16 @@ K_TOK, Q_TOK = 6, 5
 VAL_LO, VAL_HI = 40, 70
 S_CTX = 24
 SEQ = 1 + S_CTX + 2 + 2                   # bos + noise + in-context QK + QK
-# Multi-key variant (RULER niah_multikey analogue): N_KEYS distinct (K_i,
-# V_i) needles in a LONGER context, the query names one of them — content-
-# agnostic presses must now keep the RIGHT needle among distractors, which
-# is what separates query-aware scoring (SnapKV family) from norm scoring
-# (Knorm family) at high compression where the single-needle task saturates.
-KEY_POOL = tuple(range(71, 79))           # distinct key tokens (vocab 80)
-N_KEYS = 4
+# Multi-needle distractor variant (RULER niah_multivalue analogue): the
+# SAME key appears N_NEEDLES times with different values in a LONGER
+# context; the answer is the LATEST needle's value. Distractor needles make
+# high-ratio compression discriminate query-aware scoring (the window
+# queries attend the target needle) from content-only scoring (Knorm keeps
+# ~random rows, losing the target among the distractors) — the top of the
+# table stops saturating at 100. (A distinct-keys niah_multikey variant is
+# NOT learnable by this 2-layer toy under final-position loss — selection
+# by key content plateaus at ln(n_keys); measured round 5.)
+N_NEEDLES = 3
 S_CTX_MK = 56
 SEQ_MK = 1 + S_CTX_MK + 2 + 2
 QUICK = bool(os.environ.get("KVPRESS_QUICK"))
@@ -87,27 +90,25 @@ def make_batch(rng, batch, depth=None):
     return jnp.asarray(seq), vals, depths
 
 
-def make_batch_multikey(rng, batch, n_keys=N_KEYS):
-    """[bos] noise with n_keys '(K_i V_i)' needles, in-context query
-    'Q K_t', question 'Q K_t' -> V_t."""
+def make_batch_multivalue(rng, batch, n_needles=N_NEEDLES):
+    """[bos] noise with n_needles '(K V_i)' needles (same key), in-context
+    query 'Q K', question 'Q K' -> value of the LATEST needle."""
     seq = rng.integers(NOISE_LO, NOISE_HI, size=(batch, SEQ_MK)).astype(np.int32)
     seq[:, 0] = 1
-    vals = rng.integers(VAL_LO, VAL_HI, size=(batch, n_keys))
     targets = np.empty(batch, np.int64)
     for b in range(batch):
-        keys = rng.choice(KEY_POOL, size=n_keys, replace=False)
-        # non-overlapping pair slots inside the noise region
-        slots = 1 + 2 * rng.choice((S_CTX_MK - 1) // 2, size=n_keys,
-                                   replace=False)
-        for i in range(n_keys):
-            seq[b, slots[i]] = keys[i]
-            seq[b, slots[i] + 1] = vals[b, i]
-        t = rng.integers(n_keys)
-        targets[b] = vals[b, t]
+        # non-overlapping pair slots inside the noise region, position order
+        slots = np.sort(1 + 2 * rng.choice((S_CTX_MK - 1) // 2,
+                                           size=n_needles, replace=False))
+        vals = rng.integers(VAL_LO, VAL_HI, size=n_needles)
+        for i in range(n_needles):
+            seq[b, slots[i]] = K_TOK
+            seq[b, slots[i] + 1] = vals[i]
+        targets[b] = vals[-1]
         seq[b, -4] = Q_TOK
-        seq[b, -3] = keys[t]
+        seq[b, -3] = K_TOK
         seq[b, -2] = Q_TOK
-        seq[b, -1] = keys[t]
+        seq[b, -1] = K_TOK
     return jnp.asarray(seq), targets
 
 
@@ -137,15 +138,15 @@ def train_retrieval_model():
         updates, opt = tx.update(grads, opt, params)
         return optax.apply_updates(params, updates), opt, loss
 
-    # joint training: single-needle and multi-key batches alternate (two
+    # joint training: single-needle and multi-value batches alternate (two
     # shapes, two compiled steps) so one model serves both leaderboard tasks
     for i in range(n_steps):
         seq, target, _ = make_batch(rng, 128)
         params, opt, loss = step(params, opt, seq, jnp.asarray(target))
-        seq_mk, target_mk = make_batch_multikey(rng, 128)
+        seq_mk, target_mk = make_batch_multivalue(rng, 128)
         params, opt, loss_mk = step(params, opt, seq_mk, jnp.asarray(target_mk))
     print(f"trained retrieval model (final loss single {float(loss):.3f} / "
-          f"multikey {float(loss_mk):.3f})")
+          f"multivalue {float(loss_mk):.3f})")
     return cfg, params, runner
 
 
@@ -166,11 +167,11 @@ def build_dataset(n=16 if QUICK else 48, seed=11):
     return pd.DataFrame(rows)
 
 
-def build_dataset_multikey(n=16 if QUICK else 48, seed=13):
-    """RULER niah_multikey-style rows: distractor needles make high-ratio
+def build_dataset_multivalue(n=16 if QUICK else 48, seed=13):
+    """RULER niah_multivalue-style rows: distractor needles make high-ratio
     compression discriminate query-aware from content-only scoring."""
     rng = np.random.default_rng(seed)
-    seq, targets = make_batch_multikey(rng, n)
+    seq, targets = make_batch_multivalue(rng, n)
     rows = []
     for i in range(n):
         toks = [str(int(t)) for t in np.asarray(seq[i])]
@@ -180,7 +181,7 @@ def build_dataset_multikey(n=16 if QUICK else 48, seed=13):
             "answer_prefix": "",
             "answer": [str(int(targets[i]))],
             "max_new_tokens": 1,
-            "task": "niah_multikey",
+            "task": "niah_multivalue",
         })
     return pd.DataFrame(rows)
 

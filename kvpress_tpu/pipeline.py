@@ -148,6 +148,27 @@ def _scored_forward(params, ids, cache, press_state, embeds=None, *,
     )
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _kvcompose_rebuild_layer(cache: KVCache, keep_l, l_idx):
+    """One layer of the KVCompose structured rebuild, in place on the
+    donated cache: kept entries gather to the buffer front in position
+    order (the _compress_layer pattern — peak extra memory is one layer's
+    gather, not a second full payload copy). ``l_idx`` is traced — one
+    compile for all layers."""
+    order = jnp.argsort(jnp.where(keep_l, 0, 1), axis=-1, stable=True)
+    at = (l_idx, 0, 0, 0, 0)
+
+    def reorder(buf):
+        g = jnp.take_along_axis(buf[l_idx], order[..., None], axis=2)
+        return jax.lax.dynamic_update_slice(buf, g[None], at)
+
+    updates = dict(keys=reorder(cache.keys), values=reorder(cache.values))
+    if cache.key_scales is not None:
+        updates["key_scales"] = reorder(cache.key_scales)
+        updates["value_scales"] = reorder(cache.value_scales)
+    return dataclasses.replace(cache, **updates)
+
+
 def _chat_affixes(tok) -> tuple[int, list[int]]:
     """(prefix_len, suffix_ids) of the chat template around a user message —
     probed with a dummy separator (reference kvzip_press.py:96-117)."""
@@ -847,25 +868,23 @@ class KVPressPipeline:
         if not press.structured:
             return self._apply_keep_mask(cache, keep[:, None])
 
-        # Structured: physically rebuild each layer to its composite budget.
-        keep_buf = np.zeros((cfg.num_layers, 1, cfg.num_kv_heads, cache.max_size), bool)
+        # Structured: physically rebuild each layer to its composite budget —
+        # a HOST LOOP of donated per-layer updates (one layer's gather
+        # transient; a stacked take_along_axis holds a second full payload
+        # copy next to the weights — measured OOM at 8B/64K int4).
+        keep_buf = np.zeros(
+            (cfg.num_layers, 1, cfg.num_kv_heads, cache.max_size), bool
+        )
         keep_buf[..., :ctx_len] = keep[:, None]
-        order = jnp.argsort(
-            jnp.where(jnp.asarray(keep_buf), 0, 1), axis=-1, stable=True
-        )
-        new_keys = jnp.take_along_axis(cache.keys, order[..., None], axis=3)
-        new_values = jnp.take_along_axis(cache.values, order[..., None], axis=3)
-        updates = dict(
-            keys=new_keys,
-            values=new_values,
+        cache = dataclasses.replace(
+            cache,
+            mask=jnp.ones(
+                (cfg.num_layers, 1, cfg.num_kv_heads, cache.max_size), bool
+            ),
             length=jnp.asarray(budgets, jnp.int32),
-            mask=jnp.ones_like(order, dtype=bool),
         )
-        if cache.is_quantized:
-            updates["key_scales"] = jnp.take_along_axis(
-                cache.key_scales, order[..., None], axis=3
+        for l in range(cfg.num_layers):
+            cache = _kvcompose_rebuild_layer(
+                cache, jnp.asarray(keep_buf[l]), jnp.asarray(l, jnp.int32)
             )
-            updates["value_scales"] = jnp.take_along_axis(
-                cache.value_scales, order[..., None], axis=3
-            )
-        return dataclasses.replace(cache, **updates)
+        return cache

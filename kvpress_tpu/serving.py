@@ -1305,6 +1305,13 @@ class ServingEngine:
             # optimistic admissions went through the capacity-clamped retry.
             "dropped": list(self._dropped),
             "retried_admissions": self._retries,
+            # Context-LRU footprint: entries × their (measured-shrunk)
+            # buffer bytes — the capacity cost of compress-once-serve-many.
+            "lru_entries": len(self._ctx_lru),
+            "lru_bytes": sum(
+                sum(x.nbytes for x in jax.tree_util.tree_leaves(entry))
+                for entry, _ in self._ctx_lru.values()
+            ),
         }
         # Inter-token stall profile: gaps between consecutive step fetches.
         # The max gap is the latency a live slot saw across a concurrent

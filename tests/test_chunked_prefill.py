@@ -157,7 +157,7 @@ def test_chunked_rejects_unsupported_presses(tiny):
     from kvpress_tpu.presses import BlockPress
 
     ids = jnp.zeros((1, 64), jnp.int32)
-    with pytest.raises(AssertionError, match="ScorerPress"):
+    with pytest.raises(AssertionError, match="BlockPress cannot run"):
         runner.prefill_chunked(params, ids,
                                press=BlockPress(press=KnormPress(0.5)),
                                chunk_size=16, dtype=jnp.float32)

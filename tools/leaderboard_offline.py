@@ -176,7 +176,7 @@ def main():
         NumberTokenizer,
         S_CTX,
         build_dataset,
-        build_dataset_multikey,
+        build_dataset_multivalue,
         train_retrieval_model,
     )
 
@@ -191,7 +191,7 @@ def main():
     # ratio, where single-needle saturates at 100 (VERDICT r4 item 6)
     df = _pd.concat(
         [build_dataset(n=12 if QUICK else 48),
-         build_dataset_multikey(n=12 if QUICK else 48)],
+         build_dataset_multivalue(n=12 if QUICK else 48)],
         ignore_index=True,
     )
     arts = build_artifacts(cfg, runner, params)
@@ -240,7 +240,7 @@ def main():
                     config, pipeline=pipe, dataset_df=df.copy()
                 ).run()
                 s_single = metrics["niah_single"]["string_match"]
-                s_multi = metrics["niah_multikey"]["string_match"]
+                s_multi = metrics["niah_multivalue"]["string_match"]
                 score = (s_single + s_multi) / 2.0
                 err = ""
             except Exception as e:                          # noqa: BLE001
