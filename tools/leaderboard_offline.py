@@ -247,7 +247,7 @@ def main():
                 score = s_single = s_multi = float("nan")
                 err = f"{type(e).__name__}: {e}"[:120]
             rows.append(dict(press=name, ratio=ratio, score=score,
-                             single=s_single, multikey=s_multi, error=err))
+                             single=s_single, multivalue=s_multi, error=err))
             print(f"{name:34s} r={ratio:.2f}: "
                   f"{score if score == score else 'FAIL':>6} "
                   f"(mk {s_multi if s_multi == s_multi else 'FAIL'}) "
@@ -255,7 +255,7 @@ def main():
             if name == "no_press":
                 for r2 in RATIOS[1:]:
                     rows.append(dict(press=name, ratio=r2, score=score,
-                                     single=s_single, multikey=s_multi,
+                                     single=s_single, multivalue=s_multi,
                                      error=""))
                 break
 
@@ -267,10 +267,10 @@ def main():
     res_dir.mkdir(exist_ok=True)
     dest = res_dir / "offline_leaderboard.csv"
     pivot.round(2).to_csv(dest)
-    mk = lb.pivot_table(index="press", columns="ratio", values="multikey")
+    mk = lb.pivot_table(index="press", columns="ratio", values="multivalue")
     mk["mean"] = mk.mean(axis=1)
     mk = mk.sort_values("mean", ascending=False)
-    mk.round(2).to_csv(res_dir / "offline_leaderboard_multikey.csv")
+    mk.round(2).to_csv(res_dir / "offline_leaderboard_multivalue.csv")
     print(f"\n{pivot.round(1)}\nwrote {dest} (+ multikey split) "
           f"({time.perf_counter()-t_all:.0f}s total)")
 
