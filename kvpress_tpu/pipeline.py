@@ -453,14 +453,18 @@ class KVPressPipeline:
         if press is not None and getattr(press, "post_mask", False):
             cache = press.apply_post_mask(cache, press_state)
 
-        # Head-wise compaction of mask-based evictions (KVzip / FastKVzip
-        # compact=True): kept entries to each head's buffer front, length
-        # dropped to the max per-head count — the resize below then
+        # Head-wise compaction of mask-based evictions (KVzip / FastKVzip /
+        # DMS compact=True): kept entries to each head's buffer front,
+        # length dropped to the max per-head count — the resize below then
         # realizes the HBM saving (decode reads/copies the small buffer;
-        # at 8B@128K the full masked buffer cannot decode at all).
+        # at 8B@128K the full masked buffer cannot decode at all). AdaKV-
+        # family wrappers compact inside their own compress — excluded.
+        from .presses.dms import DMSPress
+
         if press is not None and getattr(press, "compact", False) and (
             getattr(press, "multi_pass", False)
             or getattr(press, "post_mask", False)
+            or isinstance(press, DMSPress)
         ):
             from .cache import compact_masked
 

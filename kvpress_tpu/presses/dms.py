@@ -24,11 +24,24 @@ class DMSPress(BasePress):
     threshold: float = 0.0
     sliding_window_size: int = 128
     decoding: bool = False
+    # Head-wise physical compaction of the prefill threshold mask
+    # (cache.compact_masked, the KVzip/FastKVzip compact semantics): kept
+    # entries move to each head's buffer front and the cache shrinks to the
+    # max per-head kept count — a real memory/bandwidth reclaim the
+    # reference's fake eviction cannot have. Prefill-only: the decode-time
+    # ring state tracks absolute slot indices (first_slot), which
+    # compaction remaps — asserted incompatible with decoding=True.
+    compact: bool = False
 
     compresses_prefill = True
 
     def __post_init__(self):
         assert isinstance(self.press, ScorerPress)
+        assert not (self.compact and self.decoding), (
+            "DMSPress(compact=True) is prefill-only: decode-time threshold "
+            "eviction tracks absolute slot indices (first_slot), which "
+            "compaction remaps"
+        )
 
     @property
     def compresses_decode(self) -> bool:  # type: ignore[override]

@@ -870,13 +870,20 @@ class ServingEngine:
                                             context_embeds=req.inputs_embeds)
             if self.post_mask:
                 cache = press.apply_post_mask(cache, press_state)
-            if getattr(press, "compact", False):
-                # Head-wise compaction (pipeline parity): the slot insert
-                # below re-buckets to slot capacity — compaction lets the
-                # masked admission actually fit a small slot.
-                from .cache import compact_masked
+        from .presses.dms import DMSPress as _DMS
 
-                cache = compact_masked(cache)
+        if press is not None and getattr(press, "compact", False) and (
+            self.multi_pass or self.post_mask or isinstance(press, _DMS)
+        ):
+            # Head-wise compaction (pipeline parity): the slot insert
+            # below re-buckets to slot capacity — compaction lets the
+            # masked admission actually fit a small slot. DMS(compact=True)
+            # masks during the (chunked) prefill itself, so it compacts
+            # here too; AdaKV-family wrappers compact inside their own
+            # compress.
+            from .cache import compact_masked
+
+            cache = compact_masked(cache)
 
         pre_row = logits[0, -1]
         if key is not None:
@@ -1018,7 +1025,10 @@ class ServingEngine:
                 # stays dead and reusable, engine unharmed).
                 self.live[slot] = False
                 self.slots[slot] = _SlotState()
-                if not adm.get("retried"):
+                if not adm.get("retried") and not hasattr(
+                        self.press, "threshold"):
+                    # (threshold presses — DMS — have no ratio to clamp;
+                    # their overflow drops directly)
                     budget = (self.capacity - len(req.question_ids)
                               - req.max_new_tokens - 1)
                     r0 = float(self.press.compression_ratio)

@@ -677,3 +677,48 @@ def test_block_press_rejected_with_reason(tiny):
             params, ids, press=BlockPress(press=KnormPress(0.5), block_size=16),
             chunk_size=16, dtype=jnp.float32,
         )
+
+
+def test_dms_compact_matches_mask(tiny):
+    """DMSPress(compact=True): the threshold mask physically compacts
+    (cache.compact_masked) — answers equal the mask-only layout on both the
+    one-shot and chunked paths, the cache buffer actually shrinks, and
+    decoding=True+compact is rejected (the decode ring tracks slot
+    indices)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from toy_tokenizer import ToyTokenizer
+    from kvpress_tpu.pipeline import KVPressPipeline
+    from kvpress_tpu.presses import DMSPress
+
+    cfg, params, runner = tiny
+    pipe = KVPressPipeline(runner, params, ToyTokenizer(cfg.vocab_size))
+    ids = jnp.asarray(np.random.default_rng(2).permutation(
+        cfg.vocab_size)[:64][None], jnp.int32)
+    thr = _knorm_threshold(runner, params, cfg, ids, pct=50)
+    ctx = " ".join(f"w{i}" for i in range(60))
+
+    mask_p = DMSPress(press=KnormPress(), threshold=thr,
+                      sliding_window_size=16)
+    comp_p = DMSPress(press=KnormPress(), threshold=thr,
+                      sliding_window_size=16, compact=True)
+    for kw in (dict(), dict(context_chunk=16)):
+        a_mask = pipe(ctx, question="what ?", press=mask_p,
+                      max_new_tokens=6, **kw)
+        a_comp = pipe(ctx, question="what ?", press=comp_p,
+                      max_new_tokens=6, **kw)
+        assert a_mask["answer"] == a_comp["answer"], kw
+
+    # the buffer really shrinks below the context length
+    ctx_ids, _ = pipe.preprocess(ctx, [""])
+    _, c_m, _ = runner.prefill(
+        params, jnp.asarray(np.asarray(ctx_ids, np.int32))[None],
+        press=mask_p, dtype=jnp.float32)
+    from kvpress_tpu.cache import compact_masked
+
+    c_c = compact_masked(c_m)
+    assert int(jnp.max(c_c.length)) < len(ctx_ids)
+
+    with pytest.raises(AssertionError, match="prefill-only"):
+        DMSPress(press=KnormPress(), threshold=thr, decoding=True,
+                 compact=True)

@@ -92,7 +92,7 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--press", default="knorm",
                     choices=("knorm", "adakv_snapkv", "duo", "dms_knorm",
-                             "kvcompose"),
+                             "dms_knorm_compact", "kvcompose"),
                     help="compression press for the compressed legs: "
                          "adakv_snapkv = AdaKV(SnapKV) head-wise wrapper; "
                          "duo = DuoAttention streaming-head masks; "
@@ -202,8 +202,16 @@ def main():
                     quantized=quantized, kv_bits=kv_bits,
                     max_size=room if press is None else None,
                 )
-                return cache
-            return prefill(params, ids, **kw)
+            else:
+                cache = prefill(params, ids, **kw)
+            if (press is not None and getattr(press, "compact", False)
+                    and hasattr(press, "threshold")):
+                # DMS compact: physical head-wise compaction of the
+                # threshold mask (the pipeline does this automatically)
+                from kvpress_tpu.cache import compact_masked
+
+                cache = compact_masked(cache)
+            return cache
 
         cache = do_prefill()
         # block_until_ready returns early on the axon backend (CLAUDE.md);
@@ -280,7 +288,7 @@ def main():
             head_scores=_np.random.default_rng(0).random(
                 (cfg.num_layers, cfg.num_kv_heads)).astype(_np.float32),
         )
-    elif args.press == "dms_knorm":
+    elif args.press.startswith("dms_knorm"):
         import numpy as _np
 
         from kvpress_tpu.presses import DMSPress
@@ -301,7 +309,8 @@ def main():
         print(f"dms threshold (p{100*args.ratio:.0f} of -||k||): {thr:.3f}",
               flush=True)
         press = DMSPress(press=KnormPress(), threshold=thr,
-                         sliding_window_size=1024)
+                         sliding_window_size=1024,
+                         compact=args.press.endswith("compact"))
     elif args.press == "kvcompose":
         from kvpress_tpu.presses import KVComposePress
 
