@@ -403,18 +403,30 @@ def refeed_colagg(
     B, Hq, T, D = q.shape
     Hkv = kb.shape[1]
     G = Hq // Hkv
+    block = min(block, max(ctx_len, 1))
     n_blocks = -(-ctx_len // block)
     pad_ctx = n_blocks * block
+    # Slice the context columns once (static bounds) and zero-pad to a block
+    # multiple: the blockwise dynamic slices can then never run past the
+    # buffer regardless of how much append room the caller presized (a
+    # fixed-block slice on a small buffer is a trace-time error). The pad
+    # copy is ctx_len x payload-width per layer — noise next to the sweep.
+    kctx = jax.lax.slice_in_dim(kb, 0, ctx_len, axis=2)
+    kctx = jnp.pad(kctx, ((0, 0), (0, 0), (0, pad_ctx - ctx_len), (0, 0)))
+    sctx = None
+    if k_scales is not None:
+        sctx = jax.lax.slice_in_dim(k_scales, 0, ctx_len, axis=2)
+        sctx = jnp.pad(sctx, ((0, 0), (0, 0), (0, pad_ctx - ctx_len), (0, 0)))
     qg = q.reshape(B, Hkv, G, T, D)
     lse_g = lse.reshape(B, Hkv, G, T)
 
     def body(i, out):
         start = i * block
-        kblk = jax.lax.dynamic_slice_in_dim(kb, start, block, axis=2)
-        if k_scales is not None:
+        kblk = jax.lax.dynamic_slice_in_dim(kctx, start, block, axis=2)
+        if sctx is not None:
             from ..cache import dequantize_kv
 
-            sblk = jax.lax.dynamic_slice_in_dim(k_scales, start, block, axis=2)
+            sblk = jax.lax.dynamic_slice_in_dim(sctx, start, block, axis=2)
             kblk = dequantize_kv(kblk, sblk, bits, q.dtype)
         s = jnp.einsum(
             "bhgtd,bhsd->bhgts", qg, kblk,

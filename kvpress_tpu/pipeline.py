@@ -171,20 +171,31 @@ def _kvcompose_rebuild_layer(cache: KVCache, keep_l, l_idx):
 
 def _chat_affixes(tok) -> tuple[int, list[int]]:
     """(prefix_len, suffix_ids) of the chat template around a user message —
-    probed with a dummy separator (reference kvzip_press.py:96-117)."""
+    probed with a dummy separator (reference kvzip_press.py:96-117).
+    Memoized on the tokenizer object: the presize bound and the repeat loop
+    both need it, and the template probe sits on the serving admission path
+    the engine otherwise keeps sync-free."""
+    cached = getattr(tok, "_kvpress_chat_affixes", None)
+    if cached is not None:
+        return cached
     if tok.chat_template is None:
-        return 0, tok.encode("\n", add_special_tokens=False)
-    dummy = "dummy context"
-    separator = "\n" + "#" * len(dummy)
-    templated = tok.apply_chat_template(
-        [{"role": "user", "content": dummy + separator}],
-        add_generation_prompt=True, tokenize=False, enable_thinking=False,
-    )
-    ctx_part, suffix_text = templated.split(separator)
-    prefix_text = ctx_part.split(dummy)[0]
-    prefix_len = len(tok.encode(prefix_text, add_special_tokens=False))
-    suffix_ids = tok.encode(suffix_text, add_special_tokens=False)
-    return prefix_len, suffix_ids
+        out = (0, tok.encode("\n", add_special_tokens=False))
+    else:
+        dummy = "dummy context"
+        separator = "\n" + "#" * len(dummy)
+        templated = tok.apply_chat_template(
+            [{"role": "user", "content": dummy + separator}],
+            add_generation_prompt=True, tokenize=False, enable_thinking=False,
+        )
+        ctx_part, suffix_text = templated.split(separator)
+        prefix_text = ctx_part.split(dummy)[0]
+        prefix_len = len(tok.encode(prefix_text, add_special_tokens=False))
+        out = (prefix_len, tok.encode(suffix_text, add_special_tokens=False))
+    try:
+        tok._kvpress_chat_affixes = out
+    except (AttributeError, TypeError):
+        pass                              # slot-restricted tokenizer objects
+    return out
 
 
 def kvzip_repeat_bound(press, context_ids, tokenizer) -> int:

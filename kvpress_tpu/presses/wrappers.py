@@ -723,13 +723,30 @@ class ChunkKVPress(BasePress):
         keep_b = jnp.take_along_axis(
             keep_chunk, jnp.broadcast_to(pos_chunk[None], (B, S)), axis=1
         ) & valid[0]
-        return jnp.broadcast_to(keep_b[:, None], (B, H, S))
+        keep = jnp.broadcast_to(keep_b[:, None], (B, H, S))
+        # Contexts shorter than one chunk: the one-shot path delegates to
+        # the wrapped scorer (n_complete == 0) — mirror it with TOKEN-level
+        # top-k in SCORE order (topk_keep's layout) instead of keeping the
+        # single partial chunk whole.
+        keep_tok = (_rank_desc(scores)
+                    < _dyn_budget(length, self.compression_ratio)) & (
+                        valid if valid.shape == keep.shape
+                        else jnp.broadcast_to(valid, keep.shape))
+        keep = jnp.where(length < cl, keep_tok, keep)
+        order = jnp.where(
+            length < cl,
+            jnp.argsort(-jnp.where(keep_tok, scores, NEG_INF), axis=-1,
+                        stable=True),
+            _compact_order(keep),
+        )
+        return keep, order
 
     def chunked_compress(self, ctx, keys, values, length, mask):
         if self.compression_ratio == 0.0:
             return keys, values, length, mask
-        keep = self._chunked_keep(ctx, keys, values, length, mask)
-        k2, v2, n = compact_by_mask(keys, values, keep)
+        keep, order = self._chunked_keep(ctx, keys, values, length, mask)
+        k2, v2 = _gather_seq((keys, values), order)
+        n = jnp.min(jnp.sum(keep, axis=-1)).astype(jnp.int32)
         return k2, v2, n, jnp.ones_like(mask)
 
     def chunked_compress_quantized(self, ctx, keys, values, key_scales,
@@ -741,8 +758,7 @@ class ChunkKVPress(BasePress):
         dt = ctx.hidden.dtype
         kd = dequantize_kv(keys, key_scales, bits, dt)
         vd = dequantize_kv(values, value_scales, bits, dt)
-        keep = self._chunked_keep(ctx, kd, vd, length, mask)
-        order = _compact_order(keep)
+        keep, order = self._chunked_keep(ctx, kd, vd, length, mask)
         keys, values, key_scales, value_scales = _gather_seq(
             (keys, values, key_scales, value_scales), order
         )
@@ -845,6 +861,12 @@ class ThinKPress(BasePress):
 
     def _channel_keep(self, ctx, keys, length):
         B, H, S, D = keys.shape
+        assert self.window_size <= ctx.queries.shape[2], (
+            f"ThinKPress window ({self.window_size}) exceeds the chunked-"
+            f"prefill scoring window ({ctx.queries.shape[2]}) — raise "
+            "score_window/context_chunk (a silent clamp would diverge from "
+            "the one-shot channel selection)"
+        )
         W = min(self.window_size, ctx.queries.shape[2])
         q_win = ctx.queries[:, :, -W:].astype(jnp.float32)
         q_norm = jnp.mean(q_win**2, axis=2)                  # (B, Hq, D)

@@ -1008,12 +1008,6 @@ class ServingEngine:
             entry, pre_row = self._ctx_lru[key]
             if entry.max_size > tgt:
                 self._ctx_lru[key] = (shrink(entry, tgt), pre_row)
-        if self._t_run_start is not None:
-            # TTFT (queueing included — every request is available at run
-            # start): the first token exists once the admission completes.
-            import time as _time
-
-            self._ttfts.append(_time.perf_counter() - self._t_run_start)
         if kept + req.max_new_tokens + 1 > self.capacity:
             if (self.press is not None
                     and getattr(self.press, "compact", False)):
@@ -1023,12 +1017,23 @@ class ServingEngine:
                 # slot (scaling the observed kept at the observed ratio);
                 # only a failed retry drops the request (empty answer, slot
                 # stays dead and reusable, engine unharmed).
+                from .presses.dms import DMSPress as _DMS
+
                 self.live[slot] = False
                 self.slots[slot] = _SlotState()
-                if not adm.get("retried") and not hasattr(
-                        self.press, "threshold"):
-                    # (threshold presses — DMS — have no ratio to clamp;
-                    # their overflow drops directly)
+                if isinstance(self.press, _DMS):
+                    # threshold presses have no ratio to clamp — a
+                    # capacity overflow drops directly on first failure
+                    logger.warning(
+                        "request %d compacted to %d slots but needs %d > "
+                        "capacity %d — dropped (threshold presses have no "
+                        "compression ratio to clamp for a retry; raise "
+                        "capacity or the threshold)", adm["req_idx"], kept,
+                        kept + req.max_new_tokens + 1, self.capacity,
+                    )
+                    self._dropped.append(adm["req_idx"])
+                    return
+                if not adm.get("retried"):
                     budget = (self.capacity - len(req.question_ids)
                               - req.max_new_tokens - 1)
                     r0 = float(self.press.compression_ratio)
@@ -1061,6 +1066,14 @@ class ServingEngine:
                 f"capacity is {self.capacity} — raise capacity or compress "
                 "more"
             )
+        if self._t_run_start is not None:
+            # TTFT (queueing included — every request is available at run
+            # start): recorded only when the admission actually goes live —
+            # a dropped/retried attempt yielded no first token and must not
+            # skew the percentiles.
+            import time as _time
+
+            self._ttfts.append(_time.perf_counter() - self._t_run_start)
         self.live[slot] = True
         st = self.slots[slot]
         st.req_idx = adm["req_idx"]

@@ -722,3 +722,32 @@ def test_dms_compact_matches_mask(tiny):
     with pytest.raises(AssertionError, match="prefill-only"):
         DMSPress(press=KnormPress(), threshold=thr, decoding=True,
                  compact=True)
+
+
+def test_chunkkv_short_context_delegates(tiny):
+    """Regression (round-5 review): a context shorter than chunk_length must
+    delegate to the wrapped scorer (one-shot n_complete==0 semantics) —
+    token-level top-k, not keep-the-single-chunk-whole."""
+    from kvpress_tpu.presses import ChunkKVPress
+
+    cfg, params, runner = tiny
+    S = 16
+    ids = jnp.asarray(np.random.default_rng(12).permutation(
+        cfg.vocab_size)[:S][None], jnp.int32)
+    press = ChunkKVPress(press=KnormPress(0.5), chunk_length=20)
+
+    _, c_exact, _ = runner.prefill(params, ids, press=press, dtype=jnp.float32)
+    _, c_chunk, _ = runner.prefill_chunked(
+        params, ids, press=press, chunk_size=8, dtype=jnp.float32
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c_exact.length), np.asarray(c_chunk.length)
+    )
+    assert int(c_chunk.length[0]) == S // 2      # actually compressed
+    for layer in range(cfg.num_layers):
+        n = int(c_exact.length[layer])
+        np.testing.assert_allclose(
+            np.asarray(c_exact.keys[layer, ..., :n, :], np.float32),
+            np.asarray(c_chunk.keys[layer, ..., :n, :], np.float32),
+            atol=2e-5, err_msg=f"layer {layer}",
+        )

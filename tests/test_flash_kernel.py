@@ -239,3 +239,28 @@ def test_refeed_colagg_matches_probs(agg, bits):
     got = refeed_colagg(q, kb, k_sc, bits or 8, lse, ctx_len, agg,
                         D**-0.5, block=64)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_refeed_colagg_small_buffer_large_block():
+    """Regression (round-5 review): a block larger than the context (or a
+    buffer barely bigger than ctx_len) must clamp/pad instead of slicing
+    past the buffer — the pipeline presizes exactly 2*ctx for KVCompose."""
+    from kvpress_tpu.ops.attention import refeed_colagg
+
+    B, Hq, Hkv, T, D = 1, 4, 2, 16, 64
+    ctx_len, S_buf = 100, 116            # tight: ctx + one small chunk
+    ks = jax.random.split(jax.random.PRNGKey(8), 2)
+    q = jax.random.normal(ks[0], (B, Hq, T, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, Hkv, S_buf, D), jnp.float32)
+    bias = attention_bias(jnp.asarray(ctx_len, jnp.int32), T, S_buf)
+    _, probs = gqa_attention(q, k, k, bias, D**-0.5, return_probs=True)
+    ref = probs[..., :ctx_len].astype(jnp.float32).max(axis=2)
+    G = Hq // Hkv
+    logits = jnp.einsum(
+        "bhgtd,bhsd->bhgts", q.reshape(B, Hkv, G, T, D), k,
+        preferred_element_type=jnp.float32,
+    ) * D**-0.5 + bias[None, None, None]
+    lse = jax.nn.logsumexp(logits, axis=-1).reshape(B, Hq, T)
+    got = refeed_colagg(q, k, None, 8, lse, ctx_len, "max", D**-0.5,
+                        block=512)        # default block >> ctx
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
