@@ -1553,15 +1553,23 @@ def _chunk_forward_lean_impl(params, chunk_ids, cache, collect_gates=None,
 
             zctx, zagg = kvcompose_spec
             red = "max" if zagg == "max" else "sum"
+            big = zctx >= (1 << 16)
             if use_flash:
                 kb_s = kb2 if quantized else keys
                 part = refeed_colagg(
                     q, kb_s, ks2 if quantized else None, cache.bits,
                     attn_lse, zctx, red, scale, cfg.logit_softcap,
+                    block=256 if big else 512,
                 )
             else:
                 pc = attn_probs[..., :zctx].astype(jnp.float32)
                 part = pc.max(axis=2) if zagg == "max" else pc.sum(axis=2)
+            if big and red == "max":
+                # 128K-class: the stacked (L, B, Hq, ctx) partials are the
+                # peak transient next to the 2x-ctx buffer + weights — max
+                # aggregation is monotone, bf16 halves them (sum stays f32
+                # for precision)
+                part = part.astype(jnp.bfloat16)
             ys = ys + (part,)
 
         if hidden_window is not None:

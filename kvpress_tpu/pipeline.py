@@ -852,6 +852,7 @@ class KVPressPipeline:
             # length/offset makes those slots dead (next appends overwrite)
             cache = dataclasses.replace(cache, length=base_len,
                                         offset=base_off)
+            acc = acc.astype(jnp.float32)    # partials may be bf16 (128K max)
             task = acc if press.agg_task == "max" else acc / ctx_len
             # group aggregation once over ALL queries' task aggregation
             # (per-chunk group agg would not commute for mixed agg modes)
