@@ -34,7 +34,10 @@ from kvpress_tpu.pipeline import KVPressPipeline
 from kvpress_tpu.presses import (
     AdaKVPress,
     ComposedPress,
+    DMSPress,
+    DuoAttentionPress,
     KeyRerotationPress,
+    KVComposePress,
     KVzipPress,
     ThinKPress,
 )
@@ -42,6 +45,8 @@ from toy_tokenizer import ToyTokenizer
 
 
 def main():
+    import numpy as np
+
     cfg = tiny_config()
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
     pipe = KVPressPipeline(Runner.create(cfg), params,
@@ -61,6 +66,15 @@ def main():
         )),
         "kvzip (multi-pass)": KVzipPress(compression_ratio=0.5,
                                          chunk_size=32),
+        # round 5: the last structural presses through the chunked path
+        "kvcompose (re-feed)": KVComposePress(compression_ratio=0.5),
+        "dms(knorm) compact": DMSPress(press=KnormPress(), threshold=-6.0,
+                                       sliding_window_size=16, compact=True),
+        "duo-attention": DuoAttentionPress(
+            head_compression_ratio=0.5, sink_size=4, recent_size=8,
+            head_scores=np.random.default_rng(0).random(
+                (cfg.num_layers, cfg.num_kv_heads)),
+        ),
     }
     for name, press in presses.items():
         exact = pipe(context, question=question, press=press,
