@@ -141,3 +141,45 @@ def test_duo_split_short_context_and_room(duo_setup):
         )
         nxt = jnp.argmax(dense_logits[:, -1], axis=-1).astype(jnp.int32)
         tok = tok_s = nxt[:, None]
+
+
+def test_duo_split_composes_with_chunked_prefill():
+    """Round 5: Duo now compresses through prefill_chunked — the split-cache
+    capacity decode must build from a chunk-prefilled masked cache and
+    produce the same tokens as the dense masked decode."""
+    import kvpress_tpu as kp
+    from kvpress_tpu.presses import DuoAttentionPress
+
+    cfg = kp.tiny_config()
+    params = kp.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    runner = kp.Runner.create(cfg)
+    rng = np.random.default_rng(21)
+    S = 64
+    ids = jnp.asarray(rng.permutation(cfg.vocab_size)[:S][None], jnp.int32)
+    press = DuoAttentionPress(
+        head_compression_ratio=0.5, sink_size=4, recent_size=8,
+        head_scores=rng.random((cfg.num_layers, cfg.num_kv_heads)),
+    )
+    _, cache, _ = runner.prefill_chunked(
+        params, ids, press=press, chunk_size=16, max_size=S + 12,
+        dtype=jnp.float32,
+    )
+    ds = build_duo_split(cache, press.streaming_mask(), press.sink_size,
+                         press.recent_size, room=10)
+    from kvpress_tpu.cache import grow
+
+    dense = grow(cache, 10)
+    tok = ids[:, -1:]
+    tok_s = ids[:, -1:]
+    for step in range(6):
+        logits, dense, _ = runner.forward(params, tok, dense,
+                                          logits_last_only=True)
+        tok_split, split_logits, ds = duo_decode_step(params, tok_s, ds,
+                                                      runner=runner)
+        np.testing.assert_allclose(
+            np.asarray(split_logits, np.float32),
+            np.asarray(logits[:, -1], np.float32),
+            rtol=2e-4, atol=2e-4, err_msg=f"step {step}",
+        )
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tok_s = tok
