@@ -733,3 +733,42 @@ def test_serving_compact_press_small_capacity(tiny):
     assert tight.last_stats["retried_admissions"] == 1
     assert tight.last_stats["dropped"] == [0]
     assert tight.last_stats["dropped_requests"] == 1
+
+
+def test_serving_dms_compact_small_capacity(tiny):
+    """DMSPress(compact=True) admits optimistically like KVzip-compact: a
+    slot capacity below the context works when the compacted threshold mask
+    fits, answers matching a generous engine; an overflow drops directly
+    (threshold presses have no ratio to clamp for a retry) with the index
+    reported."""
+    from kvpress_tpu.presses import DMSPress
+
+    cfg, params, runner = tiny
+    rng = np.random.default_rng(23)
+    ctx = rng.permutation(cfg.vocab_size)[:64].tolist()
+    q = rng.permutation(cfg.vocab_size)[:4].tolist()
+    ids = jnp.asarray(np.asarray(ctx, np.int32))[None]
+    _, c0, _ = _prefill(params, ids, None, runner=runner, press=None)
+    thr = float(np.percentile(-np.linalg.norm(
+        np.asarray(c0.keys[..., :64, :], np.float32), axis=-1), 55))
+    press = DMSPress(press=KnormPress(), threshold=thr,
+                     sliding_window_size=16, compact=True)
+    reqs = [Request(ctx, q, max_new_tokens=4)]
+
+    big = ServingEngine(runner, params, n_slots=1, capacity=96, press=press,
+                        fetch_lag=2)
+    ref = big.run(reqs)
+    # ~55% of evictable tokens below threshold + 16 protected -> compacted
+    # cache fits well under the 64-token context
+    small = ServingEngine(runner, params, n_slots=1, capacity=56,
+                          press=press, fetch_lag=2)
+    assert small.run(reqs) == ref
+    assert small.last_stats["retried_admissions"] == 0
+
+    # an impossible slot: drops on FIRST failure (no ratio to clamp)
+    tight = ServingEngine(runner, params, n_slots=1, capacity=12,
+                          press=press, fetch_lag=2)
+    outs = tight.run([Request(ctx, q, max_new_tokens=4)])
+    assert outs[0] == []
+    assert tight.last_stats["dropped"] == [0]
+    assert tight.last_stats["retried_admissions"] == 0
