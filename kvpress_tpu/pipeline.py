@@ -172,12 +172,14 @@ def _kvcompose_rebuild_layer(cache: KVCache, keep_l, l_idx):
 def _chat_affixes(tok) -> tuple[int, list[int]]:
     """(prefix_len, suffix_ids) of the chat template around a user message —
     probed with a dummy separator (reference kvzip_press.py:96-117).
-    Memoized on the tokenizer object: the presize bound and the repeat loop
-    both need it, and the template probe sits on the serving admission path
-    the engine otherwise keeps sync-free."""
+    Memoized on the tokenizer object, keyed by the template text so a
+    chat_template assigned after the first call invalidates the cache: the
+    presize bound and the repeat loop both need the affixes, and the
+    template probe sits on the serving admission path the engine otherwise
+    keeps sync-free."""
     cached = getattr(tok, "_kvpress_chat_affixes", None)
-    if cached is not None:
-        return cached
+    if cached is not None and cached[0] == tok.chat_template:
+        return cached[1]
     if tok.chat_template is None:
         out = (0, tok.encode("\n", add_special_tokens=False))
     else:
@@ -192,7 +194,7 @@ def _chat_affixes(tok) -> tuple[int, list[int]]:
         prefix_len = len(tok.encode(prefix_text, add_special_tokens=False))
         out = (prefix_len, tok.encode(suffix_text, add_special_tokens=False))
     try:
-        tok._kvpress_chat_affixes = out
+        tok._kvpress_chat_affixes = (tok.chat_template, out)
     except (AttributeError, TypeError):
         pass                              # slot-restricted tokenizer objects
     return out
@@ -465,18 +467,13 @@ class KVPressPipeline:
             cache = press.apply_post_mask(cache, press_state)
 
         # Head-wise compaction of mask-based evictions (KVzip / FastKVzip /
-        # DMS compact=True): kept entries to each head's buffer front,
-        # length dropped to the max per-head count — the resize below then
-        # realizes the HBM saving (decode reads/copies the small buffer;
-        # at 8B@128K the full masked buffer cannot decode at all). AdaKV-
-        # family wrappers compact inside their own compress — excluded.
-        from .presses.dms import DMSPress
-
-        if press is not None and getattr(press, "compact", False) and (
-            getattr(press, "multi_pass", False)
-            or getattr(press, "post_mask", False)
-            or isinstance(press, DMSPress)
-        ):
+        # DMS compact=True, via the declarative press.host_compact flag):
+        # kept entries to each head's buffer front, length dropped to the
+        # max per-head count — the resize below then realizes the HBM
+        # saving (decode reads/copies the small buffer; at 8B@128K the full
+        # masked buffer cannot decode at all). AdaKV-family wrappers
+        # compact inside their own compress (host_compact stays False).
+        if press is not None and getattr(press, "host_compact", False):
             from .cache import compact_masked
 
             cache = compact_masked(cache)

@@ -181,6 +181,16 @@ class BasePress:
     def chunk_score_arg(self):
         return None
 
+    # Mask presses whose eviction should PHYSICALLY compact after prefill
+    # (cache.compact_masked applied by the pipeline / serving / bench
+    # orchestration) override this to their ``compact`` field — one
+    # declarative routing attribute instead of per-caller isinstance
+    # checks. Presses that compact inside their own compress (AdaKV
+    # family) leave it False.
+    @property
+    def host_compact(self) -> bool:
+        return False
+
     def wants_probs(self, q_len: int) -> bool:
         """Whether the runner should use the probs-materializing (O(S²)
         memory) attention path for a ``q_len``-token call. Presses with a

@@ -35,6 +35,10 @@ class DMSPress(BasePress):
 
     compresses_prefill = True
 
+    @property
+    def host_compact(self) -> bool:
+        return self.compact
+
     def __post_init__(self):
         assert isinstance(self.press, ScorerPress)
         assert not (self.compact and self.decoding), (

@@ -104,6 +104,10 @@ class FastKVzipPress(BasePress):
     chunk_score_fn = staticmethod(_gate_chunk_scores)
 
     @property
+    def host_compact(self) -> bool:
+        return self.compact
+
+    @property
     def chunk_score_arg(self):
         return self.gates
 

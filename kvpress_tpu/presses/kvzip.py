@@ -46,6 +46,10 @@ class KVzipPress(BasePress):
     multi_pass = True                 # run the reconstruction procedure
     compresses_prefill = False        # the initial prefill stays uncompressed
 
+    @property
+    def host_compact(self) -> bool:
+        return self.compact
+
     def __post_init__(self):
         assert 0 <= self.compression_ratio < 1
 

@@ -870,11 +870,7 @@ class ServingEngine:
                                             context_embeds=req.inputs_embeds)
             if self.post_mask:
                 cache = press.apply_post_mask(cache, press_state)
-        from .presses.dms import DMSPress as _DMS
-
-        if press is not None and getattr(press, "compact", False) and (
-            self.multi_pass or self.post_mask or isinstance(press, _DMS)
-        ):
+        if press is not None and getattr(press, "host_compact", False):
             # Head-wise compaction (pipeline parity): the slot insert
             # below re-buckets to slot capacity — compaction lets the
             # masked admission actually fit a small slot. DMS(compact=True)

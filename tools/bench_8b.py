@@ -204,10 +204,13 @@ def main():
                 )
             else:
                 cache = prefill(params, ids, **kw)
-            if (press is not None and getattr(press, "compact", False)
-                    and hasattr(press, "threshold")):
-                # DMS compact: physical head-wise compaction of the
-                # threshold mask (the pipeline does this automatically)
+            if (press is not None
+                    and getattr(press, "host_compact", False)
+                    and getattr(press, "compresses_prefill", False)):
+                # in-prefill mask presses (DMS compact): physical head-wise
+                # compaction (the pipeline does this automatically;
+                # multi-pass presses compact after their repeat passes,
+                # which bench_8b does not run)
                 from kvpress_tpu.cache import compact_masked
 
                 cache = compact_masked(cache)

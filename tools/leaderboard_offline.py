@@ -250,7 +250,7 @@ def main():
                              single=s_single, multivalue=s_multi, error=err))
             print(f"{name:34s} r={ratio:.2f}: "
                   f"{score if score == score else 'FAIL':>6} "
-                  f"(mk {s_multi if s_multi == s_multi else 'FAIL'}) "
+                  f"(mv {s_multi if s_multi == s_multi else 'FAIL'}) "
                   f"({time.perf_counter()-t0:4.1f}s) {err}", flush=True)
             if name == "no_press":
                 for r2 in RATIOS[1:]:
@@ -271,7 +271,7 @@ def main():
     mk["mean"] = mk.mean(axis=1)
     mk = mk.sort_values("mean", ascending=False)
     mk.round(2).to_csv(res_dir / "offline_leaderboard_multivalue.csv")
-    print(f"\n{pivot.round(1)}\nwrote {dest} (+ multikey split) "
+    print(f"\n{pivot.round(1)}\nwrote {dest} (+ multivalue split) "
           f"({time.perf_counter()-t_all:.0f}s total)")
 
     # sanity invariants (VERDICT r2 item 8)
