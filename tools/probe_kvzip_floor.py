@@ -39,19 +39,36 @@ def main():
     ap.add_argument("ctx", type=int, nargs="?", default=16384)
     ap.add_argument("--layers", type=int, default=16)
     ap.add_argument("--chunk", type=int, default=2048)
+    ap.add_argument("--eightb", action="store_true",
+                    help="Llama-3.1-8B body with int8 weights + int4 KV "
+                         "(the bench_8b operating point)")
     args = ap.parse_args()
 
-    cfg = flagship_config(num_layers=args.layers)
-    runner = Runner.create(cfg)
-    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    if args.eightb:
+        import pathlib as _p
+        import sys as _s
+        _s.path.insert(0, str(_p.Path(__file__).resolve().parent))
+        from bench_8b import llama31_8b_config
+
+        from kvpress_tpu.models.llama import init_params_int8
+
+        cfg = llama31_8b_config()
+        runner = Runner.create(cfg)
+        params = init_params_int8(cfg, jax.random.PRNGKey(0))
+    else:
+        cfg = flagship_config(num_layers=args.layers)
+        runner = Runner.create(cfg)
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     press = KVzipPress(compression_ratio=0.5, chunk_size=args.chunk)
     S = args.ctx
     room = press.repeat_room()
     ids = jax.random.randint(jax.random.PRNGKey(1), (1, S), 0, cfg.vocab_size)
 
+    qkw = (dict(quantized=True, kv_bits=4) if args.eightb else {})
+
     def prefill():
         _, cache, _ = runner.prefill_chunked(
-            params, ids, chunk_size=8192, max_size=S + room)
+            params, ids, chunk_size=8192, max_size=S + room, **qkw)
         jax.device_get(jnp.max(cache.length))
         return cache
 
