@@ -549,6 +549,8 @@ class KVPressPipeline:
         top_p: float = 1.0,
         seed: int = 0,
         pixel_values: Optional[list] = None,   # per-request images (or None)
+        on_token=None,       # streaming: (req_idx, token_id, n_so_far) as
+                             # tokens drain (ServingEngine.run contract)
     ) -> list[str]:
         """Serve many (context, question) requests through the continuous-
         batching engine (serving.py): per-request press-compressed prefill,
@@ -639,7 +641,7 @@ class KVPressPipeline:
             temperature=temperature, top_p=top_p, seed=seed,
             image_span=image_span,
         )
-        outs = eng.run(reqs)
+        outs = eng.run(reqs, on_token=on_token)
         answers = []
         for toks in outs:
             answers.append(

@@ -656,6 +656,7 @@ class ServingEngine:
         self._dropped: list[int] = []
         self._retry_pending: list[dict] = []
         self._retries = 0
+        self._on_token = None     # streaming callback, set per run()
         # Compressed-context reuse: the reference pipeline's core UX is one
         # compressed cache answering many questions (pipeline.py:236-249 in
         # the reference); context_cache lifts that to the engine. Admissions
@@ -1077,6 +1078,8 @@ class ServingEngine:
         st.budget = req.max_new_tokens
         st.in_flight = 0
         st.done_at = 1 if first in self.eos_ids else None
+        if self._on_token is not None:
+            self._on_token(adm["req_idx"], first, 1)
 
     def _admit(self, slot: int, req_idx: int, req: Request):
         self._complete_admission(self._issue_admission(slot, req_idx, req))
@@ -1088,9 +1091,18 @@ class ServingEngine:
 
     # ---------------- main loop ---------------- #
 
-    def run(self, requests: list[Request], progress: bool = False) -> list[list[int]]:
+    def run(self, requests: list[Request], progress: bool = False,
+            on_token=None) -> list[list[int]]:
         """Serve every request; returns generated token lists (eos included,
         post-eos speculative tokens trimmed).
+
+        ``on_token(req_idx, token_id, n_so_far)``: streaming callback fired
+        as tokens DRAIN from the device (first token at admission
+        completion, then one call per fetched decode token) — post-eos
+        speculative tokens are never delivered, so the streamed sequence
+        equals the returned answer exactly. The callback runs on the host
+        loop between dispatches: keep it cheap (enqueue to your own
+        channel) or it stalls the decode-issue pipeline.
 
         Liveness: a slot goes dead (no further steps issued for it) as soon
         as its token budget is fully *issued* or an eos is *observed* at
@@ -1134,6 +1146,7 @@ class ServingEngine:
 
         t_start = _time.perf_counter()
         self._t_run_start = t_start
+        self._on_token = on_token
         self._ttfts: list[float] = []
         hits0 = self.ctx_hits
         skipped0 = self._skipped_ctx_tokens
@@ -1165,6 +1178,10 @@ class ServingEngine:
                 if st.done_at is None and int(host[s]) in self.eos_ids:
                     st.done_at = len(st.generated)
                     self.live[s] = False
+                if on_token is not None and (
+                    st.done_at is None or len(st.generated) <= st.done_at
+                ) and len(st.generated) <= st.budget:
+                    on_token(st.req_idx, int(host[s]), len(st.generated))
 
         def finish(s: int):
             st = self.slots[s]
@@ -1350,4 +1367,5 @@ class ServingEngine:
             ]
             self.last_stats["max_ttft_s"] = ts[-1]
         self._t_run_start = None
+        self._on_token = None
         return answers

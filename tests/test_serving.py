@@ -772,3 +772,28 @@ def test_serving_dms_compact_small_capacity(tiny):
     assert outs[0] == []
     assert tight.last_stats["dropped"] == [0]
     assert tight.last_stats["retried_admissions"] == 0
+
+
+def test_serving_streaming_callback(tiny):
+    """on_token= streams (req_idx, token, n) as tokens drain: the streamed
+    sequence per request equals the returned answer exactly — first token at
+    admission, eos delivered, post-eos speculative tokens never delivered."""
+    cfg, params, runner = tiny
+    press = KnormPress(compression_ratio=0.5)
+    reqs = _mk_requests(cfg, [(32, 4), (40, 8), (24, 4)], n_new=8)
+
+    # force an eos mid-stream for request 0 (speculative-trim coverage)
+    free = ref_generate(runner, params, press, reqs[0].context_ids,
+                        reqs[0].question_ids, 8, 64)
+    eos = free[3]
+    streamed: dict = {}
+
+    def on_token(idx, tok, n):
+        streamed.setdefault(idx, []).append(tok)
+        assert n == len(streamed[idx])
+
+    eng = ServingEngine(runner, params, n_slots=2, capacity=64, press=press,
+                        question_bucket=4, fetch_lag=3, eos_ids=(eos,))
+    answers = eng.run(reqs, on_token=on_token)
+    assert streamed == {i: a for i, a in enumerate(answers)}
+    assert any(eos in a for a in answers)       # the trim case was hit
