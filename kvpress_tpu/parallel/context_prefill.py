@@ -246,3 +246,163 @@ def context_parallel_prefill(
         check_vma=False,
     )
     return fn(params, ids)
+
+
+def _local_forward_kvcompose(
+    params: dict,
+    ids_local: jax.Array,              # (B, S_local) of the DOUBLED sequence
+    runner: Runner,
+    axis_name: str,
+    ctx_len: int,
+    agg: str,
+):
+    """Shard-local body of :func:`context_parallel_kvcompose`: a pressless
+    forward over the doubled sequence with, per layer, (a) ring attention
+    returning each local query's logsumexp and (b) the query-rotating
+    column-aggregation sweep (ring_colagg) that accumulates the re-fed
+    copy's attention onto this shard's columns."""
+    from .ring import ring_colagg, ring_self_attention_lse
+
+    cfg = runner.cfg
+    B, Sl = ids_local.shape
+    idx = jax.lax.axis_index(axis_name)
+    positions = idx * Sl + jnp.arange(Sl, dtype=jnp.int32)
+    positions = jnp.broadcast_to(positions[None], (B, Sl))
+    inv_freq = runner.inv_freq()
+    scale = (
+        cfg.query_pre_attn_scalar ** -0.5
+        if cfg.query_pre_attn_scalar is not None else cfg.head_dim ** -0.5
+    )
+    x = embed_tokens(params, ids_local, cfg)
+
+    def body(xh, layer):
+        h = rms_norm(xh, layer["ln1"], cfg.rms_norm_eps, cfg.rms_one_offset)
+        q_pre, k_pre, v = _project_qkv(layer, cfg, h)
+        cos, sin = rope_cos_sin(inv_freq, positions, runner.attention_scaling)
+        cos, sin = cos[:, None], sin[:, None]
+        q = apply_rope(q_pre, cos, sin)
+        k = apply_rope(k_pre, cos, sin)
+        attn_out, lse = ring_self_attention_lse(
+            q, k, v, axis_name=axis_name, sm_scale=scale,
+        )
+        part = ring_colagg(
+            q, k, lse, axis_name=axis_name, sm_scale=scale,
+            ctx_len=ctx_len, agg=agg,
+        )
+        o = _lin(attn_out.transpose(0, 2, 1, 3).reshape(B, Sl, -1),
+                 layer, "wo")
+        if cfg.post_norms:
+            o = rms_norm(o, layer["ln1_post"], cfg.rms_norm_eps,
+                         cfg.rms_one_offset)
+        xh = xh + o
+        h2 = rms_norm(xh, layer["ln2"], cfg.rms_norm_eps, cfg.rms_one_offset)
+        mlp = _act(_lin(h2, layer, "wg"), cfg.act) * _lin(h2, layer, "wu")
+        mlp = _lin(mlp, layer, "wd")
+        if cfg.post_norms:
+            mlp = rms_norm(mlp, layer["ln2_post"], cfg.rms_norm_eps,
+                           cfg.rms_one_offset)
+        return xh + mlp, (k, v, part)
+
+    _, (keys, values, scores) = jax.lax.scan(body, x, params["layers"])
+    return keys, values, scores
+
+
+def context_parallel_kvcompose(
+    params: dict,
+    ids: jax.Array,                     # (B=1, S); 2S divisible by axis size
+    *,
+    runner: Runner,
+    press,                              # KVComposePress (unstructured)
+    mesh: Mesh,
+    axis: str = "seq",
+):
+    """KVCompose over a sequence mesh — the multi-chip form of the press
+    whose scoring pass (~2x context KV, reference kvcompose_press.py:
+    377-379) exceeds a single 16 GB chip at 128K.
+
+    ONE ring pass over the DOUBLED sequence ``[ctx | ctx]`` — the re-fed
+    copy sits at positions S..2S-1, so causal attention over the doubled
+    sequence gives the second copy exactly the single-device re-feed's
+    semantics (context + previously re-fed tokens) while the first half
+    produces the context KV. Per layer, a query-rotating second ring sweep
+    (ring_colagg) accumulates each shard's columns' attention aggregation
+    from the re-fed queries — the distributed analogue of
+    ops/attention.refeed_colagg. Budgets/masks run host-side on the
+    gathered (L, H, S) scores (press.budgets_and_masks, identical to the
+    single-device path), and the result is returned as a
+    ``context_parallel_prefill``-layout (keys, values, lengths, masks)
+    tuple — resharded over the FULL axis and masked by the KVCompose
+    unstructured keep — ready for ``context_parallel_decode_step``.
+
+    Unstructured mode only: a structured (physically rebuilt) cache would
+    need a global cross-shard repack that breaks the slot==position map the
+    distributed decode relies on; the unstructured mask has identical
+    attention semantics. add_v_norm is unsupported here (it would gather
+    the full value tensor host-side)."""
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    cfg = runner.cfg
+    assert not press.structured, (
+        "context_parallel_kvcompose supports unstructured mode only "
+        "(structured rebuild would repack slots across shards, breaking "
+        "the distributed decode's slot==position map)"
+    )
+    assert not press.add_v_norm, "add_v_norm unsupported on the mesh path"
+    assert cfg.sliding_window is None, (
+        "KVCompose does not run on sliding-window models"
+    )
+    N = mesh.shape[axis]
+    B, S = ids.shape
+    assert B == 1, "the scoring pass is per-request (B=1), like the pipeline"
+    assert N % 2 == 0 and (2 * S) % N == 0 and S % N == 0, (
+        f"need an even axis ({N}) dividing both S ({S}) and 2S"
+    )
+    ids2 = jnp.concatenate([ids, ids], axis=1)
+
+    from .mesh import layer_param_specs
+
+    params_spec = {
+        "embed": P(),
+        "ln_f": P(),
+        "layers": layer_param_specs(params["layers"], None),
+    }
+    for extra in ("lm_head", "embed_scale", "lm_head_scale"):
+        if extra in params:
+            params_spec[extra] = P()
+    kv_spec = P(None, None, None, axis, None)
+    fn = shard_map(
+        functools.partial(
+            _local_forward_kvcompose, runner=runner, axis_name=axis,
+            ctx_len=S, agg=press.agg_task,
+        ),
+        mesh=mesh,
+        in_specs=(params_spec, P(None, axis)),
+        out_specs=(kv_spec, kv_spec, P(None, None, None, axis)),
+        check_vma=False,
+    )
+    keys2, values2, scores2 = fn(params, ids2)
+
+    # host: group aggregation + global budgets/masks (the exact
+    # single-device code path — budgets_and_masks is shared)
+    sc = np.asarray(jax.device_get(scores2))[..., :S]      # (L, B, Hq, S)
+    task = sc if press.agg_task == "max" else sc / S
+    L, _, Hq, _ = task.shape
+    Hkv = cfg.num_kv_heads
+    grouped = task.reshape(L, 1, Hkv, Hq // Hkv, S)
+    sc_h = (grouped.max(axis=3) if press.agg_group == "max"
+            else grouped.mean(axis=3))[:, 0]               # (L, Hkv, S)
+    _, keep = press.budgets_and_masks(sc_h, None)          # (L, Hkv, S) bool
+
+    kv_sh = NamedSharding(mesh, kv_spec)
+    mask_sh = NamedSharding(mesh, P(None, None, None, axis))
+    keys_ctx = jax.device_put(keys2[:, :, :, :S], kv_sh)
+    values_ctx = jax.device_put(values2[:, :, :, :S], kv_sh)
+    masks = jax.device_put(
+        jnp.broadcast_to(jnp.asarray(keep)[:, None], (L, B, Hkv, S)), mask_sh
+    )
+    lengths = shard_map(
+        lambda: jnp.full((cfg.num_layers,), S // N, jnp.int32),
+        mesh=mesh, in_specs=(), out_specs=P(axis), check_vma=False,
+    )()
+    return keys_ctx, values_ctx, lengths, masks

@@ -241,3 +241,127 @@ def context_parallel_attention(q, k, v, mesh: Mesh, *, axis: str = "seq",
         check_vma=False,
     )
     return fn(q, k, v)
+
+
+def ring_self_attention_lse(
+    q: jax.Array,                    # (B, Hq, S_local, D)
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    axis_name: str,
+    sm_scale: float,
+) -> tuple[jax.Array, jax.Array]:
+    """``ring_self_attention`` that ALSO returns each local query's final
+    logsumexp (B, Hq, S_local) over its full visible range — the softmax
+    denominators the KVCompose column sweep needs (ops/attention.refeed_
+    colagg consumes the single-device analogue)."""
+    N = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    B, Hq, Sl, D = q.shape
+    Hkv = k.shape[1]
+    G = Hq // Hkv
+    qg = q.reshape(B, Hkv, G, Sl, D).reshape(B, Hkv * G, Sl, D)
+    q_start = idx * Sl
+
+    def step(carry, step_idx):
+        k_blk, v_blk, m, l, acc = carry
+        src = (idx - step_idx) % N
+        k_rep = jnp.repeat(k_blk, G, axis=1)
+        v_rep = jnp.repeat(v_blk, G, axis=1)
+        blk_acc, blk_m, blk_l = _block_attend(
+            qg, k_rep, v_rep, sm_scale, q_start, src * Sl, True,
+        )
+        m_new = jnp.maximum(m, blk_m)
+        alpha = jnp.exp(m - m_new)
+        beta = jnp.exp(blk_m - m_new)
+        l = alpha * l + beta * blk_l
+        acc = alpha[..., None] * acc + beta[..., None] * blk_acc
+        perm = [(i, (i + 1) % N) for i in range(N)]
+        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        return (k_blk, v_blk, m_new, l, acc), None
+
+    m0 = jnp.full((B, Hq, Sl), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((B, Hq, Sl), jnp.float32)
+    acc0 = jnp.zeros((B, Hq, Sl, D), jnp.float32)
+    (_, _, m, l, acc), _ = jax.lax.scan(
+        step, (k, v, m0, l0, acc0), jnp.arange(N)
+    )
+    lse = m + jnp.log(jnp.maximum(l, 1e-38))
+    ls = jnp.where(l == 0.0, 1.0, l)
+    return (acc / ls[..., None]).astype(q.dtype), lse
+
+
+def ring_colagg(
+    q: jax.Array,                    # (B, Hq, S_local, D) local queries
+    k: jax.Array,                    # (B, Hkv, S_local, D) local keys (fixed)
+    lse: jax.Array,                  # (B, Hq, S_local) local queries' lse
+    *,
+    axis_name: str,
+    sm_scale: float,
+    ctx_len: int,                    # global split: positions < ctx_len are
+                                     # context columns, >= ctx_len are the
+                                     # re-fed copy (the scoring queries)
+    agg: str,                        # "max" | "sum" over scoring queries
+    block: int = 512,
+) -> jax.Array:
+    """KVCompose column aggregation over a ring (the doubled-sequence form
+    of ops/attention.refeed_colagg): QUERIES + their lse rotate around the
+    axis while each shard's KEYS stay resident, so after N steps every shard
+    holds agg_q exp(q·k - lse) for ITS OWN columns over ALL re-fed queries.
+    Only queries at global positions >= ctx_len (the re-fed copy)
+    contribute, and only columns < ctx_len are meaningful (callers discard
+    the re-fed shards' outputs). Every context column precedes every re-fed
+    query, so no causal mask is needed inside a contributing block.
+    Communication = one all-gather's worth of Q+lse bytes, point-to-point.
+    Returns (B, Hq, S_local) f32."""
+    N = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    B, Hq, Sl, D = q.shape
+    Hkv = k.shape[1]
+    G = Hq // Hkv
+    k_start = idx * Sl
+    bk = min(block, Sl)
+    n_blocks = -(-Sl // bk)
+    pad = n_blocks * bk - Sl
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+    def step(carry, step_idx):
+        q_blk, lse_blk, out = carry
+        src = (idx - step_idx) % N
+        q_start = src * Sl
+        qg = q_blk.reshape(B, Hkv, G, Sl, D)
+        # scoring-query rows: global position >= ctx_len (the re-fed copy)
+        q_pos = q_start + jnp.arange(Sl)
+        is_scoring = (q_pos >= ctx_len)[None, None, None, :]
+
+        def col_block(i, out):
+            kblk = jax.lax.dynamic_slice_in_dim(kp, i * bk, bk, axis=2)
+            s = jnp.einsum(
+                "bhgtd,bhsd->bhgts", qg, kblk,
+                preferred_element_type=jnp.float32,
+            ) * sm_scale
+            p = jnp.exp(s - lse_blk.reshape(B, Hkv, G, Sl)[..., None])
+            p = jnp.where(is_scoring[..., None], p, 0.0)
+            cols = k_start + i * bk + jnp.arange(bk)
+            p = jnp.where((cols < ctx_len)[None, None, None, None], p, 0.0)
+            part = p.max(axis=3) if agg == "max" else p.sum(axis=3)
+            return jax.lax.dynamic_update_slice_in_dim(
+                out, part.reshape(B, Hq, bk), i * bk, axis=2
+            )
+
+        blk_out = jax.lax.fori_loop(
+            0, n_blocks, col_block,
+            jnp.zeros((B, Hq, n_blocks * bk), jnp.float32),
+        )[..., :Sl]
+        out = jnp.maximum(out, blk_out) if agg == "max" else out + blk_out
+        perm = [(i, (i + 1) % N) for i in range(N)]
+        q_blk = jax.lax.ppermute(q_blk, axis_name, perm)
+        lse_blk = jax.lax.ppermute(lse_blk, axis_name, perm)
+        return (q_blk, lse_blk, out), None
+
+    out0 = jnp.zeros((B, Hq, Sl), jnp.float32)
+    (_, _, out), _ = jax.lax.scan(
+        step, (q, lse, out0), jnp.arange(N)
+    )
+    return out

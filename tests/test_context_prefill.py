@@ -671,3 +671,68 @@ def test_rerotating_press_rejected(setup):
     with pytest.raises(AssertionError, match="rerotating"):
         context_parallel_prefill(params, ids, runner=runner, press=press,
                                  mesh=mesh)
+
+
+@pytest.mark.parametrize("agg", [("max", "mean"), ("mean", "max")])
+def test_context_parallel_kvcompose_matches_single_device(setup, agg):
+    """Round 5 (the 128K-KVCompose multi-chip form): the doubled-sequence
+    ring pass + query-rotating column sweep must reproduce the single-device
+    re-feed's keep mask exactly, and the masked shards must decode to the
+    single-device masked cache's logits."""
+    import dataclasses
+    import sys
+    sys.path.insert(0, "tests")
+    from toy_tokenizer import ToyTokenizer
+
+    from kvpress_tpu.parallel.context_prefill import context_parallel_kvcompose
+    from kvpress_tpu.parallel.decode import context_parallel_decode_step
+    from kvpress_tpu.pipeline import KVPressPipeline
+    from kvpress_tpu.presses import KVComposePress
+
+    cfg, params, runner, ids, mesh = setup
+    agg_task, agg_group = agg
+    press = KVComposePress(compression_ratio=0.5, structured=False,
+                           agg_task=agg_task, agg_group=agg_group)
+
+    keys, values, lengths, masks = context_parallel_kvcompose(
+        params, ids, runner=runner, press=press, mesh=mesh
+    )
+
+    # single-device reference: pressless prefill + one-shot re-feed mask
+    pipe = KVPressPipeline(runner, params, ToyTokenizer(cfg.vocab_size))
+    ctx_ids = [int(t) for t in np.asarray(ids[0])]
+    _, cache, _ = runner.prefill(params, ids, dtype=jnp.float32,
+                                 max_size=2 * S + 8)
+    ref_cache = pipe._run_kvcompose(cache, ctx_ids, press)
+
+    np.testing.assert_array_equal(
+        np.asarray(masks), np.asarray(ref_cache.mask[..., :S])
+    )
+    frac = (~np.asarray(masks)).mean()
+    assert 0.3 < frac < 0.7, frac
+    np.testing.assert_allclose(
+        np.asarray(keys), np.asarray(ref_cache.keys[..., :S, :]),
+        atol=2e-4, rtol=1e-3,
+    )
+
+    # distributed decode over the masked shards == single-device decode on
+    # the masked cache (teacher-forced one step)
+    from kvpress_tpu.parallel.decode import grow_shards
+
+    tok = ids[:, -1:]
+    shards = grow_shards((keys, values, lengths, masks), N, 4)
+    sp_logits, _, _, ovf, _ = context_parallel_decode_step(
+        params, tok, shards,
+        jnp.asarray(S, jnp.int32), runner=runner, mesh=mesh,
+    )
+    assert int(ovf) == 0
+    ref_dec = dataclasses.replace(ref_cache)
+    from kvpress_tpu.cache import resize
+
+    ref_dec = resize(ref_dec, S + 8)
+    ref_logits, _, _ = runner.forward(params, tok, ref_dec,
+                                      logits_last_only=True)
+    np.testing.assert_allclose(
+        np.asarray(sp_logits[:, -1], np.float32),
+        np.asarray(ref_logits[:, -1], np.float32), atol=5e-3, rtol=5e-3,
+    )
