@@ -461,6 +461,9 @@ class Request:
     # keyed on (context_ids, content_key) — identical ids with different
     # images never collide. None + inputs_embeds set = LRU bypass.
     content_key: Optional[object] = None
+    # Scheduling weight (schedule="priority"): higher admits first;
+    # ties fall back to submission order.
+    priority: int = 0
 
 
 @dataclasses.dataclass
@@ -584,7 +587,7 @@ class ServingEngine:
         self.context_chunk = context_chunk
         self.question_bucket = question_bucket
         self.fetch_lag = max(1, fetch_lag)
-        assert schedule in ("fifo", "sjf"), schedule
+        assert schedule in ("fifo", "sjf", "priority"), schedule
         self.schedule = schedule
         assert not interleave or context_chunk is not None, (
             "interleave=True requires context_chunk= (the chunk is the "
@@ -1230,6 +1233,14 @@ class ServingEngine:
                                 key=lambda j: (
                                     requests[queue[j]].max_new_tokens,
                                     len(requests[queue[j]].context_ids),
+                                ),
+                            )
+                        elif self.schedule == "priority":
+                            # highest Request.priority first, fifo on ties
+                            pos = min(
+                                range(len(queue)),
+                                key=lambda j: (
+                                    -requests[queue[j]].priority, j
                                 ),
                             )
                         else:

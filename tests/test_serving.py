@@ -797,3 +797,28 @@ def test_serving_streaming_callback(tiny):
     answers = eng.run(reqs, on_token=on_token)
     assert streamed == {i: a for i, a in enumerate(answers)}
     assert any(eos in a for a in answers)       # the trim case was hit
+
+
+def test_serving_priority_schedule(tiny):
+    """schedule='priority': the highest-priority queued request admits
+    first (observable via the streaming callback's first event), answers
+    still equal the single-request path, ties fall back to fifo."""
+    cfg, params, runner = tiny
+    press = KnormPress(compression_ratio=0.5)
+    reqs = _mk_requests(cfg, [(32, 4), (40, 4), (24, 4)], n_new=5)
+    reqs[2].priority = 5                       # last submitted, highest prio
+
+    first_admitted = []
+
+    def on_token(idx, tok, n):
+        if n == 1:
+            first_admitted.append(idx)
+
+    eng = ServingEngine(runner, params, n_slots=1, capacity=64, press=press,
+                        question_bucket=4, fetch_lag=2, schedule="priority")
+    answers = eng.run(reqs, on_token=on_token)
+    assert first_admitted[0] == 2              # priority 5 went first
+    assert first_admitted[1:] == [0, 1]        # then fifo among ties
+    for req, got in zip(reqs, answers):
+        assert len(got) == req.max_new_tokens
+        assert_generation_matches_ref(runner, params, press, req, got)
